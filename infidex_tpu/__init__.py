@@ -1,0 +1,50 @@
+"""infidex_tpu — a TPU-native full-text fuzzy search engine (JAX/XLA/Pallas).
+
+A from-scratch reimplementation of the capabilities of lofcz/Infidex with a
+TPU-first architecture: HBM-resident CSR posting tensors scored by dense
+batched XLA programs, char-n-gram fuzzy matching, a multi-algorithm coverage
+cascade, lexicographic fusion ranking, an SQL-like filter DSL compiled to
+both a stack VM and vectorized columnar predicates, facets, boosts,
+synonyms, persistence and multi-chip sharding.
+"""
+
+from .api.fields import DocumentFields, Field, Weight
+from .api.query import Boost, BoostStrength, Query, Result
+from .core.config import (AutoSegmentationSetup, ConfigurationParameters,
+                          WordMatcherSetup, get_config, has_config)
+from .core.documents import Document, DocumentCollection
+from .coverage.setup import CoverageSetup
+from .engine import IndexStatistics, SearchEngine, SearchEngineStatus
+from .index.vector_model import ScoreEntry, VectorModel
+from .synonyms import SynonymMap
+from .tokenization.normalizer import TextNormalizer
+from .tokenization.tokenizer import Tokenizer, TokenizerSetup
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AutoSegmentationSetup",
+    "Boost",
+    "BoostStrength",
+    "ConfigurationParameters",
+    "CoverageSetup",
+    "Document",
+    "DocumentCollection",
+    "DocumentFields",
+    "Field",
+    "IndexStatistics",
+    "Query",
+    "Result",
+    "ScoreEntry",
+    "SearchEngine",
+    "SearchEngineStatus",
+    "SynonymMap",
+    "TextNormalizer",
+    "Tokenizer",
+    "TokenizerSetup",
+    "VectorModel",
+    "Weight",
+    "WordMatcherSetup",
+    "get_config",
+    "has_config",
+]

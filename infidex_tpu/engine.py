@@ -1,0 +1,333 @@
+"""SearchEngine facade: locking, status, normalization, post-processing.
+
+Behavioral reference: Infidex ``SearchEngine.cs`` — reader/writer locking,
+Ready/Indexing/Loading status, query normalization + lowercasing + synonym
+canonicalization before the pipeline, empty-query facets, post-processing
+order filter -> boost -> sort, save/load with the WordMatcher trailer and
+derived stats recomputed on load.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+from .api.fields import DocumentFields
+from .api.query import INT_MAX, Query, Result
+from .core import facets as facet_builder
+from .core.config import ConfigurationParameters, WordMatcherSetup, get_config
+from .core.documents import Document
+from .coverage.engine import CoverageEngine
+from .coverage.setup import CoverageSetup
+from .index.short_query import PositionalPrefixIndex, ShortQueryResolver
+from .index.vector_model import ScoreEntry, VectorModel
+from .index.word_matcher import WordMatcher
+from .scoring.pipeline import SearchPipeline
+from .scoring.result_processor import ResultProcessor
+from .synonyms import SynonymMap
+from .tokenization.normalizer import TextNormalizer
+from .tokenization.tokenizer import Tokenizer, TokenizerSetup
+from .utils.locks import ReadWriteLock
+
+
+class SearchEngineStatus(enum.Enum):
+    READY = "Ready"
+    INDEXING = "Indexing"
+    LOADING = "Loading"
+
+
+class IndexStatistics:
+    def __init__(self, document_count: int, vocabulary_size: int):
+        self.document_count = document_count
+        self.vocabulary_size = vocabulary_size
+
+    def __repr__(self) -> str:
+        return f"{self.document_count} documents, {self.vocabulary_size} terms"
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        index_sizes: Sequence[int],
+        start_pad_size: int = 2,
+        stop_pad_size: int = 0,
+        enable_coverage: bool = True,
+        text_normalizer: Optional[TextNormalizer] = None,
+        tokenizer_setup: Optional[TokenizerSetup] = None,
+        coverage_setup: Optional[CoverageSetup] = None,
+        stop_term_limit: int = 1_250_000,
+        word_matcher_setup: Optional[WordMatcherSetup] = None,
+        field_weights: Optional[Sequence[float]] = None,
+        synonym_map: Optional[SynonymMap] = None,
+    ):
+        text_normalizer = text_normalizer or TextNormalizer.create_default()
+        tokenizer_setup = tokenizer_setup or TokenizerSetup.create_default()
+
+        tokenizer = Tokenizer(list(index_sizes), start_pad_size, stop_pad_size,
+                              text_normalizer, tokenizer_setup)
+        self._vector_model = VectorModel(tokenizer, stop_term_limit,
+                                         field_weights, synonym_map)
+        self._vector_model.short_query_index = PositionalPrefixIndex(
+            delimiters=tokenizer_setup.delimiters)
+
+        self._coverage_setup: Optional[CoverageSetup] = None
+        self._coverage_engine: Optional[CoverageEngine] = None
+        if enable_coverage:
+            self._coverage_setup = coverage_setup or CoverageSetup.create_default()
+            self._coverage_engine = CoverageEngine(tokenizer, self._coverage_setup)
+
+        self._word_matcher: Optional[WordMatcher] = None
+        if word_matcher_setup is not None and tokenizer_setup is not None:
+            self._word_matcher = WordMatcher(
+                word_matcher_setup, tokenizer_setup.delimiters, text_normalizer)
+
+        self._synonym_map = synonym_map
+        self._pipeline = SearchPipeline(
+            self._vector_model, self._coverage_engine, self._coverage_setup,
+            self._word_matcher, synonym_map)
+
+        self._is_indexed = False
+        self._document_field_schema: Optional[DocumentFields] = None
+        self._compiled_filter_cache: Dict = {}
+        self._rw_lock = ReadWriteLock()
+        self.status = SearchEngineStatus.READY
+        self.progress_changed: List[Callable[[int], None]] = []
+        self._word_matcher_setup = word_matcher_setup
+        self._engine_config = dict(
+            index_sizes=list(index_sizes), start_pad_size=start_pad_size,
+            stop_pad_size=stop_pad_size, enable_coverage=enable_coverage,
+            stop_term_limit=stop_term_limit)
+
+    # ------------------------------------------------------------------
+    @property
+    def synonym_map(self) -> Optional[SynonymMap]:
+        return self._synonym_map
+
+    @staticmethod
+    def create_default() -> "SearchEngine":
+        config = get_config(400)
+        return SearchEngine(
+            index_sizes=config.index_sizes,
+            start_pad_size=config.start_pad_size,
+            stop_pad_size=config.stop_pad_size,
+            enable_coverage=True,
+            text_normalizer=config.text_normalizer,
+            tokenizer_setup=config.tokenizer_setup,
+            coverage_setup=None,
+            stop_term_limit=config.stop_term_limit,
+            word_matcher_setup=config.word_matcher_setup,
+            field_weights=config.field_weights,
+        )
+
+    @staticmethod
+    def create_minimal() -> "SearchEngine":
+        return SearchEngine(index_sizes=[3], start_pad_size=2, stop_pad_size=0,
+                            enable_coverage=False)
+
+    # ------------------------------------------------------------------
+    # Indexing
+
+    def index_documents(self, documents: Iterable[Document],
+                        progress: Optional[Callable[[int], None]] = None) -> None:
+        with self._rw_lock.write_lock():
+            self.status = SearchEngineStatus.INDEXING
+            try:
+                self._index_documents_internal(list(documents), progress)
+            finally:
+                self.status = SearchEngineStatus.READY
+
+    def _index_documents_internal(self, doc_list: List[Document],
+                                  progress: Optional[Callable[[int], None]]) -> None:
+        total = len(doc_list)
+        self._is_indexed = False
+        for i, doc in enumerate(doc_list):
+            if self._document_field_schema is None and doc.fields is not None:
+                self._document_field_schema = doc.fields
+            stored = self._vector_model.index_document(doc)
+            if self._word_matcher is not None:
+                self._word_matcher.load(stored.indexed_text, stored.id)
+            if total > 0:
+                percent = int((i + 1) * 50.0 / total)
+                self._report_progress(percent, progress)
+
+        self._vector_model.build_inverted_lists()
+        if self._word_matcher is not None:
+            self._word_matcher.finalize_index()
+        self._is_indexed = True
+        self._vector_model.build_optimized_indexes()
+        self._rebuild_short_query_resolver()
+        self._pipeline.invalidate_caches()
+        self._report_progress(100, progress)
+
+    def _rebuild_short_query_resolver(self) -> None:
+        m = self._vector_model
+        if m.short_query_index is not None:
+            delims = (m.tokenizer.tokenizer_setup.delimiters
+                      if m.tokenizer.tokenizer_setup else (" ",))
+            m.short_query_resolver = ShortQueryResolver(
+                m.short_query_index, m.documents, delims)
+
+    def _report_progress(self, percent: int,
+                         progress: Optional[Callable[[int], None]]) -> None:
+        for cb in self.progress_changed:
+            cb(percent)
+        if progress is not None:
+            progress(percent)
+
+    def index_document(self, document: Document) -> None:
+        """Add one document; derived stats stay stale until calculate_weights."""
+        with self._rw_lock.write_lock():
+            self.status = SearchEngineStatus.INDEXING
+            try:
+                stored = self._vector_model.index_document(document)
+                if self._word_matcher is not None:
+                    self._word_matcher.load(stored.indexed_text, stored.id)
+                self._is_indexed = False
+            finally:
+                self.status = SearchEngineStatus.READY
+
+    def calculate_weights(self) -> None:
+        with self._rw_lock.write_lock():
+            self.status = SearchEngineStatus.INDEXING
+            try:
+                self._vector_model.calculate_weights()
+                if self._word_matcher is not None:
+                    self._word_matcher.finalize_index()
+                self._vector_model.build_optimized_indexes()
+                self._rebuild_short_query_resolver()
+                self._pipeline.invalidate_caches()
+                self._is_indexed = True
+            finally:
+                self.status = SearchEngineStatus.READY
+
+    def delete_documents(self, document_key: int) -> None:
+        with self._rw_lock.write_lock():
+            self._vector_model.documents.delete_documents_by_key(document_key)
+            if self._vector_model.device is not None:
+                import numpy as np
+
+                n = len(self._vector_model.documents)
+                deleted = np.array(
+                    [self._vector_model.documents.get_document(i).deleted
+                     for i in range(n)], dtype=bool)
+                self._vector_model.device.set_deleted(deleted)
+
+    # ------------------------------------------------------------------
+    # Search
+
+    def search(self, query: Query) -> Result:
+        with self._rw_lock.read_lock():
+            if not self._is_indexed:
+                return Result.make_empty()
+
+            q = query.copy()
+            q_text = q.text.strip()
+            if self._vector_model.tokenizer.text_normalizer is not None:
+                q_text = self._vector_model.tokenizer.text_normalizer.normalize(q_text)
+            q_text = q_text.lower()
+            if (self._synonym_map is not None
+                    and self._synonym_map.has_canonical_mappings
+                    and self._vector_model.tokenizer.tokenizer_setup is not None):
+                q_text = self._synonym_map.canonicalize_text(
+                    q_text, self._vector_model.tokenizer.tokenizer_setup.delimiters)
+            q.text = q_text
+            q.time_out_limit_milliseconds = max(0, min(q.time_out_limit_milliseconds, 10000))
+
+            if (not q.text or q.text.isspace()) and q.enable_facets:
+                return self._handle_empty_query_with_facets(q)
+            if not q.text or q.text.isspace():
+                return Result.make_empty()
+
+            results = self._pipeline.execute(
+                q.text,
+                (q.coverage_setup or self._coverage_setup) if q.enable_coverage else None,
+                q.coverage_depth,
+                q.max_number_of_records_to_return,
+            )
+            results = self._apply_post_processing(results, q)
+
+            facets = None
+            if q.enable_facets:
+                facets = facet_builder.build_facets(
+                    results, self._vector_model.documents, self._document_field_schema)
+
+            top = results[: q.max_number_of_records_to_return]
+            return Result(
+                records=top,
+                facets=facets,
+                truncation_index=len(top) - 1 if top else 0,
+                truncation_score=top[-1].score if top else 0.0,
+                did_time_out=False,
+                total_candidates=len(results),
+            )
+
+    def _handle_empty_query_with_facets(self, q: Query) -> Result:
+        all_results = [ScoreEntry(65535.0, d.document_key)
+                       for d in self._vector_model.documents.all_documents()]
+        if q.filter is not None:
+            processor = ResultProcessor(self._vector_model.documents,
+                                        self._compiled_filter_cache)
+            all_results = processor.apply_filter(all_results, q.filter)
+        top = all_results[: q.max_number_of_records_to_return]
+        facets = facet_builder.build_facets(
+            top, self._vector_model.documents, self._document_field_schema)
+        return Result(records=top, facets=facets,
+                      truncation_index=len(top) - 1 if top else 0,
+                      truncation_score=top[-1].score if top else 0.0)
+
+    def _apply_post_processing(self, results: List[ScoreEntry], q: Query) -> List[ScoreEntry]:
+        processor = ResultProcessor(self._vector_model.documents,
+                                    self._compiled_filter_cache)
+        if q.filter is not None:
+            results = processor.apply_filter(results, q.filter)
+        if q.enable_boost and q.boosts:
+            results = processor.apply_boosts(results, q.boosts)
+        if q.sort_by is not None:
+            results = processor.apply_sort(results, q.sort_by, q.sort_ascending)
+        return results
+
+    # ------------------------------------------------------------------
+    def get_document(self, document_key: int) -> Optional[Document]:
+        with self._rw_lock.read_lock():
+            return self._vector_model.documents.get_document_by_public_key(document_key)
+
+    def get_documents(self, document_key: int) -> List[Document]:
+        with self._rw_lock.read_lock():
+            return self._vector_model.documents.get_documents_by_key(document_key)
+
+    def get_statistics(self) -> IndexStatistics:
+        with self._rw_lock.read_lock():
+            return IndexStatistics(self._vector_model.documents.count,
+                                   len(self._vector_model.term_dict))
+
+    # ------------------------------------------------------------------
+    # Persistence (index/persistence.py)
+
+    def save(self, file_path: str) -> None:
+        from .index.persistence import save_engine
+
+        with self._rw_lock.write_lock():
+            save_engine(self, file_path)
+
+    @staticmethod
+    def load(file_path: str, **engine_kwargs) -> "SearchEngine":
+        from .index.persistence import load_engine
+
+        return load_engine(file_path, **engine_kwargs)
+
+    # internals used by persistence
+    @property
+    def vector_model(self) -> VectorModel:
+        return self._vector_model
+
+    @property
+    def word_matcher(self) -> Optional[WordMatcher]:
+        return self._word_matcher
+
+    @property
+    def document_field_schema(self) -> Optional[DocumentFields]:
+        return self._document_field_schema
+
+    def _mark_indexed(self) -> None:
+        self._is_indexed = True
+        self._pipeline.invalidate_caches()

@@ -1,0 +1,164 @@
+"""Host-side index construction: term dictionary + CSR postings tensors.
+
+Behavioral reference: Infidex ``Core/Term.cs`` / ``Core/TermCollection.cs`` /
+``Indexing/VectorModel.cs:73-220``:
+
+* Per token occurrence the term's df counter is incremented once per new
+  document; repeats of the same (term, doc) accumulate the byte weight
+  (``FirstCycleAdd``, Term.cs:71-122) with .NET ``Math.Round`` (banker's
+  rounding) applied at every accumulation step, capped at 255 (increments
+  that would exceed 255 are dropped).
+* Terms whose unique-doc count exceeds ``stop_term_limit`` become stop terms:
+  postings dropped, df = -1 (Term.cs:118-121).
+* doc_lengths[d] = sum of posting weights for doc d; avgdl = mean
+  (VectorModel.BuildInvertedLists, :130-220).
+
+TPU-native design: instead of per-term List<int>/List<byte> served through
+iterator chains, ``finalize`` lays the whole index out as flat CSR tensors
+(term_offsets/doc_ids/weights) that are uploaded to HBM once and scored by
+dense batched XLA programs (see index/device.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _bankers_round(x: float) -> int:
+    """C# Math.Round default: round-half-to-even (matches Python round)."""
+    return int(round(x))
+
+
+class TermPostings:
+    """In-progress posting list for one term (mirrors Term.cs semantics)."""
+
+    __slots__ = ("doc_ids", "weights", "df")
+
+    def __init__(self) -> None:
+        self.doc_ids: List[int] = []
+        self.weights: List[int] = []
+        self.df: int = 0  # -1 => stop term
+
+    def increment_usage(self, stop_term_limit: int) -> bool:
+        """Per-occurrence df counter (Term.IncrementTermUsageCounter)."""
+        if self.df == -1:
+            return True
+        self.df += 1
+        if self.df > stop_term_limit:
+            self.df = -1
+            return False
+        return True
+
+    def first_cycle_add(
+        self, doc_id: int, stop_term_limit: int, remove_duplicates: bool, field_weight: float
+    ) -> None:
+        """Append/accumulate a posting (Term.FirstCycleAdd, Term.cs:71-122)."""
+        if self.df < 0:
+            return
+        if len(self.weights) >= stop_term_limit:
+            self.df = -1
+            self.doc_ids.clear()
+            self.weights.clear()
+            return
+        if not self.doc_ids or self.doc_ids[-1] != doc_id:
+            w = min(_bankers_round(field_weight), 255)
+            self.doc_ids.append(doc_id)
+            self.weights.append(w)
+        elif not remove_duplicates:
+            new_w = self.weights[-1] + field_weight
+            if new_w <= 255:
+                self.weights[-1] = _bankers_round(new_w)
+                self.df -= 1
+        # else: duplicate occurrence with remove_duplicates=True is ignored
+        # (and df keeps the per-occurrence increment, mirroring Term.cs).
+
+
+class TermDictionary:
+    """String term -> dense id mapping with posting accumulation."""
+
+    def __init__(self) -> None:
+        self.term_to_id: Dict[str, int] = {}
+        self.terms: List[str] = []
+        self.postings: List[TermPostings] = []
+
+    def __len__(self) -> int:
+        return len(self.terms)
+
+    def get_id(self, term: str) -> int:
+        return self.term_to_id.get(term, -1)
+
+    def get_or_add(self, term: str) -> Tuple[int, bool]:
+        tid = self.term_to_id.get(term)
+        if tid is not None:
+            return tid, False
+        tid = len(self.terms)
+        self.term_to_id[term] = tid
+        self.terms.append(term)
+        self.postings.append(TermPostings())
+        return tid, True
+
+    def df(self, term_id: int) -> int:
+        return self.postings[term_id].df
+
+
+@dataclass
+class BuiltIndex:
+    """Immutable flat CSR image of the inverted index (host numpy)."""
+
+    terms: List[str]
+    term_to_id: Dict[str, int]
+    term_offsets: np.ndarray      # int64 [T+1]
+    postings_docs: np.ndarray     # int32 [P]
+    postings_weights: np.ndarray  # uint8 [P]
+    df: np.ndarray                # int32 [T]  (-1 => stop term)
+    doc_lengths: np.ndarray       # float32 [N]
+    avgdl: float
+    num_docs: int
+
+    def postings_for(self, term_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        s, e = self.term_offsets[term_id], self.term_offsets[term_id + 1]
+        return self.postings_docs[s:e], self.postings_weights[s:e]
+
+
+def finalize_postings(term_dict: TermDictionary, num_docs: int) -> BuiltIndex:
+    """Flatten accumulated postings to CSR and compute doc lengths/avgdl."""
+    T = len(term_dict)
+    lens = np.zeros(T, dtype=np.int64)
+    dfs = np.zeros(T, dtype=np.int32)
+    for t in range(T):
+        p = term_dict.postings[t]
+        dfs[t] = p.df
+        if p.df > 0:
+            lens[t] = len(p.doc_ids)
+    offsets = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    P = int(offsets[-1])
+
+    docs = np.zeros(P, dtype=np.int32)
+    weights = np.zeros(P, dtype=np.uint8)
+    for t in range(T):
+        p = term_dict.postings[t]
+        if p.df > 0 and p.doc_ids:
+            s = offsets[t]
+            docs[s : s + len(p.doc_ids)] = p.doc_ids
+            weights[s : s + len(p.weights)] = p.weights
+
+    doc_lengths = np.zeros(max(num_docs, 1), dtype=np.float32)
+    np.add.at(doc_lengths, docs[:P], weights[:P].astype(np.float32))
+    doc_lengths = doc_lengths[:num_docs] if num_docs > 0 else doc_lengths[:0]
+    avgdl = float(doc_lengths.mean()) if num_docs > 0 else 0.0
+
+    return BuiltIndex(
+        terms=list(term_dict.terms),
+        term_to_id=dict(term_dict.term_to_id),
+        term_offsets=offsets,
+        postings_docs=docs,
+        postings_weights=weights,
+        df=dfs,
+        doc_lengths=doc_lengths,
+        avgdl=avgdl,
+        num_docs=num_docs,
+    )

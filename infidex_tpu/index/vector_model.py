@@ -1,0 +1,380 @@
+"""Stage-1 relevancy model: tokenization, term stats, fuzzy expansion, BM25.
+
+Behavioral reference: Infidex ``Indexing/VectorModel.cs``:
+
+* ``index_document`` (:73-112): concat searchable fields, normalize + lower +
+  synonym-canonicalize, emit n-grams + words with per-position field weights,
+  accumulate postings, feed the short-query prefix index.
+* ``search`` (:376-602): tokenize query -> exact term-id lookup -> sort +
+  dedupe with occurrence counts -> fuzzy-expand unknown tokens of len >= 4
+  into LD1 "virtual terms" (:643-743, LRU-cached) -> BM25 top-k.
+* ``build_inverted_lists`` (:130-220): doc lengths = sum of posting weights,
+  avgdl; word-level IDF cache (:864-908); document metadata cache (:250-313).
+
+TPU-native design: the scoring work happens in index/device.py as one dense
+XLA program; this module is the host-side orchestration plus the symmetric-
+delete LD1 expansion index (replacing the reference's FST Myers traversal
+with an exact-verified delete-variant hash lookup; the MXU signature-matmul
+variant lives in ops/fuzzy.py as the large-corpus path).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.config import DEFAULT_FIELD_WEIGHTS
+from ..core.documents import Document, DocumentCollection
+from ..tokenization.tokenizer import Tokenizer
+from ..utils.metrics import levenshtein
+from .builder import BuiltIndex, TermDictionary, finalize_postings
+from .device import DeviceIndex, compute_idf
+
+
+@dataclass
+class ScoreEntry:
+    """Search result entry (Core/ScoreEntry.cs): ordering is score desc,
+    tiebreaker desc, document_key asc."""
+
+    score: float
+    document_id: int  # public DocumentKey
+    tiebreaker: int = 0
+    segment_number: Optional[int] = None
+
+    def sort_key(self):
+        return (-self.score, -self.tiebreaker, self.document_id)
+
+
+@dataclass
+class DocumentMetadata:
+    first_token: str = ""
+    token_count: int = 0
+
+    @property
+    def has_tokens(self) -> bool:
+        return self.token_count > 0
+
+
+class _LruCache:
+    def __init__(self, capacity: int = 1000):
+        self._d: "OrderedDict[str, object]" = OrderedDict()
+        self._cap = capacity
+
+    def get(self, key: str):
+        v = self._d.get(key)
+        if v is not None:
+            self._d.move_to_end(key)
+        return v
+
+    def put(self, key: str, value) -> None:
+        if key in self._d:
+            self._d.move_to_end(key)
+        self._d[key] = value
+        if len(self._d) > self._cap:
+            self._d.popitem(last=False)
+
+
+def _delete_variants(term: str) -> List[str]:
+    return [term[:i] + term[i + 1 :] for i in range(len(term))]
+
+
+class VectorModel:
+    """Host orchestration of the Stage-1 index."""
+
+    def __init__(
+        self,
+        tokenizer: Tokenizer,
+        stop_term_limit: int = 1_250_000,
+        field_weights: Optional[Sequence[float]] = None,
+        synonym_map=None,
+    ):
+        self.tokenizer = tokenizer
+        self.stop_term_limit = stop_term_limit
+        self.field_weights = tuple(field_weights or DEFAULT_FIELD_WEIGHTS)
+        self.synonym_map = synonym_map
+
+        self.documents = DocumentCollection()
+        self.term_dict = TermDictionary()
+
+        self.built: Optional[BuiltIndex] = None
+        self.device: Optional[DeviceIndex] = None
+        self.word_idf_cache: Dict[str, float] = {}
+        self.doc_metadata: List[DocumentMetadata] = []
+
+        # LD1 expansion structures (built lazily at finalize)
+        self._ld1_index: Optional[Dict[str, List[int]]] = None
+        self._fuzzy_cache = _LruCache(1000)
+
+        # Short-query positional prefix index, wired by the engine
+        self.short_query_index = None
+        self.short_query_resolver = None
+
+    # ------------------------------------------------------------------
+    # Indexing
+
+    def normalize_doc_text(self, text: str) -> str:
+        if self.tokenizer.text_normalizer is not None:
+            text = self.tokenizer.text_normalizer.normalize(text)
+        text = text.lower()
+        if self.synonym_map is not None and self.synonym_map.has_canonical_mappings:
+            delims = (
+                self.tokenizer.tokenizer_setup.delimiters
+                if self.tokenizer.tokenizer_setup
+                else (" ",)
+            )
+            text = self.synonym_map.canonicalize_text(text, delims)
+        return text
+
+    def index_document(self, document: Document) -> Document:
+        doc = self.documents.add_document(document)
+        is_continuation = doc.segment_number > 0
+
+        boundaries, concatenated = document.fields.get_searchable_texts("§")
+        doc.indexed_text = concatenated
+
+        index_text = self.normalize_doc_text(concatenated)
+
+        remove_dups = (
+            self.tokenizer.tokenizer_setup.remove_duplicate_tokens
+            if self.tokenizer.tokenizer_setup
+            else True
+        )
+
+        for token, pos in self.tokenizer.tokenize_for_indexing(index_text, is_continuation):
+            fw = self._field_weight_at(pos, boundaries)
+            tid, _ = self.term_dict.get_or_add(token)
+            postings = self.term_dict.postings[tid]
+            postings.increment_usage(self.stop_term_limit)
+            postings.first_cycle_add(doc.id, self.stop_term_limit, remove_dups, fw)
+
+        if self.short_query_index is not None:
+            self.short_query_index.index_document(index_text, doc.id)
+
+        # Derived structures are stale until the next finalize.
+        self.built = None
+        return doc
+
+    def _field_weight_at(self, token_pos: int, boundaries) -> float:
+        if not boundaries:
+            return 1.0
+        weight_index = 0
+        for pos, widx in boundaries:
+            if pos <= token_pos:
+                weight_index = widx
+            else:
+                break
+        if weight_index < len(self.field_weights):
+            return self.field_weights[weight_index]
+        return 1.0
+
+    def build_inverted_lists(self) -> None:
+        """Finalize postings into CSR tensors + device upload + derived stats."""
+        n = len(self.documents)  # internal id slots, incl. deleted
+        self.built = finalize_postings(self.term_dict, n)
+        deleted = np.array(
+            [self.documents.get_document(i).deleted for i in range(n)], dtype=bool
+        ) if n else np.zeros(0, bool)
+        self.device = DeviceIndex(self.built, deleted)
+        self._build_word_idf_cache()
+        self._ld1_index = None  # rebuilt lazily
+        self._fuzzy_cache = _LruCache(1000)
+
+    calculate_weights = build_inverted_lists
+
+    def build_optimized_indexes(self) -> None:
+        if self.short_query_index is not None:
+            self.short_query_index.freeze()
+        self._build_document_metadata_cache()
+
+    def _build_document_metadata_cache(self) -> None:
+        delims = (
+            set(self.tokenizer.tokenizer_setup.delimiters)
+            if self.tokenizer.tokenizer_setup
+            else {" "}
+        )
+        self.doc_metadata = []
+        for i in range(len(self.documents)):
+            doc = self.documents.get_document(i)
+            if doc is None or doc.deleted or not doc.indexed_text:
+                self.doc_metadata.append(DocumentMetadata())
+                continue
+            text = self.normalize_doc_text(doc.indexed_text.lower())
+            first = ""
+            count = 0
+            j, L = 0, len(text)
+            while j < L:
+                while j < L and text[j] in delims:
+                    j += 1
+                start = j
+                while j < L and text[j] not in delims:
+                    j += 1
+                if j > start:
+                    if count == 0:
+                        first = text[start:j]
+                    count += 1
+            self.doc_metadata.append(DocumentMetadata(first, count))
+
+    def _build_word_idf_cache(self) -> None:
+        """Word-level document frequencies -> idf (VectorModel.cs:864-908)."""
+        total = self.documents.count
+        self.word_idf_cache = {}
+        if total == 0:
+            return
+        word_df: Dict[str, int] = {}
+        for i in range(len(self.documents)):
+            doc = self.documents.get_document(i)
+            if doc is None or doc.deleted or not doc.indexed_text:
+                continue
+            text = doc.indexed_text.lower()
+            if self.tokenizer.text_normalizer is not None:
+                text = self.tokenizer.text_normalizer.normalize(text)
+            seen = set()
+            for w, _ in self.tokenizer.split_words(text):
+                lw = w.lower()
+                if lw and lw not in seen:
+                    seen.add(lw)
+                    word_df[lw] = word_df.get(lw, 0) + 1
+        for w, df in word_df.items():
+            if 0 < df <= total:
+                self.word_idf_cache[w] = compute_idf(total, df)
+
+    # ------------------------------------------------------------------
+    # Fuzzy LD1 expansion
+
+    def _ensure_ld1_index(self) -> Dict[str, List[int]]:
+        if self._ld1_index is None:
+            idx: Dict[str, List[int]] = {}
+            for tid, term in enumerate(self.term_dict.terms):
+                if len(term) < 3 or self.term_dict.postings[tid].df <= 0:
+                    continue
+                idx.setdefault(term, []).append(tid)
+                for v in _delete_variants(term):
+                    idx.setdefault(v, []).append(tid)
+            self._ld1_index = idx
+        return self._ld1_index
+
+    def expand_missing_term(self, text: str) -> Optional[Tuple[np.ndarray, int]]:
+        """LD1 union over the vocabulary -> (doc_ids, df) virtual term.
+
+        Mirrors FstIndex.MatchWithinEditDistance1 (plain Levenshtein<=1, no
+        transposition) + RoaringBitmap union (VectorModel.cs:643-743).
+        """
+        cached = self._fuzzy_cache.get(text)
+        if cached is not None:
+            return cached
+
+        ld1 = self._ensure_ld1_index()
+        cand_ids = set()
+        for v in [text] + _delete_variants(text):
+            for tid in ld1.get(v, ()):  # delete-variant candidates
+                cand_ids.add(tid)
+
+        matched: List[int] = []
+        for tid in cand_ids:
+            term = self.term_dict.terms[tid]
+            if abs(len(term) - len(text)) <= 1 and levenshtein(text, term, 1) <= 1:
+                matched.append(tid)
+        # The reference caps the FST traversal at 1024 matched ordinals.
+        matched = sorted(matched)[:1024]
+        if not matched:
+            result = None
+        else:
+            built = self.built
+            chunks = [built.postings_for(t)[0] for t in matched]
+            union = np.unique(np.concatenate(chunks)) if chunks else np.zeros(0, np.int32)
+            result = (union.astype(np.int32), int(union.size))
+        self._fuzzy_cache.put(text, result)
+        return result
+
+    # ------------------------------------------------------------------
+    # Search
+
+    def search(
+        self,
+        query_text: str,
+        top_k: int,
+        best_segments_map: Optional[Dict[int, int]] = None,
+    ) -> List[ScoreEntry]:
+        """Stage-1 BM25 search; returns entries sorted desc (score, -key)."""
+        if self.built is None:
+            self.build_inverted_lists()
+        built = self.built
+        total_docs = self.documents.count
+        if total_docs == 0:
+            return []
+
+        tokens = self.tokenizer.tokenize_for_search(query_text)
+        if not tokens:
+            return []
+
+        # Dedupe tokens into unique query terms (occurrences tracked but not
+        # used by BM25 scoring — matches Bm25Scorer which scores unique terms).
+        seen: Dict[str, int] = {}
+        unique_tokens: List[str] = []
+        for t in tokens:
+            if t not in seen:
+                seen[t] = 1
+                unique_tokens.append(t)
+            else:
+                seen[t] += 1
+
+        term_ids: List[int] = []
+        idfs: List[float] = []
+        extra_docs_list: List[np.ndarray] = []
+        extra_idf_list: List[np.ndarray] = []
+
+        for tok in unique_tokens:
+            tid = self.term_dict.get_id(tok)
+            df = built.df[tid] if tid >= 0 else 0
+            if df <= 0 and len(tok) >= 4:
+                expansion = self.expand_missing_term(tok)
+                if expansion is not None:
+                    docs, fdf = expansion
+                    if 0 < fdf <= self.stop_term_limit:
+                        fidf = compute_idf(total_docs, fdf)
+                        extra_docs_list.append(docs)
+                        extra_idf_list.append(
+                            np.full(docs.size, fidf, dtype=np.float32)
+                        )
+                continue
+            if df <= 0 or df > self.stop_term_limit:
+                continue
+            term_ids.append(tid)
+            idfs.append(compute_idf(total_docs, int(df)))
+
+        if not term_ids and not extra_docs_list:
+            return []
+
+        extra_docs = (
+            np.concatenate(extra_docs_list) if extra_docs_list else None
+        )
+        extra_idf = np.concatenate(extra_idf_list) if extra_idf_list else None
+
+        if self.device is None:
+            self.build_inverted_lists()
+        scores, ids = self.device.search(
+            np.asarray(term_ids, dtype=np.int64),
+            np.asarray(idfs, dtype=np.float32),
+            top_k,
+            extra_docs,
+            extra_idf,
+        )
+
+        entries: List[ScoreEntry] = []
+        for s, i in zip(scores.tolist(), ids.tolist()):
+            if s <= 0.0:
+                break  # top_k is sorted desc; first zero ends matches
+            doc = self.documents.get_document(int(i))
+            if doc is None or doc.deleted:
+                continue
+            entries.append(ScoreEntry(float(s), doc.document_key))
+            if best_segments_map is not None:
+                base = int(i) - doc.segment_number
+                if base >= 0:
+                    prev = best_segments_map.get(base)
+                    if prev is None or s > prev[0]:
+                        best_segments_map[base] = (float(s), doc.segment_number)
+        return entries

@@ -1,0 +1,223 @@
+"""Word-level recall engine: exact, LD1 (symmetric delete), and affix lookup.
+
+Behavioral reference: Infidex ``WordMatcher/WordMatcher.cs``:
+
+* Exact word -> doc-id set for word lengths [min_exact, max_exact].
+* LD1 via symmetric-delete (FastSS): index all 1-char deletions of words in
+  [min_ld1, max_ld1]; at query time check query against the exact index,
+  query against the deletion index (target has one extra char), query
+  deletions against the deletion index (substitution), and query deletions
+  against the exact index (insertion in query) (:201-246, :359-375).
+* Affix (prefix/suffix) via forward + reverse sorted word tables with a
+  4096-terms-per-lookup budget, prefix first (:41, :277-354). The reference
+  uses forward/reverse FSTs; sorted arrays + bisect give the same term
+  enumeration order (label-sorted) with simpler persistence.
+
+Doc sets are numpy int32 arrays (the roaring-bitmap equivalent in this
+design: candidate sets become dense arrays that feed the batched coverage
+kernel directly).
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Dict, List, Optional, Sequence, Set
+
+import numpy as np
+
+from ..core.config import WordMatcherSetup
+from ..tokenization.normalizer import TextNormalizer
+
+MAX_FST_AFFIX_TERMS_PER_QUERY = 4096
+
+
+def _deletions(word: str) -> List[str]:
+    return [word[:i] + word[i + 1:] for i in range(len(word))]
+
+
+class WordMatcher:
+    def __init__(self, setup: WordMatcherSetup, delimiters: Sequence[str],
+                 text_normalizer: Optional[TextNormalizer] = None):
+        self._setup = setup
+        self._delims = set(delimiters)
+        self._normalizer = text_normalizer
+
+        # Builders (word -> sorted doc id list)
+        self._exact: Dict[str, List[int]] = {}
+        self._ld1: Dict[str, List[int]] = {}
+        self._affix_words: Dict[str, List[int]] = {}
+
+        # Finalized lookup tables
+        self._finalized = False
+        self._sorted_words: List[str] = []
+        self._sorted_rev: List[str] = []
+        self._rev_to_word: Dict[str, str] = {}
+
+    # ------------------------------------------------------------------
+    def _normalize(self, text: str) -> str:
+        text = text.lower()
+        if self._normalizer is not None:
+            text = self._normalizer.normalize(text)
+        return text
+
+    def _split(self, text: str) -> List[str]:
+        out: List[str] = []
+        cur: List[str] = []
+        for ch in text:
+            if ch in self._delims:
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    @staticmethod
+    def _add(index: Dict[str, List[int]], word: str, doc: int) -> None:
+        docs = index.get(word)
+        if docs is None:
+            index[word] = [doc]
+        elif docs[-1] != doc:
+            docs.append(doc)
+
+    # ------------------------------------------------------------------
+    def load(self, text: str, doc_index: int) -> None:
+        """Index one document's words (WordMatcher.Load)."""
+        s = self._setup
+        for word in self._split(self._normalize(text)):
+            length = len(word)
+            if s.minimum_word_size_exact <= length <= s.maximum_word_size_exact:
+                self._add(self._exact, word, doc_index)
+            if (s.support_ld1 and
+                    s.minimum_word_size_ld1 <= length <= s.maximum_word_size_ld1):
+                for variant in _deletions(word):
+                    self._add(self._ld1, variant, doc_index)
+            if s.support_affix and length >= s.minimum_word_size_ld1:
+                self._add(self._affix_words, word, doc_index)
+        self._finalized = False
+
+    def finalize_index(self) -> None:
+        if self._setup.support_affix:
+            self._sorted_words = sorted(self._affix_words.keys())
+            self._rev_to_word = {w[::-1]: w for w in self._affix_words.keys()}
+            self._sorted_rev = sorted(self._rev_to_word.keys())
+        self._finalized = True
+
+    # ------------------------------------------------------------------
+    def lookup(self, query: str) -> Optional[np.ndarray]:
+        """Exact + LD1 doc union for a query word (WordMatcher.Lookup)."""
+        if not self._finalized:
+            self.finalize_index()
+        normalized = self._normalize(query)
+        length = len(normalized)
+        acc: Set[int] = set()
+
+        docs = self._exact.get(normalized)
+        if docs:
+            acc.update(docs)
+
+        s = self._setup
+        if (s.support_ld1 and s.minimum_word_size_ld1 <= length <= s.maximum_word_size_ld1):
+            docs = self._ld1.get(normalized)
+            if docs:
+                acc.update(docs)
+            for deletion in _deletions(normalized):
+                docs = self._ld1.get(deletion)
+                if docs:
+                    acc.update(docs)
+                docs = self._exact.get(deletion)
+                if docs:
+                    acc.update(docs)
+
+        if not acc:
+            return None
+        return np.array(sorted(acc), dtype=np.int32)
+
+    def lookup_affix(self, query: str) -> Optional[np.ndarray]:
+        """Prefix/suffix doc union with a 4096-term budget (LookupAffix)."""
+        if not self._finalized:
+            self.finalize_index()
+        if not self._setup.support_affix or not self._sorted_words:
+            return None
+        normalized = self._normalize(query)
+
+        matched_words: List[str] = []
+        budget = MAX_FST_AFFIX_TERMS_PER_QUERY
+
+        lo = bisect.bisect_left(self._sorted_words, normalized)
+        hi = bisect.bisect_right(self._sorted_words, normalized + "￿")
+        prefix_count = hi - lo
+        rev = normalized[::-1]
+        rlo = bisect.bisect_left(self._sorted_rev, rev)
+        rhi = bisect.bisect_right(self._sorted_rev, rev + "￿")
+        suffix_count = rhi - rlo
+
+        if prefix_count == 0 and suffix_count == 0:
+            return None
+
+        if prefix_count > 0 and budget > 0:
+            take = min(prefix_count, budget)
+            matched_words.extend(self._sorted_words[lo : lo + take])
+            budget -= take
+        if suffix_count > 0 and budget > 0:
+            take = min(suffix_count, budget)
+            for r in self._sorted_rev[rlo : rlo + take]:
+                matched_words.append(self._rev_to_word[r])
+            budget -= take
+
+        acc: Set[int] = set()
+        for w in matched_words:
+            docs = self._affix_words.get(w)
+            if docs:
+                acc.update(docs)
+        if not acc:
+            return None
+        return np.array(sorted(acc), dtype=np.int32)
+
+    # ------------------------------------------------------------------
+    def lookup_query(self, query_text: str, cover_prefix_suffix: bool) -> np.ndarray:
+        """Per-word exact+LD1 (+ affix) union over a whole query
+        (Scoring/WordMatcherLookup.cs)."""
+        acc: Set[int] = set()
+        for word in self._split(query_text):
+            if len(word) < 2 or word.isspace():
+                continue
+            ids = self.lookup(word)
+            if ids is not None:
+                acc.update(ids.tolist())
+            if cover_prefix_suffix:
+                ids = self.lookup_affix(word)
+                if ids is not None:
+                    acc.update(ids.tolist())
+        if not acc:
+            return np.zeros(0, dtype=np.int32)
+        return np.array(sorted(acc), dtype=np.int32)
+
+    # ------------------------------------------------------------------
+    # Persistence (engine-level save/load serializes these tables)
+
+    def state_dict(self) -> dict:
+        return {
+            "exact": self._exact,
+            "ld1": self._ld1,
+            "affix": self._affix_words,
+            "setup": self._setup,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self._exact = state["exact"]
+        self._ld1 = state["ld1"]
+        self._affix_words = state["affix"]
+        self._finalized = False
+        self.finalize_index()
+
+    def clear(self) -> None:
+        self._exact.clear()
+        self._ld1.clear()
+        self._affix_words.clear()
+        self._sorted_words = []
+        self._sorted_rev = []
+        self._rev_to_word = {}
+        self._finalized = False

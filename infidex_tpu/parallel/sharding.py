@@ -1,0 +1,178 @@
+"""Multi-chip sharded search over a jax.sharding.Mesh.
+
+Design (SURVEY.md §2.11): documents (the score axis) are sharded across
+devices; postings are replicated (they stream from HBM per query term).
+Candidate generation is embarrassingly parallel over document shards — each
+device scatter-adds the BM25 contributions of the postings that land in its
+shard, computes a local top-k, and the per-shard top-k lists are merged with
+an all-gather + final top-k. This is the TPU analogue of Infidex's
+per-segment search + heap merge (VectorModel.cs:573-585), with XLA
+collectives riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older JAX
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.device import B, DELTA, K1
+
+DOC_AXIS = "docs"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (DOC_AXIS,))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_pad", "k", "mesh", "n_pad"),
+)
+def sharded_stage1_topk(
+    postings_docs: jax.Array,     # int32 [P]      (replicated)
+    postings_weights: jax.Array,  # uint8 [P]      (replicated)
+    doc_lengths: jax.Array,       # f32 [n_pad]    (sharded over docs)
+    live_mask: jax.Array,         # f32 [n_pad]    (sharded over docs)
+    term_starts: jax.Array,       # int32 [Q]
+    term_lens: jax.Array,         # int32 [Q]
+    term_idf: jax.Array,          # f32 [Q]
+    avgdl: jax.Array,             # f32 scalar
+    *,
+    l_pad: int,
+    k: int,
+    mesh: Mesh,
+    n_pad: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shard-parallel BM25 scoring + distributed top-k merge.
+
+    Returns (scores[k], doc_ids[k]) replicated on every device.
+    """
+    n_dev = mesh.shape[DOC_AXIS]
+    shard_size = n_pad // n_dev
+
+    def per_shard(p_docs, p_weights, dl_shard, live_shard,
+                  starts, lens, idf, avg):
+        my_idx = jax.lax.axis_index(DOC_AXIS)
+        base = my_idx * shard_size
+
+        cum = jnp.cumsum(lens)
+        total = cum[-1]
+        lane = jnp.arange(l_pad, dtype=jnp.int32)
+        term_of = jnp.searchsorted(cum, lane, side="right").astype(jnp.int32)
+        q = lens.shape[0]
+        term_of_c = jnp.minimum(term_of, q - 1)
+        prev = jnp.where(term_of_c > 0, cum[jnp.maximum(term_of_c - 1, 0)], 0)
+        idx = starts[term_of_c] + (lane - prev)
+        valid = lane < total
+        idx = jnp.where(valid, idx, 0)
+
+        doc = p_docs[idx]
+        local = doc - base
+        in_shard = valid & (local >= 0) & (local < shard_size)
+        local = jnp.where(in_shard, local, shard_size - 1)
+
+        tf = p_weights[idx].astype(jnp.float32)
+        dl = dl_shard[local]
+        dl = jnp.where(dl <= 0.0, 1.0, dl)
+        avg = jnp.maximum(avg, 1e-9)
+        norm = K1 * (1.0 - B + B * (dl / avg))
+        contrib = idf[term_of_c] * ((tf * (K1 + 1.0)) / (tf + norm) + DELTA)
+        contrib = jnp.where(in_shard, contrib, 0.0)
+
+        scores = jnp.zeros((shard_size,), jnp.float32).at[local].add(
+            contrib, mode="drop")
+        scores = scores * live_shard
+
+        k_local = min(k, shard_size)
+        top_s, top_i = jax.lax.top_k(scores, k_local)
+        top_i = top_i + base
+
+        # ICI merge: gather every shard's top-k, take the global top-k.
+        all_s = jax.lax.all_gather(top_s, DOC_AXIS, tiled=True)
+        all_i = jax.lax.all_gather(top_i, DOC_AXIS, tiled=True)
+        g_s, g_pos = jax.lax.top_k(all_s, k)
+        return g_s, all_i[g_pos]
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DOC_AXIS), P(DOC_AXIS), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(postings_docs, postings_weights, doc_lengths, live_mask,
+              term_starts, term_lens, term_idf, avgdl)
+
+
+class ShardedDeviceIndex:
+    """Document-sharded index image for an N-device mesh."""
+
+    def __init__(self, built, mesh: Mesh, deleted: Optional[np.ndarray] = None):
+        self.built = built
+        self.mesh = mesh
+        n = built.num_docs
+        n_dev = mesh.shape[DOC_AXIS]
+        # Pad doc axis to a multiple of 8 * n_devices (+ parking slot room).
+        unit = 8 * n_dev
+        self.n_pad = max(((n + 1 + unit - 1) // unit) * unit, unit)
+
+        repl = NamedSharding(self.mesh, P())
+        doc_sharded = NamedSharding(self.mesh, P(DOC_AXIS))
+
+        self.postings_docs = jax.device_put(
+            jnp.asarray(built.postings_docs if built.postings_docs.size
+                        else np.zeros(1, np.int32)), repl)
+        self.postings_weights = jax.device_put(
+            jnp.asarray(built.postings_weights if built.postings_weights.size
+                        else np.zeros(1, np.uint8)), repl)
+
+        dl = np.zeros(self.n_pad, np.float32)
+        dl[:n] = built.doc_lengths
+        live = np.zeros(self.n_pad, np.float32)
+        live[:n] = 1.0
+        if deleted is not None and deleted.size >= n:
+            live[:n] = np.where(deleted[:n], 0.0, 1.0)
+        live[self.n_pad - 1] = 0.0
+        self.doc_lengths = jax.device_put(jnp.asarray(dl), doc_sharded)
+        self.live_mask = jax.device_put(jnp.asarray(live), doc_sharded)
+        self.avgdl = jnp.float32(built.avgdl)
+
+    def search(self, term_ids: np.ndarray, term_idf: np.ndarray,
+               top_k: int) -> Tuple[np.ndarray, np.ndarray]:
+        built = self.built
+        q = max(int(np.asarray(term_ids).size), 1)
+        q_pad = 8
+        while q_pad < q:
+            q_pad *= 2
+        starts = np.zeros(q_pad, np.int32)
+        lens = np.zeros(q_pad, np.int32)
+        idfs = np.zeros(q_pad, np.float32)
+        for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
+            starts[i] = built.term_offsets[tid]
+            lens[i] = built.term_offsets[tid + 1] - built.term_offsets[tid]
+            idfs[i] = term_idf[i]
+        l_pad = 1024
+        total = int(lens.sum())
+        while l_pad < total:
+            l_pad *= 2
+        k = min(int(top_k), self.n_pad // self.mesh.shape[DOC_AXIS])
+        scores, ids = sharded_stage1_topk(
+            self.postings_docs, self.postings_weights,
+            self.doc_lengths, self.live_mask,
+            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idfs),
+            self.avgdl, l_pad=l_pad, k=k, mesh=self.mesh, n_pad=self.n_pad)
+        return np.asarray(scores), np.asarray(ids)

@@ -1,0 +1,124 @@
+"""Post-processing: filter -> boost -> sort on the result list.
+
+Behavioral reference: Infidex ``Scoring/ResultProcessor.cs`` — filters run
+the bytecode VM per result document (filtering happens AFTER ranking, on the
+result list), boosts add their integer strength then resort by score,
+sorting is type-aware on arbitrary fields.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from ..api.fields import Field
+from ..api.query import Boost
+from ..core.documents import DocumentCollection
+from ..index.vector_model import ScoreEntry
+
+
+class ResultProcessor:
+    def __init__(self, documents: DocumentCollection, compiled_filter_cache: Dict):
+        self._documents = documents
+        self._cache = compiled_filter_cache
+
+    def _compile(self, flt):
+        compiled = self._cache.get(flt)
+        if compiled is None:
+            from ..filtering.compiler import FilterCompiler
+
+            compiled = FilterCompiler().compile(flt)
+            self._cache[flt] = compiled
+        return compiled
+
+    def apply_filter(self, results: List[ScoreEntry], flt) -> List[ScoreEntry]:
+        from ..filtering.vm import FilterVM
+
+        compiled = self._compile(flt)
+        vm = FilterVM()
+
+        if getattr(flt, "number_of_documents_in_filter", None) == 0:
+            match_count = 0
+            for doc in self._documents.all_documents():
+                if vm.execute(compiled, doc.fields):
+                    match_count += 1
+            flt.number_of_documents_in_filter = match_count
+
+        filtered = []
+        for entry in results:
+            doc = self._documents.get_document_by_public_key(entry.document_id)
+            if doc is None:
+                continue
+            if vm.execute(compiled, doc.fields):
+                filtered.append(entry)
+        return filtered
+
+    def apply_boosts(self, results: List[ScoreEntry], boosts: List[Boost]) -> List[ScoreEntry]:
+        from ..filtering.vm import FilterVM
+
+        if not boosts:
+            return results
+        compiled_boosts = []
+        for boost in boosts:
+            if boost.filter is None:
+                continue
+            compiled_boosts.append((self._compile(boost.filter), int(boost.boost_strength)))
+        if not compiled_boosts:
+            return results
+        vm = FilterVM()
+        out = []
+        for entry in results:
+            doc = self._documents.get_document_by_public_key(entry.document_id)
+            if doc is None:
+                out.append(entry)
+                continue
+            total = sum(strength for compiled, strength in compiled_boosts
+                        if vm.execute(compiled, doc.fields))
+            if total > 0:
+                entry = ScoreEntry(entry.score + total, entry.document_id,
+                                   entry.tiebreaker, entry.segment_number)
+            out.append(entry)
+        out.sort(key=lambda e: -e.score)
+        return out
+
+    def apply_sort(self, results: List[ScoreEntry], sort_by: Field,
+                   ascending: bool) -> List[ScoreEntry]:
+        def sort_value(entry: ScoreEntry):
+            doc = self._documents.get_document_by_public_key(entry.document_id)
+            f = doc.fields.get_field(sort_by.name) if doc is not None else None
+            return f.value if f is not None else None
+
+        keyed = [(entry, sort_value(entry)) for entry in results]
+
+        import functools
+
+        def cmp(a, b):
+            va, vb = a[1], b[1]
+            r = _compare_values(va, vb)
+            return r if ascending else -r
+
+        keyed.sort(key=functools.cmp_to_key(cmp))
+        return [e for e, _ in keyed]
+
+
+def _compare_values(a, b) -> int:
+    if a is None and b is None:
+        return 0
+    if a is None:
+        return -1
+    if b is None:
+        return 1
+    if type(a) is type(b):
+        try:
+            if a < b:
+                return -1
+            if a > b:
+                return 1
+            return 0
+        except TypeError:
+            pass
+    # Numeric cross-type comparison (int vs float)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+            and not isinstance(a, bool) and not isinstance(b, bool):
+        return -1 if a < b else (1 if a > b else 0)
+    sa, sb = str(a), str(b)
+    return -1 if sa < sb else (1 if sa > sb else 0)

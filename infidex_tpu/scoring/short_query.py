@@ -1,0 +1,283 @@
+"""Short-query path: 1-char full scan and 2-3 char padded-prefix search.
+
+Behavioral reference: Infidex ``Scoring/ShortQueryProcessor.cs``:
+
+* ``search_single_character`` (:19-152): full scan with precedence bits
+  word-start=128 (+64 if first word), exact-token=32, first-token-exact=16,
+  title==q=8, <=3-word title adds 32; base score packs word-start position
+  decay + density.
+* ``search_short_query`` (:154-231): pad-prefixed n-gram patterns plus
+  " "+q -> prefix term lookup -> postings x10 weight -> first-token-prefix
+  detection -> fuzzy fallback scan when <100 matched docs -> precedence bits.
+
+This is the host implementation; champion lists (ShortQueryResolver) provide
+the O(1) autocomplete fast path and live in index/short_query.py.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from ..index.vector_model import ScoreEntry, VectorModel
+from ..tokenization.tokenizer import START_PAD_CHAR
+
+MAX_FST_TERMS_PER_PREFIX = 4096
+
+
+def _split(text: str, delims) -> List[str]:
+    out = []
+    cur = []
+    for ch in text:
+        if ch in delims:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def search_single_character(
+    ch: str,
+    model: VectorModel,
+    max_results: int,
+    best_segments_map: Optional[Dict[int, Tuple[float, int]]] = None,
+) -> List[ScoreEntry]:
+    ch = ch.lower()
+    delims = (model.tokenizer.tokenizer_setup.delimiter_set
+              if model.tokenizer.tokenizer_setup else {" "})
+    raw: List[ScoreEntry] = []
+    for doc in model.documents.all_documents():
+        text = doc.indexed_text or ""
+        if not text:
+            continue
+        lower = text.lower()
+        char_count = lower.count(ch)
+        if char_count == 0:
+            continue
+        first_char_index = lower.find(ch)
+
+        words = _split(lower, delims)
+        has_word_start = False
+        first_word_index = 2**31
+        word_start_count = 0
+        for i, w in enumerate(words):
+            if w and w[0] == ch:
+                has_word_start = True
+                word_start_count += 1
+                if i < first_word_index:
+                    first_word_index = i
+
+        any_exact = False
+        first_token_exact = False
+        if words:
+            first_token_exact = len(words[0]) == 1 and words[0][0] == ch
+            any_exact = first_token_exact or any(len(w) == 1 and w[0] == ch for w in words)
+        title_equals = len(lower) == 1 and lower[0] == ch
+
+        precedence = 0
+        if has_word_start:
+            precedence |= 128
+            if first_word_index == 0:
+                precedence |= 64
+        if any_exact:
+            precedence |= 32
+        if first_token_exact:
+            precedence |= 16
+        if title_equals:
+            precedence |= 8
+        if len(words) <= 3:
+            precedence |= 32
+
+        if has_word_start:
+            pos_component = 255 - min(first_word_index * 16, 240)
+            density = min(word_start_count * 8, 32)
+            raw_score = max(0, min(pos_component + density, 255))
+            base = raw_score / 255.0
+        else:
+            pos_component = 200 - min(max(first_char_index, 0) * 4, 180)
+            density = min(char_count * 4, 40)
+            raw_score = max(0, min(pos_component + density, 200))
+            base = max(1, raw_score) / 255.0
+
+        raw.append(ScoreEntry(float(precedence) + base, doc.document_key))
+        if best_segments_map is not None:
+            base_id = doc.id - doc.segment_number
+            if base_id >= 0:
+                best_segments_map[base_id] = (float(precedence) + base, doc.segment_number)
+
+    from .segment_processor import consolidate_segments
+
+    consolidated = consolidate_segments(raw)
+    if max_results < 2**31 and len(consolidated) > max_results:
+        consolidated = consolidated[:max_results]
+    return consolidated
+
+
+def build_prefix_patterns(search_lower: str, min_index_size: int,
+                          start_pad_size: int) -> List[str]:
+    patterns: List[str] = []
+    pad_len = start_pad_size
+    for i in range(min(min_index_size, pad_len + len(search_lower))):
+        pad_count = max(0, pad_len - i)
+        query_count = min(len(search_lower), min_index_size - pad_count)
+        if query_count > 0:
+            patterns.append(START_PAD_CHAR * pad_count + search_lower[:query_count])
+    patterns.append(" " + search_lower)
+    return patterns
+
+
+class _SortedVocab:
+    """Sorted term table for prefix enumeration (FST GetByPrefix stand-in)."""
+
+    def __init__(self, model: VectorModel):
+        self.sorted_terms = sorted(
+            (t, i) for i, t in enumerate(model.term_dict.terms)
+        )
+        self.keys = [t for t, _ in self.sorted_terms]
+
+    def by_prefix(self, prefix: str, limit: int) -> List[int]:
+        lo = bisect.bisect_left(self.keys, prefix)
+        out = []
+        for i in range(lo, len(self.keys)):
+            if not self.keys[i].startswith(prefix):
+                break
+            out.append(self.sorted_terms[i][1])
+            if len(out) >= limit:
+                break
+        return out
+
+
+def search_short_query(
+    search_lower: str,
+    model: VectorModel,
+    best_segments_map: Optional[Dict] = None,
+    vocab: Optional[_SortedVocab] = None,
+) -> List[ScoreEntry]:
+    min_index_size = model.tokenizer.min_index_size
+    start_pad = model.tokenizer.start_pad_size
+    delims = (model.tokenizer.tokenizer_setup.delimiter_set
+              if model.tokenizer.tokenizer_setup else {" "})
+
+    matched_docs: Set[int] = set()
+    first_token_prefix_docs: Set[int] = set()
+    doc_scores: Dict[int, int] = {}
+
+    patterns = build_prefix_patterns(search_lower, min_index_size, start_pad)
+    if vocab is None:
+        vocab = _SortedVocab(model)
+
+    def process_term(term_id: int, multiplier: int) -> None:
+        postings = model.term_dict.postings[term_id]
+        if postings.df <= 0:
+            return
+        for internal_id, weight in zip(postings.doc_ids, postings.weights):
+            doc = model.documents.get_document(internal_id)
+            if doc is None or doc.deleted:
+                continue
+            score = weight * multiplier
+            key = doc.document_key
+            if key in doc_scores:
+                doc_scores[key] += score
+            else:
+                doc_scores[key] = score
+                matched_docs.add(key)
+            if key not in first_token_prefix_docs:
+                if doc.indexed_text.lower().startswith(search_lower):
+                    first_token_prefix_docs.add(key)
+            if best_segments_map is not None:
+                base_id = internal_id - doc.segment_number
+                if base_id >= 0:
+                    best_segments_map[base_id] = (float(score), doc.segment_number)
+
+    for pattern in patterns:
+        for tid in vocab.by_prefix(pattern, MAX_FST_TERMS_PER_PREFIX):
+            process_term(tid, multiplier=10)
+
+    # Fuzzy fallback when the prefix scan matched few documents (:221-228).
+    if len(matched_docs) < 100:
+        for tid, term in enumerate(model.term_dict.terms):
+            if any(term.startswith(p) for p in patterns):
+                continue
+            has_word_boundary = False
+            char_matches = 0
+            for q_char in search_lower:
+                if (" " + q_char) in term:
+                    has_word_boundary = True
+                    char_matches += 1
+                elif q_char in term:
+                    char_matches += 1
+            if has_word_boundary or char_matches > 0:
+                process_term(tid, multiplier=2 if has_word_boundary else 1)
+
+    # Final precedence scoring (:355-434).
+    entries: List[ScoreEntry] = []
+    max_score = max(doc_scores.values()) if doc_scores else 0
+    query_tokens = _split(search_lower, delims)
+
+    for key, score in doc_scores.items():
+        doc = model.documents.get_document_by_public_key(key)
+        if doc is None or doc.deleted:
+            continue
+        normalized = score / max_score if max_score > 0 else score / 255.0
+        title_lower = doc.indexed_text.lower()
+        trimmed = title_lower.strip()
+        words = _split(title_lower, delims)
+        precedence = _compute_precedence(
+            query_tokens, words, search_lower, trimmed, key in first_token_prefix_docs)
+        entries.append(ScoreEntry(float(precedence) + normalized, key))
+    return entries
+
+
+def _compute_precedence(query_tokens: List[str], words: List[str],
+                        search_lower: str, trimmed_title: str,
+                        first_token_starts_with_prefix: bool) -> int:
+    precedence = 0
+    if len(query_tokens) >= 2:
+        token_matches = sum(1 for qt in query_tokens if qt in words)
+        all_present = len(query_tokens) > 0 and token_matches == len(query_tokens)
+        if all_present:
+            precedence |= 8
+            if len(words) <= len(query_tokens) + 1:
+                precedence |= 2
+        elif token_matches > 0:
+            precedence |= 4
+    else:
+        any_exact = False
+        first_exact = False
+        if words:
+            first_exact = words[0] == search_lower
+            any_exact = first_exact or search_lower in words
+        title_equals = trimmed_title == search_lower
+        if any_exact:
+            precedence |= 1
+        if first_token_starts_with_prefix:
+            precedence |= 2
+        if first_exact:
+            precedence |= 4
+        if title_equals:
+            precedence |= 8
+    return precedence
+
+
+def count_short_query_documents(search_lower: str, model: VectorModel,
+                                vocab: Optional[_SortedVocab] = None) -> int:
+    """Approximate PositionalPrefixIndex.CountDocuments: number of documents
+    matched by the short-query prefix patterns (used for the coverage gate,
+    SearchPipeline.cs:125-142)."""
+    if model.short_query_index is not None:
+        return model.short_query_index.count_documents(search_lower)
+    patterns = build_prefix_patterns(
+        search_lower, model.tokenizer.min_index_size, model.tokenizer.start_pad_size)
+    if vocab is None:
+        vocab = _SortedVocab(model)
+    docs: Set[int] = set()
+    for pattern in patterns:
+        for tid in vocab.by_prefix(pattern, MAX_FST_TERMS_PER_PREFIX):
+            postings = model.term_dict.postings[tid]
+            if postings.df > 0:
+                docs.update(postings.doc_ids)
+    return len(docs)
