@@ -9,6 +9,11 @@ synonyms, persistence and multi-chip sharding.
 """
 
 from .api.fields import DocumentFields, Field, Weight
+from .api.filters import (CompositeFilter, DerivedFilter, Filter,
+                          FilterBuilder, FilterParseException, InFilter,
+                          LiteralFilter, NullFilter, RangeFilter, RegexFilter,
+                          StringFilter, StringOperation, TernaryFilter,
+                          ValueFilter)
 from .api.query import Boost, BoostStrength, Query, Result
 from .core.config import (AutoSegmentationSetup, ConfigurationParameters,
                           WordMatcherSetup, get_config, has_config)
@@ -26,9 +31,23 @@ __all__ = [
     "AutoSegmentationSetup",
     "Boost",
     "BoostStrength",
+    "CompositeFilter",
     "ConfigurationParameters",
     "CoverageSetup",
+    "DerivedFilter",
     "Document",
+    "Filter",
+    "FilterBuilder",
+    "FilterParseException",
+    "InFilter",
+    "LiteralFilter",
+    "NullFilter",
+    "RangeFilter",
+    "RegexFilter",
+    "StringFilter",
+    "StringOperation",
+    "TernaryFilter",
+    "ValueFilter",
     "DocumentCollection",
     "DocumentFields",
     "Field",

@@ -278,7 +278,12 @@ class SearchEngine:
     def _apply_post_processing(self, results: List[ScoreEntry], q: Query) -> List[ScoreEntry]:
         processor = ResultProcessor(self._vector_model.documents,
                                     self._compiled_filter_cache)
-        if q.filter is not None:
+        if q.compiled_filter_bytecode is not None:
+            from .filtering.serializer import deserialize
+
+            results = processor.apply_filter(
+                results, q.filter, precompiled=deserialize(q.compiled_filter_bytecode))
+        elif q.filter is not None:
             results = processor.apply_filter(results, q.filter)
         if q.enable_boost and q.boosts:
             results = processor.apply_boosts(results, q.boosts)

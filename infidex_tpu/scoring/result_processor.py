@@ -16,6 +16,13 @@ from ..core.documents import DocumentCollection
 from ..index.vector_model import ScoreEntry
 
 
+class _AstFallback:
+    """Executes a non-compilable filter through the AST (DerivedFilter)."""
+
+    def __init__(self, flt):
+        self._filter = flt
+
+
 class ResultProcessor:
     def __init__(self, documents: DocumentCollection, compiled_filter_cache: Dict):
         self._documents = documents
@@ -26,20 +33,27 @@ class ResultProcessor:
         if compiled is None:
             from ..filtering.compiler import FilterCompiler
 
-            compiled = FilterCompiler().compile(flt)
+            try:
+                compiled = FilterCompiler().compile(flt)
+            except NotImplementedError:
+                # DerivedFilter: arbitrary predicate, evaluated via the AST
+                # (the reference cannot compile these either,
+                # FilterCompiler.cs:77).
+                compiled = _AstFallback(flt)
             self._cache[flt] = compiled
         return compiled
 
-    def apply_filter(self, results: List[ScoreEntry], flt) -> List[ScoreEntry]:
+    def apply_filter(self, results: List[ScoreEntry], flt,
+                     precompiled=None) -> List[ScoreEntry]:
         from ..filtering.vm import FilterVM
 
-        compiled = self._compile(flt)
+        compiled = precompiled if precompiled is not None else self._compile(flt)
         vm = FilterVM()
 
-        if getattr(flt, "number_of_documents_in_filter", None) == 0:
+        if flt is not None and getattr(flt, "number_of_documents_in_filter", None) == 0:
             match_count = 0
             for doc in self._documents.all_documents():
-                if vm.execute(compiled, doc.fields):
+                if _exec(vm, compiled, doc.fields):
                     match_count += 1
             flt.number_of_documents_in_filter = match_count
 
@@ -48,7 +62,7 @@ class ResultProcessor:
             doc = self._documents.get_document_by_public_key(entry.document_id)
             if doc is None:
                 continue
-            if vm.execute(compiled, doc.fields):
+            if _exec(vm, compiled, doc.fields):
                 filtered.append(entry)
         return filtered
 
@@ -72,7 +86,7 @@ class ResultProcessor:
                 out.append(entry)
                 continue
             total = sum(strength for compiled, strength in compiled_boosts
-                        if vm.execute(compiled, doc.fields))
+                        if _exec(vm, compiled, doc.fields))
             if total > 0:
                 entry = ScoreEntry(entry.score + total, entry.document_id,
                                    entry.tiebreaker, entry.segment_number)
@@ -98,6 +112,18 @@ class ResultProcessor:
 
         keyed.sort(key=functools.cmp_to_key(cmp))
         return [e for e, _ in keyed]
+
+
+def _exec(vm, compiled, fields) -> bool:
+    if isinstance(compiled, _AstFallback):
+        from ..api.filters import CompositeFilter
+
+        flt = compiled._filter
+        if isinstance(flt, CompositeFilter):
+            return flt.matches_document(fields)
+        field = fields.get_field(flt.field_name)
+        return flt.matches(field.value if field is not None else None)
+    return vm.execute(compiled, fields)
 
 
 def _compare_values(a, b) -> int:
