@@ -1,0 +1,1098 @@
+"""Batched Stage-2/3 coverage + fusion scoring on the VPU.
+
+This is the TPU-native replacement for the per-candidate matcher cascade
+(Coverage/*.cs + Scoring/FusionScorer.cs): all candidates of a query are
+scored in ONE jitted program over char tensors.
+
+Data layout (built at index finalize, ops/coverage_kernel.CoverageTables):
+  word_chars  int32 [W, L]  lowercase code units of every unique doc word
+  word_lens   int32 [W]
+  doc_tokens  int32 [N, D]  per-doc token code sequence (-1 padded)
+  doc_tok_offsets int32 [N, D]  char offset of each token in the text
+  doc_tok_count   int32 [N]
+  doc_adj_ws  bool  [N, D]  gap between token j and j+1 is whitespace-only
+  doc_text_len int32 [N]
+
+The kernel replicates, bit-for-bit against the host oracle
+(coverage/engine.py + scoring/fusion.py, themselves exact ports of the
+reference):
+  1. whole-word -> joined -> prefix/suffix -> fuzzy cascade with
+     single-consumption token deactivation,
+  2. CoverageScorer.CalculateFinalScore,
+  3. FusionSignalComputer.ComputeSignals,
+  4. FusionScorer.Calculate -> (score, tiebreaker).
+
+Candidates whose shapes exceed the static capacities (tokens > D, token
+chars > L, query tokens > Q) are flagged and re-scored by the host oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .editdistance import batched_damerau
+
+# Static capacities
+D_MAX = 64    # doc tokens per candidate
+L_MAX = 24    # chars per token
+Q_MAX = 16    # coverage query tokens
+FQ_MAX = 16   # fusion (unfiltered) query tokens
+
+INTENT_BONUS_PER_SIGNAL = 0.15
+ANCHOR_STEM_LENGTH = 3
+MAX_TRAILING_LEN = 2
+
+
+class CoverageConfig(NamedTuple):
+    """Static CoverageSetup knobs baked into the compiled kernel."""
+
+    min_word_size: int = 2
+    levenshtein_max_word_size: int = 20
+    num_typos: int = 2
+    min_length_one_typo: int = 3
+    min_length_two_typos: int = 7
+    cover_whole_query: bool = True
+    cover_whole_words: bool = True
+    cover_fuzzy_words: bool = True
+    cover_joined_words: bool = True
+    cover_prefix_suffix: bool = True
+
+    @staticmethod
+    def from_setup(s) -> "CoverageConfig":
+        return CoverageConfig(
+            min_word_size=s.min_word_size,
+            levenshtein_max_word_size=s.levenshtein_max_word_size,
+            num_typos=s.num_typos,
+            min_length_one_typo=s.min_length_one_typo,
+            min_length_two_typos=s.min_length_two_typos,
+            cover_whole_query=s.cover_whole_query,
+            cover_whole_words=s.cover_whole_words,
+            cover_fuzzy_words=s.cover_fuzzy_words,
+            cover_joined_words=s.cover_joined_words,
+            cover_prefix_suffix=s.cover_prefix_suffix,
+        )
+
+
+@dataclass
+class CoverageTables:
+    """Device-resident doc token tables (+ overflow flags for host fallback)."""
+
+    word_chars: jax.Array
+    word_lens: jax.Array
+    doc_tokens: jax.Array
+    doc_tok_offsets: jax.Array
+    doc_tok_count: jax.Array
+    doc_adj_ws: jax.Array
+    doc_text_len: jax.Array
+    overflow: np.ndarray  # bool [N]: doc exceeds D_MAX/L_MAX -> host path
+
+    @staticmethod
+    def build(doc_texts, delimiters) -> "CoverageTables":
+        """Encode normalized lowercase doc texts into token tables."""
+        delims = set(delimiters)
+        word_to_code = {}
+        words = []
+        n = len(doc_texts)
+        doc_tokens = np.full((n, D_MAX), -1, dtype=np.int32)
+        doc_offsets = np.zeros((n, D_MAX), dtype=np.int32)
+        doc_count = np.zeros(n, dtype=np.int32)
+        doc_adj = np.zeros((n, D_MAX), dtype=bool)
+        doc_text_len = np.zeros(n, dtype=np.int32)
+        overflow = np.zeros(n, dtype=bool)
+
+        for doc_id, text in enumerate(doc_texts):
+            doc_text_len[doc_id] = len(text)
+            toks = []  # (word, offset)
+            i, ln = 0, len(text)
+            while i < ln:
+                while i < ln and text[i] in delims:
+                    i += 1
+                start = i
+                while i < ln and text[i] not in delims:
+                    i += 1
+                if i > start:
+                    toks.append((text[start:i], start))
+            if len(toks) > D_MAX:
+                overflow[doc_id] = True
+                toks = toks[:D_MAX]
+            doc_count[doc_id] = len(toks)
+            for j, (w, off) in enumerate(toks):
+                if len(w) > L_MAX:
+                    overflow[doc_id] = True
+                    w = w[:L_MAX]
+                code = word_to_code.get(w)
+                if code is None:
+                    code = len(words)
+                    word_to_code[w] = code
+                    words.append(w)
+                doc_tokens[doc_id, j] = code
+                doc_offsets[doc_id, j] = off
+                if j + 1 < len(toks):
+                    gap = text[off + len(w): toks[j + 1][1]]
+                    doc_adj[doc_id, j] = all(c.isspace() for c in gap)
+
+        w_count = max(len(words), 1)
+        word_chars = np.zeros((w_count, L_MAX), dtype=np.int32)
+        word_lens = np.zeros(w_count, dtype=np.int32)
+        for code, w in enumerate(words):
+            word_lens[code] = len(w)
+            for k, ch in enumerate(w):
+                word_chars[code, k] = ord(ch)
+
+        return CoverageTables(
+            word_chars=jnp.asarray(word_chars),
+            word_lens=jnp.asarray(word_lens),
+            doc_tokens=jnp.asarray(doc_tokens),
+            doc_tok_offsets=jnp.asarray(doc_offsets),
+            doc_tok_count=jnp.asarray(doc_count),
+            doc_adj_ws=jnp.asarray(doc_adj),
+            doc_text_len=jnp.asarray(doc_text_len),
+            overflow=overflow,
+        )
+
+
+def encode_query_tokens(tokens, max_tokens: int):
+    """(chars [max,L], lens [max], offsets [max], count, overflow)."""
+    chars = np.zeros((max_tokens, L_MAX), dtype=np.int32)
+    lens = np.zeros(max_tokens, dtype=np.int32)
+    offsets = np.zeros(max_tokens, dtype=np.int32)
+    overflow = len(tokens) > max_tokens
+    for i, t in enumerate(tokens[:max_tokens]):
+        text = t.lower
+        if len(text) > L_MAX:
+            overflow = True
+            text = text[:L_MAX]
+        lens[i] = len(text)
+        offsets[i] = t.position
+        for k, ch in enumerate(text):
+            chars[i, k] = ord(ch)
+    return chars, lens, offsets, min(len(tokens), max_tokens), overflow
+
+
+# ======================================================================
+# The kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config",),
+)
+def coverage_fusion_batch(
+    word_chars, word_lens, doc_tokens, doc_tok_offsets, doc_tok_count,
+    doc_adj_ws, doc_text_len,
+    text_ids,            # int32 [C] internal id whose text is scored
+    q_chars, q_lens, q_idf, q_word_idf, q_count,     # coverage query tokens
+    q_sorted,            # int32 [Q] token order by length desc (stable)
+    fq_chars, fq_lens, fq_count,                     # fusion query tokens
+    fq_last_is_alpha,    # bool scalar: last fusion token is a single letter
+    lcs_vals,            # f32 [C]
+    base_scores,         # f32 [C]
+    query_len,           # int32 scalar (full query string length)
+    *,
+    config: CoverageConfig,
+):
+    C = text_ids.shape[0]
+    Q = q_chars.shape[0]
+    FQ = fq_chars.shape[0]
+    L = q_chars.shape[1]
+    D = doc_tokens.shape[1]
+    f32 = jnp.float32
+
+    # ---------------- gather doc data ---------------------------------
+    codes = doc_tokens[text_ids]                    # [C,D]
+    tok_count = doc_tok_count[text_ids]             # [C]
+    offsets = doc_tok_offsets[text_ids]             # [C,D]
+    adj_ws = doc_adj_ws[text_ids]                   # [C,D]
+    text_len = doc_text_len[text_ids]               # [C]
+    safe_codes = jnp.maximum(codes, 0)
+    chars = word_chars[safe_codes]                  # [C,D,L]
+    lens = jnp.where(codes >= 0, word_lens[safe_codes], 0)  # [C,D]
+
+    d_iota = jnp.arange(D, dtype=jnp.int32)
+    all_valid = (codes >= 0) & (d_iota[None, :] < tok_count[:, None])
+    chars = jnp.where(all_valid[..., None], chars, 0)
+
+    cov = all_valid & (lens >= config.min_word_size)
+    # dedupe by code among coverage tokens (first occurrence wins)
+    same = (codes[:, :, None] == codes[:, None, :])         # [C,j,k]
+    earlier = d_iota[None, None, :] < d_iota[None, :, None]  # k < j
+    dup = (same & earlier & cov[:, None, :]).any(axis=2) & cov
+    unique = cov & ~dup
+    u_rank = jnp.cumsum(unique.astype(jnp.int32), axis=1) - 1
+    u_count = unique.sum(axis=1)
+    cov_count = cov.sum(axis=1)     # features.doc_token_count (raw, pre-dedupe)
+
+    q_iota = jnp.arange(Q, dtype=jnp.int32)
+    q_valid = q_iota < q_count
+
+    # ---------------- string primitive helpers ------------------------
+    k_iota = jnp.arange(L, dtype=jnp.int32)
+
+    def tok_eq(qc, ql):
+        """d token == q token (exact). qc [L], ql scalar -> [C,D]."""
+        ch_eq = (chars == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
+        return (lens == ql) & ch_eq.all(axis=-1)
+
+    def d_startswith_q(qc, ql):
+        ch_eq = (chars == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
+        return (lens >= ql) & ch_eq.all(axis=-1)
+
+    def d_endswith_q(qc, ql):
+        start = lens - ql                       # [C,D]
+        idx = jnp.clip(start[..., None] + k_iota[None, None, :], 0, L - 1)
+        shifted = jnp.take_along_axis(chars, idx, axis=-1)
+        ch_eq = (shifted == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
+        return (lens >= ql) & ch_eq.all(axis=-1)
+
+    def d_contains_q(qc, ql):
+        """q appears inside d (at any offset)."""
+        out = jnp.zeros((C, D), dtype=bool)
+        for s in range(L):
+            idx = jnp.minimum(s + k_iota, L - 1)
+            shifted = chars[..., idx]
+            ch_eq = (shifted == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
+            hit = ch_eq.all(axis=-1) & (s + ql <= lens)
+            out = out | hit
+        return out
+
+    def q_prefix_eq_d(d_chars_i, d_len_i, side_chars, side_lens):
+        """side token starts with d token i: [C, S]."""
+        S = side_chars.shape[0]
+        ch_eq = (side_chars[None, :, :] == d_chars_i[:, None, :]) | \
+            (k_iota[None, None, :] >= d_len_i[:, None, None])
+        return (side_lens[None, :] >= d_len_i[:, None]) & ch_eq.all(axis=-1)
+
+    def q_suffix_eq_d(d_chars_i, d_len_i, side_chars, side_lens):
+        """side token ends with d token i: [C, S]."""
+        S = side_chars.shape[0]
+        start = side_lens[None, :] - d_len_i[:, None]       # [C,S]
+        idx = jnp.clip(start[..., None] + k_iota[None, None, :], 0, L - 1)
+        shifted = jnp.take_along_axis(
+            jnp.broadcast_to(side_chars[None, :, :], (C, S, L)), idx, axis=-1)
+        ch_eq = (shifted == d_chars_i[:, None, :]) | \
+            (k_iota[None, None, :] >= d_len_i[:, None, None])
+        return (side_lens[None, :] >= d_len_i[:, None]) & ch_eq.all(axis=-1)
+
+    def first_true(mask):
+        """(any, first_index) along axis -1."""
+        return mask.any(axis=-1), jnp.argmax(mask, axis=-1).astype(jnp.int32)
+
+    def at(arr2d, j):
+        """arr2d [C,D] indexed per-candidate at j [C] -> [C]."""
+        return jnp.take_along_axis(arr2d, j[:, None], axis=1)[:, 0]
+
+    def set_at(arr2d, j, value, cond):
+        """arr2d[c, j[c]] = value where cond[c]."""
+        cur = at(arr2d, j)
+        new = jnp.where(cond, value, cur)
+        return jnp.where(
+            (d_iota[None, :] == j[:, None]) & cond[:, None],
+            jnp.asarray(new)[:, None], arr2d)
+
+    # ---------------- matcher state ------------------------------------
+    q_active = jnp.broadcast_to(q_valid, (C, Q))
+    d_active = unique
+    term_matched = jnp.zeros((C, Q), f32)
+    term_has_whole = jnp.zeros((C, Q), bool)
+    term_has_joined = jnp.zeros((C, Q), bool)
+    term_has_prefix = jnp.zeros((C, Q), bool)
+    term_first_pos = jnp.full((C, Q), -1, jnp.int32)
+    word_hits = jnp.zeros((C,), jnp.int32)
+    num_whole = jnp.zeros((C,), f32)
+    num_joined = jnp.zeros((C,), f32)
+    num_fuzzy = jnp.zeros((C,), f32)
+    num_ps = jnp.zeros((C,), f32)
+    penalty = jnp.zeros((C,), jnp.int32)
+
+    def note_pos(first_pos, i, pos, cond):
+        cur = first_pos[:, i]
+        new = jnp.where((cur == -1) | (pos < cur), pos, cur)
+        return first_pos.at[:, i].set(jnp.where(cond, new, cur))
+
+    # ---------------- 1. whole word matcher ----------------------------
+    if config.cover_whole_words:
+        p_increment = jnp.where(q_count > 1, 1, 0)
+        for i in range(Q):
+            ql = q_lens[i]
+            qc = q_chars[i]
+            eq = tok_eq(qc, ql) & d_active
+            any_m, j = first_true(eq)
+            m = any_m & q_active[:, i] & (i < q_count)
+
+            word_hits = word_hits + m
+            num_whole = num_whole + jnp.where(m, ql.astype(f32), 0.0)
+            term_matched = term_matched.at[:, i].add(
+                jnp.where(m, ql.astype(f32), 0.0))
+            term_has_whole = term_has_whole.at[:, i].set(
+                term_has_whole[:, i] | m)
+            term_has_prefix = term_has_prefix.at[:, i].set(
+                term_has_prefix[:, i] | m)
+            pos = at(offsets, j)
+            term_first_pos = note_pos(term_first_pos, i, pos, m)
+
+            # order-mismatch penalty vs the unique token at rank i
+            sel = unique & (u_rank == i)
+            tok_i_eq = (sel & tok_eq(qc, ql)).any(axis=-1)
+            exists = i < u_count
+            penalty = penalty + jnp.where(m & ~(exists & tok_i_eq), 1, 0)
+            if i < Q - 1:
+                num_whole = num_whole + jnp.where(
+                    m & (i < q_count - 1), p_increment.astype(f32), 0.0)
+
+            q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
+            d_active = set_at(d_active, j, False, m)
+
+    # ---------------- 2. joined word matcher ---------------------------
+    if config.cover_joined_words:
+        # query-joined: adjacent query pair == one doc token
+        for i in range(Q - 1):
+            cond_q = q_active[:, i] & q_active[:, i + 1] & (i + 1 < q_count)
+            jl = q_lens[i] + q_lens[i + 1]
+            dmask = d_active & (lens == jl) & \
+                d_startswith_q(q_chars[i], q_lens[i]) & \
+                d_endswith_q(q_chars[i + 1], q_lens[i + 1])
+            any_m, j = first_true(dmask)
+            m = any_m & cond_q
+            num_joined = num_joined + jnp.where(m, jl.astype(f32), 0.0)
+            word_hits = word_hits + 2 * m
+            pos = at(offsets, j)
+            term_matched = term_matched.at[:, i].add(
+                jnp.where(m, q_lens[i].astype(f32), 0.0))
+            term_has_joined = term_has_joined.at[:, i].set(
+                term_has_joined[:, i] | m)
+            term_has_prefix = term_has_prefix.at[:, i].set(
+                term_has_prefix[:, i] | m)
+            term_first_pos = note_pos(term_first_pos, i, pos, m)
+            term_matched = term_matched.at[:, i + 1].add(
+                jnp.where(m, q_lens[i + 1].astype(f32), 0.0))
+            term_has_joined = term_has_joined.at[:, i + 1].set(
+                term_has_joined[:, i + 1] | m)
+            term_first_pos = note_pos(term_first_pos, i + 1, pos, m)
+            q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
+            q_active = q_active.at[:, i + 1].set(q_active[:, i + 1] & ~m)
+            d_active = set_at(d_active, j, False, m)
+
+        # doc-joined: adjacent active doc pair == one query token
+        def doc_joined_body(i, st):
+            (q_active, d_active, term_matched, term_has_joined,
+             term_has_prefix, term_first_pos, num_joined, word_hits) = st
+            di_active = d_active[:, i]
+            later = d_active & (d_iota[None, :] > i)
+            has_nxt, nxt = first_true(later)
+            cond = di_active & has_nxt
+
+            len_i = lens[:, i]
+            len_n = at(lens, nxt)
+            jl = len_i + len_n
+            chars_i = chars[:, i, :]
+            idx = jnp.broadcast_to(nxt[:, None, None], (C, 1, L))
+            chars_n = jnp.take_along_axis(chars, idx, axis=1)[:, 0, :]
+
+            q_pre = q_prefix_eq_d(chars_i, len_i, q_chars, q_lens)   # [C,Q]
+            q_suf = q_suffix_eq_d(chars_n, len_n, q_chars, q_lens)   # [C,Q]
+            qmask = q_active & (q_lens[None, :] == jl[:, None]) & q_pre & q_suf
+            any_q, qi = first_true(qmask)
+            m = cond & any_q
+
+            num_joined = num_joined + jnp.where(m, jl.astype(f32), 0.0)
+            word_hits = word_hits + m
+            add = jnp.where(m, jl.astype(f32), 0.0)
+            term_matched = term_matched + add[:, None] * \
+                (q_iota[None, :] == qi[:, None])
+            upd = m[:, None] & (q_iota[None, :] == qi[:, None])
+            term_has_joined = term_has_joined | upd
+            term_has_prefix = term_has_prefix | upd
+            pos_i = offsets[:, i]
+            cur = jnp.take_along_axis(term_first_pos, qi[:, None], 1)[:, 0]
+            new = jnp.where((cur == -1) | (pos_i < cur), pos_i, cur)
+            term_first_pos = jnp.where(
+                upd, jnp.asarray(jnp.where(m, new, cur))[:, None],
+                term_first_pos)
+            q_active = q_active & ~upd
+            d_active = d_active.at[:, i].set(d_active[:, i] & ~m)
+            d_active = set_at(d_active, nxt, False, m)
+            return (q_active, d_active, term_matched, term_has_joined,
+                    term_has_prefix, term_first_pos, num_joined, word_hits)
+
+        st = (q_active, d_active, term_matched, term_has_joined,
+              term_has_prefix, term_first_pos, num_joined, word_hits)
+        st = jax.lax.fori_loop(0, D - 1, doc_joined_body, st)
+        (q_active, d_active, term_matched, term_has_joined,
+         term_has_prefix, term_first_pos, num_joined, word_hits) = st
+
+    # ---------------- 3. prefix/suffix matcher -------------------------
+    if config.cover_prefix_suffix:
+        # length-desc stable orders captured at matcher start
+        d_start_active = d_active
+        d_key = jnp.where(d_start_active, -lens, jnp.int32(10**6)) * D + \
+            d_iota[None, :]
+        d_order = jnp.argsort(d_key, axis=1).astype(jnp.int32)   # [C,D]
+
+        def first_in_order(flags):
+            perm_flags = jnp.take_along_axis(flags, d_order, axis=1)
+            any_m, pos = first_true(perm_flags)
+            j = jnp.take_along_axis(d_order, pos[:, None], 1)[:, 0]
+            return any_m, j
+
+        # Pass 1: exact prefix/suffix/contains
+        for si in range(Q):
+            qi = q_sorted[si]
+            ql = q_lens[qi]
+            qc = q_chars[qi]
+            qa = jnp.take_along_axis(q_active, jnp.full((C, 1), 0) + qi,
+                                     axis=1)[:, 0] & (qi < q_count)
+
+            shorter = ql < lens
+            longer = ql > lens
+            pre = shorter & d_startswith_q(qc, ql)
+            suf = shorter & ~pre & d_endswith_q(qc, ql)
+            cont = shorter & ~pre & ~suf & (ql >= 4) & d_contains_q(qc, ql)
+            dq = longer & _q_endswith_d(q_chars, q_lens, qi, chars,
+                                        lens, C, D, L, k_iota)
+            is_match = (pre | suf | cont | dq) & d_active
+            score = jnp.where(
+                pre, ql.astype(f32),
+                jnp.where(suf, jnp.maximum(1, ql // 2).astype(f32),
+                          jnp.where(cont, ql.astype(f32) * 0.6,
+                                    lens.astype(f32))))
+            any_m, j = first_in_order(is_match)
+            m = any_m & qa
+            sc = at(jnp.where(is_match, score, 0.0), j)
+            is_pre = at(pre, j)
+            num_ps = num_ps + jnp.where(m, sc, 0.0)
+            word_hits = word_hits + m
+            add = jnp.where(m, sc, 0.0)
+            upd = m[:, None] & (q_iota[None, :] == qi)
+            term_matched = term_matched + add[:, None] * \
+                (q_iota[None, :] == qi)
+            term_has_prefix = term_has_prefix | (upd & is_pre[:, None])
+            pos = at(offsets, j)
+            cur = jnp.take_along_axis(
+                term_first_pos, jnp.full((C, 1), 0) + qi, 1)[:, 0]
+            new = jnp.where((cur == -1) | (pos < cur), pos, cur)
+            term_first_pos = jnp.where(
+                upd, jnp.asarray(jnp.where(m, new, cur))[:, None],
+                term_first_pos)
+            q_active = q_active & ~upd
+            d_active = set_at(d_active, j, False, m)
+
+        # Pass 2: fuzzy prefix (Damerau<=1 on d prefixes of ql, ql+1, ql-1)
+        for si in range(Q):
+            qi = q_sorted[si]
+            ql = q_lens[qi]
+            qc = q_chars[qi]
+            qa = jnp.take_along_axis(q_active, jnp.full((C, 1), 0) + qi,
+                                     axis=1)[:, 0] & (qi < q_count)
+            eligible_q = (ql >= 4) | ((qi == q_count - 1) & (ql >= 2))
+            d_elig = d_active & (ql < lens)
+
+            d1 = batched_damerau(qc, ql, chars, jnp.minimum(lens, ql),
+                                 max_distance=1, l_max=L)
+            d2 = batched_damerau(qc, ql, chars, jnp.minimum(lens, ql + 1),
+                                 max_distance=1, l_max=L)
+            d3 = batched_damerau(qc, ql, chars,
+                                 jnp.minimum(lens, jnp.maximum(ql - 1, 0)),
+                                 max_distance=1, l_max=L)
+            m1 = d1 <= 1
+            m2 = ~m1 & (lens > ql) & (d2 <= 1)
+            m3 = ~m1 & ~m2 & (lens > ql) & (ql > 1) & (d3 <= 1)
+            score = jnp.where(
+                m1, jnp.maximum((ql - d1).astype(f32), 0.1),
+                jnp.where(m2, jnp.maximum((ql - d2).astype(f32), 0.1),
+                          jnp.maximum((ql - 1 - d3).astype(f32), 0.1)))
+            is_match = (m1 | m2 | m3) & d_elig
+            any_m, j = first_in_order(is_match)
+            m = any_m & qa & eligible_q
+            sc = at(jnp.where(is_match, score, 0.0), j)
+            num_ps = num_ps + jnp.where(m, sc, 0.0)
+            word_hits = word_hits + m
+            add = jnp.where(m, sc, 0.0)
+            upd = m[:, None] & (q_iota[None, :] == qi)
+            term_matched = term_matched + add[:, None] * (q_iota[None, :] == qi)
+            pos = at(offsets, j)
+            cur = jnp.take_along_axis(
+                term_first_pos, jnp.full((C, 1), 0) + qi, 1)[:, 0]
+            new = jnp.where((cur == -1) | (pos < cur), pos, cur)
+            term_first_pos = jnp.where(
+                upd, jnp.asarray(jnp.where(m, new, cur))[:, None],
+                term_first_pos)
+            q_active = q_active & ~upd
+            d_active = set_at(d_active, j, False, m)
+
+    # ---------------- 4. fuzzy word matcher ----------------------------
+    if config.cover_fuzzy_words:
+        # skipped entirely when all terms fully matched
+        fully = (q_lens[None, :] <= 0) | (term_matched >= q_lens[None, :]) | \
+            ~q_valid[None, :]
+        all_full = fully.all(axis=1)
+
+        max_q_len = jnp.max(
+            jnp.where(q_active & q_valid[None, :], q_lens[None, :], 0), axis=1)
+        max_edit = jnp.where(
+            max_q_len >= config.min_length_two_typos, 2,
+            jnp.where(max_q_len >= config.min_length_one_typo, 1, 0))
+        special_global = (max_q_len == 2) & (max_edit == 0) & \
+            (config.num_typos >= 1)
+        max_edit = jnp.where(special_global, 1, max_edit)
+        max_edit = jnp.minimum(max_edit, config.num_typos)
+
+        for edit_dist in (1, 2):
+            if edit_dist > config.num_typos:
+                break
+            round_on = (edit_dist <= max_edit) & ~all_full
+            for i in range(Q):
+                ql = q_lens[i]
+                qc = q_chars[i]
+                qa = q_active[:, i] & (i < q_count) & round_on
+                if config.min_word_size > 0:
+                    qa = qa & (ql >= config.min_word_size)
+                token_max = jnp.where(
+                    ql >= config.min_length_two_typos, 2,
+                    jnp.where(ql >= config.min_length_one_typo, 1, 0))
+                special = (ql == 2) & (token_max == 0) & \
+                    (config.num_typos >= 1)
+                token_max = jnp.where(special, 1, token_max)
+                token_max = jnp.minimum(token_max, config.num_typos)
+                qa = qa & (edit_dist <= token_max)
+                if edit_dist != 1:
+                    qa = qa & ~special
+
+                min_len = jnp.maximum(config.min_word_size, ql - edit_dist)
+                max_len = jnp.minimum(
+                    jnp.minimum(config.levenshtein_max_word_size,
+                                ql + edit_dist), 63)
+                window = (lens >= min_len) & (lens <= max_len)
+                first_char_ok = jnp.where(
+                    special, (lens > 0) & (chars[..., 0] == qc[0]), True)
+                dist = batched_damerau(qc, ql, chars, lens,
+                                       max_distance=edit_dist, l_max=L)
+                is_match = d_active & window & first_char_ok & \
+                    (dist <= edit_dist)
+                any_m, j = first_true(is_match)
+                m = any_m & qa
+                dd = at(dist, j)
+                credit = jnp.where(m, (ql - dd).astype(f32), 0.0)
+                word_hits = word_hits + m
+                num_fuzzy = num_fuzzy + credit
+                term_matched = term_matched.at[:, i].add(credit)
+                pos = at(offsets, j)
+                term_first_pos = note_pos(term_first_pos, i, pos, m)
+                q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
+                d_active = set_at(d_active, j, False, m)
+
+    # ================== CoverageScorer =================================
+    lcs_eff = lcs_vals if config.cover_whole_query else jnp.zeros_like(lcs_vals)
+    num11 = num_joined + num_whole + num_fuzzy + num_ps - penalty.astype(f32)
+    num11 = jnp.where((num11 == 0.0) & (lcs_eff > 2.0), lcs_eff - 2.0, num11)
+    qlen_f = jnp.maximum(query_len, 1).astype(f32)
+    coverage_score = jnp.clip(num11 / qlen_f * 255.0, 0.0, 255.0).astype(jnp.int32)
+
+    tmc = q_lens[None, :].astype(f32)  # term max chars
+    has_term = q_valid[None, :] & (q_lens[None, :] > 0)
+    ci = jnp.where(has_term, jnp.minimum(1.0, term_matched / jnp.maximum(tmc, 1.0)), 0.0)
+    sum_ci = ci.sum(axis=1)
+    terms_with_any = (has_term & (ci > 0)).sum(axis=1)
+    total_idf = jnp.where(has_term, q_idf[None, :], 0.0).sum(axis=1)
+    idf_weighted = (ci * jnp.where(has_term, q_idf[None, :], 0.0)).sum(axis=1)
+    missing_idf = (jnp.where(has_term & (ci < 1.0), (1.0 - ci) * q_idf[None, :],
+                             0.0)).sum(axis=1)
+    last_idx = jnp.maximum(q_count - 1, 0)
+    last_ci = jnp.take_along_axis(
+        ci, jnp.broadcast_to(last_idx, (C,))[:, None], 1)[:, 0]
+    last_idf = q_idf[last_idx]
+
+    fully_matched = has_term & (term_matched >= (tmc - 0.01))
+    terms_fully = fully_matched.sum(axis=1)
+    strict = (term_has_whole | term_has_joined) & fully_matched
+    terms_strict = strict.sum(axis=1)
+    terms_prefix = (term_has_prefix & has_term).sum(axis=1)
+
+    pos_valid = (term_first_pos >= 0) & has_term
+    big_pos = jnp.int32(2**30)
+    first_match_index = jnp.min(
+        jnp.where(pos_valid, term_first_pos, big_pos), axis=1)
+    has_any_pos = pos_valid.any(axis=1)
+    first_match_index = jnp.where(has_any_pos, first_match_index, -1)
+    min_pos = jnp.min(jnp.where(pos_valid, term_first_pos, big_pos), axis=1)
+    max_pos = jnp.max(jnp.where(pos_valid, term_first_pos, -1), axis=1)
+
+    idf_coverage = jnp.where(total_idf > 0, idf_weighted / total_idf, 0.0)
+
+    type_ahead = (q_count > 0) & (total_idf > 0) & \
+        ((last_idf / jnp.maximum(total_idf, 1e-30)) <= 1.0 / (q_count + 1))
+
+    # single-term LCS boost
+    single_lcs_ci = jnp.minimum(1.0, lcs_eff / qlen_f)
+    sum_ci = jnp.where((q_count == 1) & (query_len > 0) & (lcs_eff > 0) &
+                       (single_lcs_ci > sum_ci), single_lcs_ci, sum_ci)
+
+    prefix_hit = term_has_prefix & has_term & (term_matched > 0)
+    # longest consecutive prefix run
+    run = jnp.zeros((C,), jnp.int32)
+    longest_run = jnp.zeros((C,), jnp.int32)
+    for i in range(Q):
+        hit = prefix_hit[:, i] & (i < q_count)
+        run = jnp.where(hit, run + 1, 0)
+        longest_run = jnp.maximum(longest_run, run)
+    # suffix run (from the last valid token backwards)
+    suffix_run = jnp.zeros((C,), jnp.int32)
+    still = jnp.ones((C,), bool)
+    for i in range(Q - 1, -1, -1):
+        in_range = i < q_count
+        hit = prefix_hit[:, i] & in_range
+        cont = still & in_range & hit
+        suffix_run = suffix_run + cont
+        still = jnp.where(in_range, cont, still)
+
+    phrase_span = jnp.where(
+        (min_pos != big_pos) & (max_pos >= min_pos) & (terms_with_any >= 2),
+        max_pos - min_pos + 1, 0)
+
+    last_token_has_prefix = jnp.take_along_axis(
+        prefix_hit, jnp.broadcast_to(last_idx, (C,))[:, None], 1)[:, 0] & \
+        (q_count >= 1)
+    preceding_strict = (strict & (q_iota[None, :] < q_count - 1)).sum(axis=1)
+    preceding_strict = jnp.where(q_count >= 2, preceding_strict, 0)
+
+    # ================== FusionSignalComputer ===========================
+    sig = _fusion_signals(
+        fq_chars, fq_lens, fq_count, fq_last_is_alpha,
+        chars, lens, offsets, adj_ws, all_valid, tok_count,
+        C, D, L, FQ, k_iota, d_iota, config)
+
+    # ================== FusionScorer ===================================
+    sig["_fq_count"] = fq_count
+    score, tiebreaker = _fusion_score_impl(
+        C, Q, f32, q_iota, q_count, query_len, text_len,
+        terms_with_any, terms_fully, terms_strict, terms_prefix,
+        first_match_index, sum_ci, word_hits, cov_count,
+        longest_run, suffix_run, preceding_strict, last_token_has_prefix,
+        last_ci, type_ahead, idf_coverage, total_idf, missing_idf,
+        q_word_idf, ci, has_term, sig, base_scores)
+
+    return score, tiebreaker.astype(jnp.int32), word_hits
+
+
+def _q_endswith_d(q_chars, q_lens, qi, chars, lens, C, D, L, k_iota):
+    """query token qi ends with each doc token: [C,D]."""
+    ql = q_lens[qi]
+    qc = q_chars[qi]
+    start = ql - lens                                  # [C,D]
+    idx = jnp.clip(start[..., None] + k_iota[None, None, :], 0, L - 1)
+    q_shifted = qc[idx]                                # [C,D,L]
+    ch_eq = (q_shifted == chars) | (k_iota[None, None, :] >= lens[..., None])
+    return (ql >= lens) & ch_eq.all(axis=-1)
+
+
+def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
+                    chars, lens, offsets, adj_ws, all_valid, tok_count,
+                    C, D, L, FQ, k_iota, d_iota, config):
+    """FusionSignalComputer.ComputeSignals, batched. Returns a dict."""
+    f32 = jnp.float32
+    fq_iota = jnp.arange(FQ, dtype=jnp.int32)
+    fq_valid = fq_iota < fq_count
+    have = (fq_count > 0) & (tok_count > 0)
+
+    def d_startswith(qc, ql):
+        ch_eq = (chars == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
+        return all_valid & (lens >= ql) & ch_eq.all(axis=-1)
+
+    def d_eq(qc, ql):
+        ch_eq = (chars == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
+        return all_valid & (lens == ql) & ch_eq.all(axis=-1)
+
+    # --- 1. CheckPrefixLastMatch ---------------------------------------
+    last_idx = jnp.maximum(fq_count - 1, 0)
+    last_chars = fq_chars[last_idx]
+    last_len = fq_lens[last_idx]
+
+    # single-token case
+    sw0 = d_startswith(fq_chars[0], fq_lens[0])
+    any_sw0, j0 = sw0.any(axis=1), jnp.argmax(sw0, axis=1).astype(jnp.int32)
+    exact0 = jnp.take_along_axis(
+        d_eq(fq_chars[0], fq_lens[0]), j0[:, None], 1)[:, 0]
+    single_lpl = any_sw0
+    single_ape = any_sw0 & exact0
+
+    # multi-token case
+    all_prec = jnp.ones((C,), bool)
+    for i in range(FQ):
+        is_prec = (i < fq_count - 1) & fq_valid[i]
+        found = d_eq(fq_chars[i], fq_lens[i]).any(axis=1)
+        all_prec = all_prec & jnp.where(is_prec, found, True)
+    last_sw = d_startswith(last_chars, last_len).any(axis=1)
+    multi_lpl = all_prec & last_sw
+    multi_ape = all_prec & last_sw  # reference resets ape when last misses
+    lexical_prefix_last = jnp.where(fq_count == 1, single_lpl, multi_lpl) & have
+    all_preceding_exact = jnp.where(fq_count == 1, single_ape, multi_ape) & have
+
+    # --- 2. PerfectDoc -------------------------------------------------
+    explained = jnp.zeros((C, D), bool)
+    for i in range(FQ):
+        ql = fq_lens[i]
+        qc = fq_chars[i]
+        d_sw_q = d_startswith(qc, ql)
+        # q startswith d: per (c,d)
+        ch_eq = (qc[None, None, :] == chars) | \
+            (k_iota[None, None, :] >= lens[..., None])
+        q_sw_d = all_valid & (ql >= lens) & ch_eq.all(axis=-1)
+        explained = explained | ((d_sw_q | q_sw_d) & fq_valid[i])
+    perfect = jnp.where(all_valid, explained, True).all(axis=1) & have
+
+    # --- 3. StemEvidence (fq_count >= 2) -------------------------------
+    min_stem = config.min_word_size
+    unmatched_cnt = jnp.zeros((C,), jnp.int32)
+    evidence_cnt = jnp.zeros((C,), jnp.int32)
+    for i in range(FQ):
+        ql = fq_lens[i]
+        qc = fq_chars[i]
+        considered = fq_valid[i] & (ql >= min_stem)
+        word_match = (d_eq(qc, ql) | d_startswith(qc, ql)).any(axis=1)
+        unmatched = considered & ~word_match
+        # evidence: any d with len >= min_stem and (q startswith d or
+        # common prefix >= min_stem)
+        ch_eq = (qc[None, None, :] == chars) | \
+            (k_iota[None, None, :] >= lens[..., None])
+        q_sw_d = (ql >= lens) & ch_eq.all(axis=-1)
+        both = jnp.minimum(ql, lens)
+        pref_len = jnp.cumprod(
+            jnp.where(k_iota[None, None, :] < both[..., None],
+                      (qc[None, None, :] == chars), 1).astype(jnp.int32),
+            axis=-1).sum(axis=-1)
+        # cumprod-based prefix length counts leading equal chars within both
+        common_ok = (both >= min_stem) & (pref_len >= min_stem)
+        ev = (all_valid & (lens >= min_stem) & (q_sw_d | common_ok)).any(axis=1)
+        unmatched_cnt = unmatched_cnt + unmatched
+        evidence_cnt = evidence_cnt + (unmatched & ev)
+    stem_evidence = (fq_count >= 2) & (unmatched_cnt > 0) & \
+        (evidence_cnt == unmatched_cnt) & have
+
+    # --- 4. AnchorStem -------------------------------------------------
+    first_len = fq_lens[0]
+    stem_ok = (fq_count > 0) & (first_len >= ANCHOR_STEM_LENGTH)
+    stem_chars = fq_chars[0]
+    stem_len = jnp.int32(ANCHOR_STEM_LENGTH)
+    d_sw_stem = d_startswith(stem_chars, stem_len)       # [C,D]
+    first_tok_match = d_sw_stem[:, 0] & (tok_count > 0)
+    first_tok_long_enough = (tok_count > 0) & (lens[:, 0] >= stem_len)
+    rest_match = (d_sw_stem & (d_iota[None, :] >= 1)).any(axis=1)
+    anchor = jnp.where(
+        first_tok_long_enough, first_tok_match | rest_match,
+        jnp.where(tok_count > 0, False, d_sw_stem.any(axis=1)))
+    has_anchor_stem = stem_ok & anchor & have
+
+    # --- 5. TrailingMatchDensity ---------------------------------------
+    trail_on = (fq_count >= 2) & (last_len >= 1) & \
+        (last_len <= MAX_TRAILING_LEN)
+    d_sw_last = d_startswith(last_chars, last_len)
+    # contains: last token inside d (len_d > len_last)
+    contains_last = jnp.zeros((C, D), bool)
+    for s in range(L):
+        idx = jnp.minimum(s + k_iota, L - 1)
+        shifted = chars[..., idx]
+        ch_eq = (shifted == last_chars[None, None, :]) | \
+            (k_iota[None, None, :] >= last_len)
+        contains_last = contains_last | (
+            ch_eq.all(axis=-1) & (s + last_len <= lens))
+    matchable = (d_sw_last | ((lens > last_len) & contains_last)) & all_valid
+    m_count = matchable.sum(axis=1)
+    density = m_count.astype(f32) / jnp.maximum(tok_count, 1).astype(f32)
+    trailing_density = jnp.where(
+        trail_on & (m_count > 0),
+        jnp.clip(density * 255.0, 0.0, 255.0).astype(jnp.int32), 0)
+
+    # --- 6. SingleTermLexicalSim ---------------------------------------
+    q0_chars = fq_chars[0]
+    q0_len = fq_lens[0]
+    sim = _single_term_lexical_sim(
+        q0_chars, q0_len, chars, lens, all_valid, C, D, L, k_iota)
+    single_sim = jnp.where(
+        (fq_count == 1) & have,
+        jnp.clip(sim * 255.0, 0.0, 255.0).astype(jnp.int32), 0)
+
+    # --- 7. SingleCharLastTokenBoost -----------------------------------
+    boost = _single_char_last_boost(
+        fq_chars, fq_lens, fq_count, fq_last_is_alpha, last_chars,
+        chars, lens, adj_ws, all_valid, C, D, L, FQ, k_iota, d_iota)
+    boost = jnp.where((fq_count >= 2) & have, boost, 0)
+
+    return dict(
+        lexical_prefix_last=lexical_prefix_last,
+        all_preceding_exact=all_preceding_exact,
+        is_perfect_doc=perfect,
+        has_stem_evidence=stem_evidence,
+        has_anchor_stem=has_anchor_stem,
+        trailing_density=trailing_density,
+        single_sim=single_sim,
+        single_char_boost=boost,
+    )
+
+
+def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
+                             C, D, L, k_iota):
+    f32 = jnp.float32
+    qlen_f = jnp.maximum(q_len, 1).astype(f32)
+    ok = q_len >= 3
+    tok_ok = all_valid & (lens >= 2)
+
+    # substring: find d token inside the query; first index
+    found_idx = jnp.full((C, D), -1, jnp.int32)
+    for s in range(L):
+        idx = jnp.minimum(s + k_iota, L - 1)
+        q_shifted = q_chars[idx]
+        ch_eq = (q_shifted[None, None, :] == chars) | \
+            (k_iota[None, None, :] >= lens[..., None])
+        hit = ch_eq.all(axis=-1) & (s + lens <= q_len)
+        found_idx = jnp.where((found_idx < 0) & hit, s, found_idx)
+    sub_hit = found_idx >= 0
+    len_frac = lens.astype(f32) / qlen_f
+    pos_factor = 1.0 - found_idx.astype(f32) / qlen_f
+    sub_score = jnp.where(sub_hit & tok_ok, len_frac * pos_factor, 0.0)
+
+    # prefix-suffix: largest k >= 2 with q[-k:] == t[:k]
+    best_k = jnp.zeros((C, D), jnp.int32)
+    for kk in range(2, L + 1):
+        start = q_len - kk
+        idx = jnp.clip(start + k_iota, 0, L - 1)
+        q_tail = q_chars[idx]
+        ch_eq = (q_tail[None, None, :] == chars) | (k_iota[None, None, :] >= kk)
+        match = ch_eq.all(axis=-1) & (kk <= jnp.minimum(q_len, lens))
+        best_k = jnp.maximum(best_k, jnp.where(match, kk, 0))
+    ps_score = jnp.where(tok_ok, best_k.astype(f32) / qlen_f, 0.0)
+
+    # fuzzy damerau <= 2 (token len <= 32 always true given L_MAX)
+    dist = batched_damerau(q_chars, q_len, chars, lens, max_distance=2,
+                           l_max=L)
+    fz_score = jnp.where(tok_ok & (dist <= 2),
+                         (q_len - dist).astype(f32) / qlen_f, 0.0)
+
+    best = jnp.max(
+        jnp.where(sub_hit & tok_ok, sub_score,
+                  jnp.maximum(ps_score, fz_score)), axis=1)
+    best = jnp.maximum(best, 0.0)
+
+    # two-segment heuristic
+    MIN_SEG = 3
+    two_ok = q_len >= 2 * MIN_SEG
+    seg_len = jnp.minimum(2 * MIN_SEG, q_len // 2)
+    tok3 = all_valid & (lens >= 3)
+    # prefix frag = q[:seg_len]
+    ch_eq_p = (q_chars[None, None, :] == chars) | \
+        (k_iota[None, None, :] >= jnp.minimum(seg_len, lens[..., None]))
+    pre_match = tok3 & ch_eq_p.all(axis=-1)   # matches startswith both ways
+    # t startswith frag requires lens>=seg_len handled by min() above:
+    # if lens < seg_len we check frag startswith t (first lens chars equal).
+    # suffix frag = q[seg_len backwards]
+    start_suf = q_len - seg_len
+    idx_s = jnp.clip(start_suf + k_iota, 0, L - 1)
+    suf_frag = q_chars[idx_s]                  # [L]
+    # t endswith frag OR frag endswith t: compare tails of both
+    m = jnp.minimum(seg_len, lens)             # [C,D] compare last m chars
+    idx_t = jnp.clip(lens[..., None] - m[..., None] + k_iota[None, None, :],
+                     0, L - 1)
+    t_tail = jnp.take_along_axis(chars, idx_t, axis=-1)
+    idx_f = jnp.clip(seg_len - m[..., None] + k_iota[None, None, :], 0, L - 1)
+    f_tail = suf_frag[idx_f]
+    ch_eq_s = (t_tail == f_tail) | (k_iota[None, None, :] >= m[..., None])
+    suf_match = tok3 & ch_eq_s.all(axis=-1)
+
+    any_pre, pre_i = pre_match.any(axis=1), jnp.argmax(pre_match, axis=1)
+    any_suf, suf_i = suf_match.any(axis=1), jnp.argmax(suf_match, axis=1)
+    two_seg_hit = two_ok & any_pre & any_suf & (pre_i != suf_i)
+    two_seg_score = jnp.minimum(1.0, (2 * seg_len).astype(f32) / qlen_f)
+    best = jnp.where(two_seg_hit & (two_seg_score > best), two_seg_score, best)
+    return jnp.where(ok, best, 0.0)
+
+
+def _single_char_last_boost(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
+                            last_chars, chars, lens, adj_ws, all_valid,
+                            C, D, L, FQ, k_iota, d_iota):
+    """ComputeSingleCharLastTokenMatch, batched sequential walk."""
+    last_len_is_1 = fq_lens[jnp.maximum(fq_count - 1, 0)] == 1
+    target = last_chars[0]
+    enabled = last_len_is_1 & fq_last_is_alpha
+
+    # contains matrix per fusion q token i: [C,D]
+    d_index = jnp.zeros((C,), jnp.int32)
+    first_match = jnp.full((C,), -1, jnp.int32)
+    alive = jnp.full((C,), True)
+
+    for i in range(FQ):
+        is_prec = (i < fq_count - 1)
+        ql = fq_lens[i]
+        qc = fq_chars[i]
+        contains = jnp.zeros((C, D), bool)
+        for s in range(L):
+            idx = jnp.minimum(s + k_iota, L - 1)
+            shifted = chars[..., idx]
+            ch_eq = (shifted == qc[None, None, :]) | \
+                (k_iota[None, None, :] >= ql)
+            contains = contains | (ch_eq.all(axis=-1) & (s + ql <= lens))
+        contains = contains & all_valid
+        eligible = contains & (d_iota[None, :] >= d_index[:, None])
+        found = eligible.any(axis=1)
+        j = jnp.argmax(eligible, axis=1).astype(jnp.int32)
+        step_on = alive & is_prec
+        first_match = jnp.where(step_on & found & (first_match == -1),
+                                j, first_match)
+        d_index = jnp.where(step_on & found, j, d_index)
+        alive = jnp.where(step_on, alive & found, alive)
+
+    nxt = d_index + 1
+    nxt_ok = nxt < jnp.minimum(D, 2**30)
+    nxt_valid = jnp.take_along_axis(
+        all_valid, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0] & nxt_ok
+    nxt_first = jnp.take_along_axis(
+        chars[..., 0], jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0]
+    nxt_len = jnp.take_along_axis(
+        lens, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0]
+    adj = jnp.take_along_axis(adj_ws, d_index[:, None], 1)[:, 0]
+
+    hit = enabled & alive & nxt_valid & (nxt_first == target) & adj
+    boost = 8 + jnp.maximum(0, 16 - first_match)
+    boost = boost + jnp.where(nxt_len == 1, 4, 0)
+    return jnp.where(hit, boost, 0)
+
+
+def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
+                       terms_with_any, terms_fully, terms_strict,
+                       terms_prefix, first_match_index, sum_ci, word_hits,
+                       doc_token_count, longest_run, suffix_run,
+                       preceding_strict, last_token_has_prefix, last_ci,
+                       type_ahead, idf_coverage, total_idf, missing_idf,
+                       q_word_idf, ci, has_term, sig, base_scores):
+    fq_count = sig["_fq_count"]
+    n = jnp.where(fq_count > 0, fq_count, q_count)
+    is_single = n <= 1
+
+    tc = q_count
+    is_complete = (tc > 0) & (terms_with_any == tc)
+    is_clean = (tc > 0) & (terms_prefix == tc)
+    is_exact = (tc > 0) & (terms_strict == tc)
+    starts_at_beginning = first_match_index == 0
+    lpl = sig["lexical_prefix_last"]
+    preceding_terms = jnp.maximum(0, tc - 1)
+    coverage_prefix_last = (tc >= 1) & \
+        (preceding_strict == preceding_terms) & last_token_has_prefix
+    prefix_last_strong = lpl & coverage_prefix_last
+    perfect_doc = sig["is_perfect_doc"]
+
+    precedence = jnp.zeros((C,), jnp.int32)
+
+    matched = terms_with_any
+    coverage_tier = jnp.where(
+        matched >= tc, 3,
+        jnp.where(matched == tc - 1, 2,
+                  jnp.where(matched * 2 >= tc, 1, 0)))
+    coverage_tier = jnp.where(~is_single & (tc > 0), coverage_tier, 0)
+    precedence = precedence | jnp.where(
+        ~is_single & (coverage_tier > 0), (coverage_tier & 0b11) << 16, 0)
+
+    exact_prefix = ~is_single & is_clean & starts_at_beginning & lpl & \
+        is_complete
+    subset_match = ~is_single & (doc_token_count > 0) & \
+        (word_hits == doc_token_count)
+    precedence = precedence | jnp.where(exact_prefix, 1 << 15, 0)
+    precedence = precedence | jnp.where(subset_match, 1 << 14, 0)
+
+    # Dominance: term arrays always present (word idf cache always built)
+    avg_idf = jnp.where((total_idf > 0) & (tc > 0),
+                        total_idf / jnp.maximum(tc, 1).astype(f32), 0.0)
+    power = q_word_idf[None, :] * ci                 # [C,Q]
+    total_power = jnp.where(has_term, power, 0.0).sum(axis=1)
+    cand_ok = has_term & (ci > 0.1) & (q_word_idf[None, :] > 0.0) & \
+        (q_word_idf[None, :] >= avg_idf[:, None])
+    others = total_power[:, None] - power
+    dominant = (cand_ok & (power >= others)).any(axis=1)
+    dominance_on = ~is_single & (tc >= 2)
+    dominant = dominant & dominance_on
+    strong_anchor = sig["has_anchor_stem"] & (q_word_idf[0] >= avg_idf) & \
+        dominance_on
+    precedence = precedence | jnp.where(dominant | strong_anchor, 1 << 13, 0)
+    unmatched_terms = tc - terms_with_any
+    precedence = precedence | jnp.where(
+        dominant & (unmatched_terms == 1), 8, 0)
+
+    # single-term tier
+    st_tier = jnp.where(
+        is_complete,
+        jnp.where(starts_at_beginning,
+                  jnp.where(is_exact, 4, jnp.where(is_clean, 3, 0)),
+                  jnp.where(is_exact, 2, jnp.where(is_clean, 1, 0))),
+        0)
+    single_prec = jnp.where(is_complete, 1 << 17, 0) | \
+        jnp.where(is_clean & (tc > 0), 1 << 16, 0) | (st_tier << 3)
+
+    # multi-term tier
+    anchor_run = sig["has_anchor_stem"] & (longest_run >= 2)
+    mt_tier = jnp.where(
+        prefix_last_strong, 3,
+        jnp.where(lpl, 2, jnp.where(perfect_doc | anchor_run, 1, 0)))
+    mt_prec = mt_tier + jnp.where(fq_count > tc, sig["single_char_boost"], 0)
+
+    precedence = precedence | jnp.where(is_single, single_prec, mt_prec)
+
+    coverage_ratio = jnp.where(
+        tc > 0, terms_with_any.astype(f32) / jnp.maximum(tc, 1).astype(f32),
+        0.0)
+    has_partial = (coverage_ratio > 0.0) & (coverage_ratio < 1.0)
+
+    # missing-info / stem-evidence boost (bit 3)
+    last_matched = last_token_has_prefix | ((tc > 0) & (terms_with_any == tc))
+    can_boost = (last_matched | ~type_ahead) & (total_idf > 0)
+    missing_ratio = missing_idf / jnp.maximum(total_idf, 1e-30)
+    term_gap = 1.0 - coverage_ratio
+    info_boost = (unmatched_terms == 1) & can_boost & \
+        (missing_ratio < term_gap)
+    boost_bit = jnp.where(
+        sig["has_stem_evidence"], True, info_boost)
+    precedence = precedence | jnp.where(
+        has_partial & (n >= 2) & boost_bit, 8, 0)
+
+    # semantic
+    avg_ci = jnp.where(tc > 0, sum_ci / jnp.maximum(tc, 1).astype(f32), 0.0)
+    lexical_sim = sig["single_sim"].astype(f32) / 255.0
+    sem_single = (avg_ci + lexical_sim) / 2.0
+
+    use_idf_cov = has_partial & (unmatched_terms == 1) & can_boost & \
+        (idf_coverage > coverage_ratio)
+    base_cov = jnp.where(use_idf_cov, idf_coverage, avg_ci)
+    density = word_hits.astype(f32) / jnp.maximum(doc_token_count, 1).astype(f32)
+    sem_multi = base_cov * density
+    # intent bonus
+    signals = (sig["has_anchor_stem"].astype(jnp.int32) +
+               (suffix_run >= 2).astype(jnp.int32))
+    sem_multi = jnp.where(
+        (tc >= 3) & (signals > 0),
+        jnp.minimum(1.0, sem_multi + INTENT_BONUS_PER_SIGNAL *
+                    signals.astype(f32)),
+        sem_multi)
+    # trailing term bonus
+    t_density = sig["trailing_density"].astype(f32) / 255.0
+    sem_multi = jnp.where(
+        (tc >= 2) & (t_density > 0.0),
+        sem_multi + (1.0 - sem_multi) * t_density, sem_multi)
+
+    semantic = jnp.where(
+        is_single, sem_single,
+        jnp.where(doc_token_count == 0, avg_ci, sem_multi))
+
+    coverage_gap = 1.0 - coverage_ratio
+    semantic = jnp.where(
+        has_partial & (base_scores >= coverage_gap),
+        coverage_ratio * semantic + coverage_gap * base_scores, semantic)
+    semantic = jnp.clip(semantic, 0.0, 0.999)
+
+    focus = jnp.minimum(
+        1.0, query_len.astype(f32) / jnp.maximum(text_len, 1).astype(f32))
+    tiebreaker = jnp.where((n >= 2) & (text_len > 0),
+                           (focus * 255.0).astype(jnp.int32), 0)
+
+    return precedence.astype(f32) + semantic, tiebreaker
