@@ -54,9 +54,12 @@ def compute_idf(total_docs: int, df: int) -> float:
 
 
 def _bucket(n: int, minimum: int) -> int:
+    """Quadrupling shape buckets: few distinct compiled programs, at most
+    4x padding overhead (bandwidth-bound work tolerates it; compile time on
+    tunneled TPUs does not tolerate many buckets)."""
     b = minimum
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 
@@ -206,7 +209,7 @@ class DeviceIndex:
             extra = self._zero_extra
 
         k = min(int(top_k), self.n_pad)
-        scores, ids = _stage1_kernel(
+        out = _stage1_kernel(
             self.postings_docs,
             self.postings_weights,
             self.doc_lengths,
@@ -222,4 +225,8 @@ class DeviceIndex:
             k=k,
             n_docs=self.num_docs,
         )
-        return np.asarray(scores), np.asarray(ids)
+        # One combined readback: the device<->host link may have high
+        # per-round-trip latency (e.g. tunneled TPUs), so never transfer
+        # outputs one array at a time.
+        scores, ids = jax.device_get(out)
+        return scores, ids

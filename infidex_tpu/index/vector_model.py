@@ -112,6 +112,9 @@ class VectorModel:
         self.short_query_index = None
         self.short_query_resolver = None
 
+        # Device coverage tables (ops/coverage_kernel.CoverageTables)
+        self.coverage_tables = None
+
     # ------------------------------------------------------------------
     # Indexing
 
@@ -188,6 +191,30 @@ class VectorModel:
         if self.short_query_index is not None:
             self.short_query_index.freeze()
         self._build_document_metadata_cache()
+        self._build_coverage_tables()
+
+    def _build_coverage_tables(self) -> None:
+        """Encode per-doc coverage token tables for the device kernel."""
+        from ..ops.coverage_kernel import CoverageTables
+
+        delims = (
+            self.tokenizer.tokenizer_setup.delimiters
+            if self.tokenizer.tokenizer_setup else (" ",)
+        )
+        texts = []
+        for i in range(len(self.documents)):
+            doc = self.documents.get_document(i)
+            if doc is None or not doc.indexed_text:
+                texts.append("")
+                continue
+            text = doc.indexed_text
+            if self.tokenizer.text_normalizer is not None:
+                text = self.tokenizer.text_normalizer.normalize(text)
+            if (self.synonym_map is not None
+                    and self.synonym_map.has_canonical_mappings):
+                text = self.synonym_map.canonicalize_text(text, delims)
+            texts.append(text.lower())
+        self.coverage_tables = CoverageTables.build(texts, delims)
 
     def _build_document_metadata_cache(self) -> None:
         delims = (

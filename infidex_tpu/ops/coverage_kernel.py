@@ -4,7 +4,7 @@ This is the TPU-native replacement for the per-candidate matcher cascade
 (Coverage/*.cs + Scoring/FusionScorer.cs): all candidates of a query are
 scored in ONE jitted program over char tensors.
 
-Data layout (built at index finalize, ops/coverage_kernel.CoverageTables):
+Data layout (built at index finalize):
   word_chars  int32 [W, L]  lowercase code units of every unique doc word
   word_lens   int32 [W]
   doc_tokens  int32 [N, D]  per-doc token code sequence (-1 padded)
@@ -13,9 +13,14 @@ Data layout (built at index finalize, ops/coverage_kernel.CoverageTables):
   doc_adj_ws  bool  [N, D]  gap between token j and j+1 is whitespace-only
   doc_text_len int32 [N]
 
-The kernel replicates, bit-for-bit against the host oracle
-(coverage/engine.py + scoring/fusion.py, themselves exact ports of the
-reference):
+Compile-time structure: all pairwise string primitives (equality, prefix,
+suffix, containment, edit distances) are precomputed as [C, Q, D] tensors in
+a handful of fused sweeps (ops/editdistance_multi.py provides the banded
+multi-query Damerau); the sequential matcher cascade then runs as small
+fori_loop bodies of pure mask algebra, so the traced graph stays compact.
+
+Replicates, bit-for-bit against the host oracle (coverage/engine.py +
+scoring/fusion.py, themselves exact ports of the reference):
   1. whole-word -> joined -> prefix/suffix -> fuzzy cascade with
      single-consumption token deactivation,
   2. CoverageScorer.CalculateFinalScore,
@@ -30,14 +35,14 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from .editdistance import batched_damerau
+from .editdistance_multi import batched_damerau_multi
 
 # Static capacities
 D_MAX = 64    # doc tokens per candidate
@@ -177,13 +182,73 @@ def encode_query_tokens(tokens, max_tokens: int):
 
 
 # ======================================================================
+# Pairwise primitives: [C, Q, D] relations between query and doc tokens
+
+
+def _pairwise_primitives(q_chars, q_lens, chars, lens, valid):
+    """EQ / D startswith Q / D endswith Q / D contains Q / Q endswith D.
+
+    q_chars [S,L], q_lens [S]; chars [C,D,L], lens [C,D]; valid [C,D].
+    All outputs [C,S,D] and masked by `valid`.
+    """
+    C, D, L = chars.shape
+    S = q_chars.shape[0]
+    k = jnp.arange(L, dtype=jnp.int32)
+
+    q_c = q_chars[None, :, None, :]                    # [1,S,1,L]
+    q_l = q_lens[None, :, None]                        # [1,S,1]
+    d_c = chars[:, None, :, :]                         # [C,1,D,L]
+    d_l = lens[:, None, :]                             # [C,1,D]
+    v = valid[:, None, :]                              # [C,1,D]
+
+    # exact equality + prefix
+    ch_eq = (d_c == q_c) | (k[None, None, None, :] >= q_l[..., None])
+    all_eq = ch_eq.all(axis=-1)
+    eq = v & (d_l == q_l) & all_eq
+    d_sw_q = v & (d_l >= q_l) & all_eq
+
+    # d endswith q: d chars at d_l - q_l + k
+    start = d_l - q_l                                   # [C,S,D]
+    idx = jnp.clip(start[..., None] + k[None, None, None, :], 0, L - 1)
+    d_bc = jnp.broadcast_to(d_c, (C, S, D, L))
+    shifted = jnp.take_along_axis(d_bc, idx, axis=-1)
+    ew_eq = (shifted == q_c) | (k[None, None, None, :] >= q_l[..., None])
+    d_ew_q = v & (d_l >= q_l) & ew_eq.all(axis=-1)
+
+    # q endswith d: q chars at q_l - d_l + k vs d chars
+    startq = q_l - d_l
+    idxq = jnp.clip(startq[..., None] + k[None, None, None, :], 0, L - 1)
+    q_bc = jnp.broadcast_to(q_c, (C, S, D, L))
+    q_shift = jnp.take_along_axis(q_bc, idxq, axis=-1)
+    qe_eq = (q_shift == d_c) | (k[None, None, None, :] >= d_l[..., None])
+    q_ew_d = v & (q_l >= d_l) & qe_eq.all(axis=-1)
+
+    # d contains q: any window
+    def cont_body(s, acc):
+        idx_s = jnp.minimum(s + k, L - 1)
+        sh = d_c[..., idx_s]                            # [C,1,D,L]
+        c_eq = (sh == q_c) | (k[None, None, None, :] >= q_l[..., None])
+        hit = c_eq.all(axis=-1) & (s + q_l <= d_l)
+        return acc | hit
+
+    d_cont_q = jax.lax.fori_loop(
+        0, L, cont_body, jnp.zeros((C, S, D), bool)) & v
+
+    # common prefix length (leading equal chars within min(q_l, d_l))
+    both = jnp.minimum(q_l, d_l)                        # [C,S,D]
+    in_r = k[None, None, None, :] < both[..., None]
+    run = jnp.cumprod(
+        jnp.where(in_r, (d_c == q_c), True).astype(jnp.int32), axis=-1)
+    common_prefix = jnp.minimum(run.sum(axis=-1), both)
+
+    return eq, d_sw_q, d_ew_q, q_ew_d, d_cont_q, common_prefix
+
+
+# ======================================================================
 # The kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config",),
-)
+@functools.partial(jax.jit, static_argnames=("config",))
 def coverage_fusion_batch(
     word_chars, word_lens, doc_tokens, doc_tok_offsets, doc_tok_count,
     doc_adj_ws, doc_text_len,
@@ -218,83 +283,49 @@ def coverage_fusion_batch(
     d_iota = jnp.arange(D, dtype=jnp.int32)
     all_valid = (codes >= 0) & (d_iota[None, :] < tok_count[:, None])
     chars = jnp.where(all_valid[..., None], chars, 0)
+    lens = jnp.where(all_valid, lens, 0)
 
     cov = all_valid & (lens >= config.min_word_size)
-    # dedupe by code among coverage tokens (first occurrence wins)
-    same = (codes[:, :, None] == codes[:, None, :])         # [C,j,k]
-    earlier = d_iota[None, None, :] < d_iota[None, :, None]  # k < j
+    same = (codes[:, :, None] == codes[:, None, :])
+    earlier = d_iota[None, None, :] < d_iota[None, :, None]
     dup = (same & earlier & cov[:, None, :]).any(axis=2) & cov
     unique = cov & ~dup
     u_rank = jnp.cumsum(unique.astype(jnp.int32), axis=1) - 1
     u_count = unique.sum(axis=1)
-    cov_count = cov.sum(axis=1)     # features.doc_token_count (raw, pre-dedupe)
+    cov_count = cov.sum(axis=1)
 
     q_iota = jnp.arange(Q, dtype=jnp.int32)
     q_valid = q_iota < q_count
 
-    # ---------------- string primitive helpers ------------------------
-    k_iota = jnp.arange(L, dtype=jnp.int32)
+    # ---------------- precomputed pairwise primitives -------------------
+    (EQ, D_SW_Q, D_EW_Q, Q_EW_D, D_CONT_Q, _cp) = _pairwise_primitives(
+        q_chars, q_lens, chars, lens, all_valid)
 
-    def tok_eq(qc, ql):
-        """d token == q token (exact). qc [L], ql scalar -> [C,D]."""
-        ch_eq = (chars == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
-        return (lens == ql) & ch_eq.all(axis=-1)
-
-    def d_startswith_q(qc, ql):
-        ch_eq = (chars == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
-        return (lens >= ql) & ch_eq.all(axis=-1)
-
-    def d_endswith_q(qc, ql):
-        start = lens - ql                       # [C,D]
-        idx = jnp.clip(start[..., None] + k_iota[None, None, :], 0, L - 1)
-        shifted = jnp.take_along_axis(chars, idx, axis=-1)
-        ch_eq = (shifted == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
-        return (lens >= ql) & ch_eq.all(axis=-1)
-
-    def d_contains_q(qc, ql):
-        """q appears inside d (at any offset)."""
-        out = jnp.zeros((C, D), dtype=bool)
-        for s in range(L):
-            idx = jnp.minimum(s + k_iota, L - 1)
-            shifted = chars[..., idx]
-            ch_eq = (shifted == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
-            hit = ch_eq.all(axis=-1) & (s + ql <= lens)
-            out = out | hit
-        return out
-
-    def q_prefix_eq_d(d_chars_i, d_len_i, side_chars, side_lens):
-        """side token starts with d token i: [C, S]."""
-        S = side_chars.shape[0]
-        ch_eq = (side_chars[None, :, :] == d_chars_i[:, None, :]) | \
-            (k_iota[None, None, :] >= d_len_i[:, None, None])
-        return (side_lens[None, :] >= d_len_i[:, None]) & ch_eq.all(axis=-1)
-
-    def q_suffix_eq_d(d_chars_i, d_len_i, side_chars, side_lens):
-        """side token ends with d token i: [C, S]."""
-        S = side_chars.shape[0]
-        start = side_lens[None, :] - d_len_i[:, None]       # [C,S]
-        idx = jnp.clip(start[..., None] + k_iota[None, None, :], 0, L - 1)
-        shifted = jnp.take_along_axis(
-            jnp.broadcast_to(side_chars[None, :, :], (C, S, L)), idx, axis=-1)
-        ch_eq = (shifted == d_chars_i[:, None, :]) | \
-            (k_iota[None, None, :] >= d_len_i[:, None, None])
-        return (side_lens[None, :] >= d_len_i[:, None]) & ch_eq.all(axis=-1)
+    # edit distances (banded multi-query sweeps)
+    dam1 = batched_damerau_multi(q_chars, q_lens, chars, lens,
+                                 max_distance=1, l_max=L)
+    dam2 = batched_damerau_multi(q_chars, q_lens, chars, lens,
+                                 max_distance=2, l_max=L)
+    ql_b = q_lens[None, :, None]
+    dl1 = jnp.minimum(lens[:, None, :], ql_b)
+    dl2 = jnp.minimum(lens[:, None, :], ql_b + 1)
+    dl3 = jnp.minimum(lens[:, None, :], jnp.maximum(ql_b - 1, 0))
+    pdam1 = batched_damerau_multi(q_chars, q_lens, chars, dl1,
+                                  max_distance=1, l_max=L)
+    pdam2 = batched_damerau_multi(q_chars, q_lens, chars, dl2,
+                                  max_distance=1, l_max=L)
+    pdam3 = batched_damerau_multi(q_chars, q_lens, chars, dl3,
+                                  max_distance=1, l_max=L)
 
     def first_true(mask):
-        """(any, first_index) along axis -1."""
         return mask.any(axis=-1), jnp.argmax(mask, axis=-1).astype(jnp.int32)
 
     def at(arr2d, j):
-        """arr2d [C,D] indexed per-candidate at j [C] -> [C]."""
         return jnp.take_along_axis(arr2d, j[:, None], axis=1)[:, 0]
 
-    def set_at(arr2d, j, value, cond):
-        """arr2d[c, j[c]] = value where cond[c]."""
-        cur = at(arr2d, j)
-        new = jnp.where(cond, value, cur)
-        return jnp.where(
-            (d_iota[None, :] == j[:, None]) & cond[:, None],
-            jnp.asarray(new)[:, None], arr2d)
+    def set_at_false(arr2d, j, cond):
+        mask = (d_iota[None, :] == j[:, None]) & cond[:, None]
+        return arr2d & ~mask
 
     # ---------------- matcher state ------------------------------------
     q_active = jnp.broadcast_to(q_valid, (C, Q))
@@ -311,6 +342,13 @@ def coverage_fusion_batch(
     num_ps = jnp.zeros((C,), f32)
     penalty = jnp.zeros((C,), jnp.int32)
 
+    def upd_q(arr, i, delta, cond):
+        """arr[:, i] += delta where cond (scalar i)."""
+        return arr.at[:, i].add(jnp.where(cond, delta, 0))
+
+    def set_q_true(arr, i, cond):
+        return arr.at[:, i].set(arr[:, i] | cond)
+
     def note_pos(first_pos, i, pos, cond):
         cur = first_pos[:, i]
         new = jnp.where((cur == -1) | (pos < cur), pos, cur)
@@ -318,69 +356,80 @@ def coverage_fusion_batch(
 
     # ---------------- 1. whole word matcher ----------------------------
     if config.cover_whole_words:
-        p_increment = jnp.where(q_count > 1, 1, 0)
-        for i in range(Q):
+        p_increment = jnp.where(q_count > 1, 1.0, 0.0)
+
+        def ww_body(i, st):
+            (q_active, d_active, term_matched, term_has_whole,
+             term_has_prefix, term_first_pos, word_hits, num_whole,
+             penalty) = st
             ql = q_lens[i]
-            qc = q_chars[i]
-            eq = tok_eq(qc, ql) & d_active
-            any_m, j = first_true(eq)
+            eqm = EQ[:, i, :] & d_active
+            any_m, j = first_true(eqm)
             m = any_m & q_active[:, i] & (i < q_count)
 
             word_hits = word_hits + m
             num_whole = num_whole + jnp.where(m, ql.astype(f32), 0.0)
-            term_matched = term_matched.at[:, i].add(
-                jnp.where(m, ql.astype(f32), 0.0))
-            term_has_whole = term_has_whole.at[:, i].set(
-                term_has_whole[:, i] | m)
-            term_has_prefix = term_has_prefix.at[:, i].set(
-                term_has_prefix[:, i] | m)
-            pos = at(offsets, j)
-            term_first_pos = note_pos(term_first_pos, i, pos, m)
+            num_whole = num_whole + jnp.where(
+                m & (i < q_count - 1), p_increment, 0.0)
+            term_matched = upd_q(term_matched, i, ql.astype(f32), m)
+            term_has_whole = set_q_true(term_has_whole, i, m)
+            term_has_prefix = set_q_true(term_has_prefix, i, m)
+            term_first_pos = note_pos(term_first_pos, i, at(offsets, j), m)
 
-            # order-mismatch penalty vs the unique token at rank i
             sel = unique & (u_rank == i)
-            tok_i_eq = (sel & tok_eq(qc, ql)).any(axis=-1)
+            tok_i_eq = (sel & EQ[:, i, :]).any(axis=-1)
             exists = i < u_count
             penalty = penalty + jnp.where(m & ~(exists & tok_i_eq), 1, 0)
-            if i < Q - 1:
-                num_whole = num_whole + jnp.where(
-                    m & (i < q_count - 1), p_increment.astype(f32), 0.0)
 
             q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
-            d_active = set_at(d_active, j, False, m)
+            d_active = set_at_false(d_active, j, m)
+            return (q_active, d_active, term_matched, term_has_whole,
+                    term_has_prefix, term_first_pos, word_hits, num_whole,
+                    penalty)
+
+        st = (q_active, d_active, term_matched, term_has_whole,
+              term_has_prefix, term_first_pos, word_hits, num_whole, penalty)
+        st = jax.lax.fori_loop(0, Q, ww_body, st)
+        (q_active, d_active, term_matched, term_has_whole, term_has_prefix,
+         term_first_pos, word_hits, num_whole, penalty) = st
 
     # ---------------- 2. joined word matcher ---------------------------
     if config.cover_joined_words:
-        # query-joined: adjacent query pair == one doc token
-        for i in range(Q - 1):
+        def qj_body(i, st):
+            (q_active, d_active, term_matched, term_has_joined,
+             term_has_prefix, term_first_pos, num_joined, word_hits) = st
             cond_q = q_active[:, i] & q_active[:, i + 1] & (i + 1 < q_count)
             jl = q_lens[i] + q_lens[i + 1]
-            dmask = d_active & (lens == jl) & \
-                d_startswith_q(q_chars[i], q_lens[i]) & \
-                d_endswith_q(q_chars[i + 1], q_lens[i + 1])
+            dmask = d_active & (lens == jl) & D_SW_Q[:, i, :] & \
+                D_EW_Q[:, i + 1, :]
             any_m, j = first_true(dmask)
             m = any_m & cond_q
             num_joined = num_joined + jnp.where(m, jl.astype(f32), 0.0)
             word_hits = word_hits + 2 * m
             pos = at(offsets, j)
-            term_matched = term_matched.at[:, i].add(
-                jnp.where(m, q_lens[i].astype(f32), 0.0))
-            term_has_joined = term_has_joined.at[:, i].set(
-                term_has_joined[:, i] | m)
-            term_has_prefix = term_has_prefix.at[:, i].set(
-                term_has_prefix[:, i] | m)
+            term_matched = upd_q(term_matched, i, q_lens[i].astype(f32), m)
+            term_has_joined = set_q_true(term_has_joined, i, m)
+            term_has_prefix = set_q_true(term_has_prefix, i, m)
             term_first_pos = note_pos(term_first_pos, i, pos, m)
-            term_matched = term_matched.at[:, i + 1].add(
-                jnp.where(m, q_lens[i + 1].astype(f32), 0.0))
-            term_has_joined = term_has_joined.at[:, i + 1].set(
-                term_has_joined[:, i + 1] | m)
+            term_matched = upd_q(term_matched, i + 1,
+                                 q_lens[i + 1].astype(f32), m)
+            term_has_joined = set_q_true(term_has_joined, i + 1, m)
             term_first_pos = note_pos(term_first_pos, i + 1, pos, m)
             q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
             q_active = q_active.at[:, i + 1].set(q_active[:, i + 1] & ~m)
-            d_active = set_at(d_active, j, False, m)
+            d_active = set_at_false(d_active, j, m)
+            return (q_active, d_active, term_matched, term_has_joined,
+                    term_has_prefix, term_first_pos, num_joined, word_hits)
 
-        # doc-joined: adjacent active doc pair == one query token
-        def doc_joined_body(i, st):
+        st = (q_active, d_active, term_matched, term_has_joined,
+              term_has_prefix, term_first_pos, num_joined, word_hits)
+        if Q >= 2:
+            st = jax.lax.fori_loop(0, Q - 1, qj_body, st)
+        (q_active, d_active, term_matched, term_has_joined,
+         term_has_prefix, term_first_pos, num_joined, word_hits) = st
+
+        # doc-joined: adjacent ACTIVE doc pair == one query token
+        def dj_body(i, st):
             (q_active, d_active, term_matched, term_has_joined,
              term_has_prefix, term_first_pos, num_joined, word_hits) = st
             di_active = d_active[:, i]
@@ -391,115 +440,122 @@ def coverage_fusion_batch(
             len_i = lens[:, i]
             len_n = at(lens, nxt)
             jl = len_i + len_n
-            chars_i = chars[:, i, :]
-            idx = jnp.broadcast_to(nxt[:, None, None], (C, 1, L))
-            chars_n = jnp.take_along_axis(chars, idx, axis=1)[:, 0, :]
-
-            q_pre = q_prefix_eq_d(chars_i, len_i, q_chars, q_lens)   # [C,Q]
-            q_suf = q_suffix_eq_d(chars_n, len_n, q_chars, q_lens)   # [C,Q]
-            qmask = q_active & (q_lens[None, :] == jl[:, None]) & q_pre & q_suf
+            # q startswith d_i / q endswith d_nxt via precomputed Q-side:
+            # D axis gather at fixed i and nxt.
+            q_sw_di = jnp.take_along_axis(
+                _Q_SW_D, jnp.broadcast_to(
+                    jnp.full((C, 1, 1), 0) + i, (C, Q, 1)), axis=2)[..., 0]
+            q_ew_dn = jnp.take_along_axis(
+                Q_EW_D, jnp.broadcast_to(nxt[:, None, None], (C, Q, 1)),
+                axis=2)[..., 0]
+            qmask = q_active & (q_lens[None, :] == jl[:, None]) & \
+                q_sw_di & q_ew_dn
             any_q, qi = first_true(qmask)
             m = cond & any_q
 
             num_joined = num_joined + jnp.where(m, jl.astype(f32), 0.0)
             word_hits = word_hits + m
-            add = jnp.where(m, jl.astype(f32), 0.0)
-            term_matched = term_matched + add[:, None] * \
-                (q_iota[None, :] == qi[:, None])
             upd = m[:, None] & (q_iota[None, :] == qi[:, None])
+            term_matched = term_matched + \
+                jnp.where(upd, jl[:, None].astype(f32), 0.0)
             term_has_joined = term_has_joined | upd
             term_has_prefix = term_has_prefix | upd
             pos_i = offsets[:, i]
             cur = jnp.take_along_axis(term_first_pos, qi[:, None], 1)[:, 0]
             new = jnp.where((cur == -1) | (pos_i < cur), pos_i, cur)
             term_first_pos = jnp.where(
-                upd, jnp.asarray(jnp.where(m, new, cur))[:, None],
-                term_first_pos)
+                upd, jnp.where(m, new, cur)[:, None], term_first_pos)
             q_active = q_active & ~upd
             d_active = d_active.at[:, i].set(d_active[:, i] & ~m)
-            d_active = set_at(d_active, nxt, False, m)
+            d_active = set_at_false(d_active, nxt, m)
             return (q_active, d_active, term_matched, term_has_joined,
                     term_has_prefix, term_first_pos, num_joined, word_hits)
 
+        # Q startswith D: precompute [C,Q,D] (q token starts with doc token)
+        _Q_SW_D = _q_startswith_d(q_chars, q_lens, chars, lens, all_valid)
+
         st = (q_active, d_active, term_matched, term_has_joined,
               term_has_prefix, term_first_pos, num_joined, word_hits)
-        st = jax.lax.fori_loop(0, D - 1, doc_joined_body, st)
+        if D >= 2:
+            st = jax.lax.fori_loop(0, D - 1, dj_body, st)
         (q_active, d_active, term_matched, term_has_joined,
          term_has_prefix, term_first_pos, num_joined, word_hits) = st
 
     # ---------------- 3. prefix/suffix matcher -------------------------
     if config.cover_prefix_suffix:
-        # length-desc stable orders captured at matcher start
         d_start_active = d_active
         d_key = jnp.where(d_start_active, -lens, jnp.int32(10**6)) * D + \
             d_iota[None, :]
         d_order = jnp.argsort(d_key, axis=1).astype(jnp.int32)   # [C,D]
 
-        def first_in_order(flags):
+        def first_in_order(flags, d_order):
             perm_flags = jnp.take_along_axis(flags, d_order, axis=1)
             any_m, pos = first_true(perm_flags)
             j = jnp.take_along_axis(d_order, pos[:, None], 1)[:, 0]
             return any_m, j
 
-        # Pass 1: exact prefix/suffix/contains
-        for si in range(Q):
+        def take_q(arr_cqd, qi):
+            """arr [C,Q,D] at per-batch scalar qi -> [C,D]."""
+            return jnp.take_along_axis(
+                arr_cqd, jnp.broadcast_to(qi, (C,))[:, None, None], axis=1
+            )[:, 0, :]
+
+        def ps1_body(si, st):
+            (q_active, d_active, term_matched, term_has_prefix,
+             term_first_pos, num_ps, word_hits) = st
             qi = q_sorted[si]
             ql = q_lens[qi]
-            qc = q_chars[qi]
-            qa = jnp.take_along_axis(q_active, jnp.full((C, 1), 0) + qi,
-                                     axis=1)[:, 0] & (qi < q_count)
+            qa = at(q_active, jnp.broadcast_to(qi, (C,))) & (qi < q_count)
 
             shorter = ql < lens
             longer = ql > lens
-            pre = shorter & d_startswith_q(qc, ql)
-            suf = shorter & ~pre & d_endswith_q(qc, ql)
-            cont = shorter & ~pre & ~suf & (ql >= 4) & d_contains_q(qc, ql)
-            dq = longer & _q_endswith_d(q_chars, q_lens, qi, chars,
-                                        lens, C, D, L, k_iota)
+            pre = shorter & take_q(D_SW_Q, qi)
+            suf = shorter & ~pre & take_q(D_EW_Q, qi)
+            cont = shorter & ~pre & ~suf & (ql >= 4) & take_q(D_CONT_Q, qi)
+            dq = longer & take_q(Q_EW_D, qi)
             is_match = (pre | suf | cont | dq) & d_active
             score = jnp.where(
                 pre, ql.astype(f32),
                 jnp.where(suf, jnp.maximum(1, ql // 2).astype(f32),
                           jnp.where(cont, ql.astype(f32) * 0.6,
                                     lens.astype(f32))))
-            any_m, j = first_in_order(is_match)
+            any_m, j = first_in_order(is_match, d_order)
             m = any_m & qa
             sc = at(jnp.where(is_match, score, 0.0), j)
             is_pre = at(pre, j)
             num_ps = num_ps + jnp.where(m, sc, 0.0)
             word_hits = word_hits + m
-            add = jnp.where(m, sc, 0.0)
             upd = m[:, None] & (q_iota[None, :] == qi)
-            term_matched = term_matched + add[:, None] * \
-                (q_iota[None, :] == qi)
+            term_matched = term_matched + jnp.where(upd, sc[:, None], 0.0)
             term_has_prefix = term_has_prefix | (upd & is_pre[:, None])
             pos = at(offsets, j)
-            cur = jnp.take_along_axis(
-                term_first_pos, jnp.full((C, 1), 0) + qi, 1)[:, 0]
+            cur = at(term_first_pos, jnp.broadcast_to(qi, (C,)))
             new = jnp.where((cur == -1) | (pos < cur), pos, cur)
             term_first_pos = jnp.where(
-                upd, jnp.asarray(jnp.where(m, new, cur))[:, None],
-                term_first_pos)
+                upd, jnp.where(m, new, cur)[:, None], term_first_pos)
             q_active = q_active & ~upd
-            d_active = set_at(d_active, j, False, m)
+            d_active = set_at_false(d_active, j, m)
+            return (q_active, d_active, term_matched, term_has_prefix,
+                    term_first_pos, num_ps, word_hits)
 
-        # Pass 2: fuzzy prefix (Damerau<=1 on d prefixes of ql, ql+1, ql-1)
-        for si in range(Q):
+        st = (q_active, d_active, term_matched, term_has_prefix,
+              term_first_pos, num_ps, word_hits)
+        st = jax.lax.fori_loop(0, Q, ps1_body, st)
+        (q_active, d_active, term_matched, term_has_prefix,
+         term_first_pos, num_ps, word_hits) = st
+
+        def ps2_body(si, st):
+            (q_active, d_active, term_matched, term_first_pos, num_ps,
+             word_hits) = st
             qi = q_sorted[si]
             ql = q_lens[qi]
-            qc = q_chars[qi]
-            qa = jnp.take_along_axis(q_active, jnp.full((C, 1), 0) + qi,
-                                     axis=1)[:, 0] & (qi < q_count)
+            qa = at(q_active, jnp.broadcast_to(qi, (C,))) & (qi < q_count)
             eligible_q = (ql >= 4) | ((qi == q_count - 1) & (ql >= 2))
             d_elig = d_active & (ql < lens)
 
-            d1 = batched_damerau(qc, ql, chars, jnp.minimum(lens, ql),
-                                 max_distance=1, l_max=L)
-            d2 = batched_damerau(qc, ql, chars, jnp.minimum(lens, ql + 1),
-                                 max_distance=1, l_max=L)
-            d3 = batched_damerau(qc, ql, chars,
-                                 jnp.minimum(lens, jnp.maximum(ql - 1, 0)),
-                                 max_distance=1, l_max=L)
+            d1 = take_q(pdam1, qi)
+            d2 = take_q(pdam2, qi)
+            d3 = take_q(pdam3, qi)
             m1 = d1 <= 1
             m2 = ~m1 & (lens > ql) & (d2 <= 1)
             m3 = ~m1 & ~m2 & (lens > ql) & (ql > 1) & (d3 <= 1)
@@ -508,29 +564,33 @@ def coverage_fusion_batch(
                 jnp.where(m2, jnp.maximum((ql - d2).astype(f32), 0.1),
                           jnp.maximum((ql - 1 - d3).astype(f32), 0.1)))
             is_match = (m1 | m2 | m3) & d_elig
-            any_m, j = first_in_order(is_match)
+            any_m, j = first_in_order(is_match, d_order)
             m = any_m & qa & eligible_q
             sc = at(jnp.where(is_match, score, 0.0), j)
             num_ps = num_ps + jnp.where(m, sc, 0.0)
             word_hits = word_hits + m
-            add = jnp.where(m, sc, 0.0)
             upd = m[:, None] & (q_iota[None, :] == qi)
-            term_matched = term_matched + add[:, None] * (q_iota[None, :] == qi)
+            term_matched = term_matched + jnp.where(upd, sc[:, None], 0.0)
             pos = at(offsets, j)
-            cur = jnp.take_along_axis(
-                term_first_pos, jnp.full((C, 1), 0) + qi, 1)[:, 0]
+            cur = at(term_first_pos, jnp.broadcast_to(qi, (C,)))
             new = jnp.where((cur == -1) | (pos < cur), pos, cur)
             term_first_pos = jnp.where(
-                upd, jnp.asarray(jnp.where(m, new, cur))[:, None],
-                term_first_pos)
+                upd, jnp.where(m, new, cur)[:, None], term_first_pos)
             q_active = q_active & ~upd
-            d_active = set_at(d_active, j, False, m)
+            d_active = set_at_false(d_active, j, m)
+            return (q_active, d_active, term_matched, term_first_pos,
+                    num_ps, word_hits)
+
+        st = (q_active, d_active, term_matched, term_first_pos, num_ps,
+              word_hits)
+        st = jax.lax.fori_loop(0, Q, ps2_body, st)
+        (q_active, d_active, term_matched, term_first_pos, num_ps,
+         word_hits) = st
 
     # ---------------- 4. fuzzy word matcher ----------------------------
     if config.cover_fuzzy_words:
-        # skipped entirely when all terms fully matched
-        fully = (q_lens[None, :] <= 0) | (term_matched >= q_lens[None, :]) | \
-            ~q_valid[None, :]
+        fully = (q_lens[None, :] <= 0) | \
+            (term_matched >= q_lens[None, :].astype(f32)) | ~q_valid[None, :]
         all_full = fully.all(axis=1)
 
         max_q_len = jnp.max(
@@ -547,9 +607,13 @@ def coverage_fusion_batch(
             if edit_dist > config.num_typos:
                 break
             round_on = (edit_dist <= max_edit) & ~all_full
-            for i in range(Q):
+            dist_all = dam1 if edit_dist == 1 else dam2
+
+            def fz_body(i, st, edit_dist=edit_dist, dist_all=dist_all,
+                        round_on=round_on):
+                (q_active, d_active, term_matched, term_first_pos,
+                 word_hits, num_fuzzy) = st
                 ql = q_lens[i]
-                qc = q_chars[i]
                 qa = q_active[:, i] & (i < q_count) & round_on
                 if config.min_word_size > 0:
                     qa = qa & (ql >= config.min_word_size)
@@ -570,9 +634,9 @@ def coverage_fusion_batch(
                                 ql + edit_dist), 63)
                 window = (lens >= min_len) & (lens <= max_len)
                 first_char_ok = jnp.where(
-                    special, (lens > 0) & (chars[..., 0] == qc[0]), True)
-                dist = batched_damerau(qc, ql, chars, lens,
-                                       max_distance=edit_dist, l_max=L)
+                    special, (lens > 0) & (chars[..., 0] == q_chars[i, 0]),
+                    True)
+                dist = dist_all[:, i, :]
                 is_match = d_active & window & first_char_ok & \
                     (dist <= edit_dist)
                 any_m, j = first_true(is_match)
@@ -582,30 +646,35 @@ def coverage_fusion_batch(
                 word_hits = word_hits + m
                 num_fuzzy = num_fuzzy + credit
                 term_matched = term_matched.at[:, i].add(credit)
-                pos = at(offsets, j)
-                term_first_pos = note_pos(term_first_pos, i, pos, m)
+                term_first_pos = note_pos(term_first_pos, i, at(offsets, j), m)
                 q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
-                d_active = set_at(d_active, j, False, m)
+                d_active = set_at_false(d_active, j, m)
+                return (q_active, d_active, term_matched, term_first_pos,
+                        word_hits, num_fuzzy)
+
+            st = (q_active, d_active, term_matched, term_first_pos,
+                  word_hits, num_fuzzy)
+            st = jax.lax.fori_loop(0, Q, fz_body, st)
+            (q_active, d_active, term_matched, term_first_pos, word_hits,
+             num_fuzzy) = st
 
     # ================== CoverageScorer =================================
     lcs_eff = lcs_vals if config.cover_whole_query else jnp.zeros_like(lcs_vals)
     num11 = num_joined + num_whole + num_fuzzy + num_ps - penalty.astype(f32)
     num11 = jnp.where((num11 == 0.0) & (lcs_eff > 2.0), lcs_eff - 2.0, num11)
     qlen_f = jnp.maximum(query_len, 1).astype(f32)
-    coverage_score = jnp.clip(num11 / qlen_f * 255.0, 0.0, 255.0).astype(jnp.int32)
 
-    tmc = q_lens[None, :].astype(f32)  # term max chars
+    tmc = q_lens[None, :].astype(f32)
     has_term = q_valid[None, :] & (q_lens[None, :] > 0)
-    ci = jnp.where(has_term, jnp.minimum(1.0, term_matched / jnp.maximum(tmc, 1.0)), 0.0)
+    ci = jnp.where(has_term,
+                   jnp.minimum(1.0, term_matched / jnp.maximum(tmc, 1.0)), 0.0)
     sum_ci = ci.sum(axis=1)
     terms_with_any = (has_term & (ci > 0)).sum(axis=1)
     total_idf = jnp.where(has_term, q_idf[None, :], 0.0).sum(axis=1)
     idf_weighted = (ci * jnp.where(has_term, q_idf[None, :], 0.0)).sum(axis=1)
-    missing_idf = (jnp.where(has_term & (ci < 1.0), (1.0 - ci) * q_idf[None, :],
-                             0.0)).sum(axis=1)
+    missing_idf = jnp.where(has_term & (ci < 1.0),
+                            (1.0 - ci) * q_idf[None, :], 0.0).sum(axis=1)
     last_idx = jnp.maximum(q_count - 1, 0)
-    last_ci = jnp.take_along_axis(
-        ci, jnp.broadcast_to(last_idx, (C,))[:, None], 1)[:, 0]
     last_idf = q_idf[last_idx]
 
     fully_matched = has_term & (term_matched >= (tmc - 0.01))
@@ -624,36 +693,41 @@ def coverage_fusion_batch(
     max_pos = jnp.max(jnp.where(pos_valid, term_first_pos, -1), axis=1)
 
     idf_coverage = jnp.where(total_idf > 0, idf_weighted / total_idf, 0.0)
-
     type_ahead = (q_count > 0) & (total_idf > 0) & \
         ((last_idf / jnp.maximum(total_idf, 1e-30)) <= 1.0 / (q_count + 1))
 
-    # single-term LCS boost
     single_lcs_ci = jnp.minimum(1.0, lcs_eff / qlen_f)
     sum_ci = jnp.where((q_count == 1) & (query_len > 0) & (lcs_eff > 0) &
                        (single_lcs_ci > sum_ci), single_lcs_ci, sum_ci)
 
     prefix_hit = term_has_prefix & has_term & (term_matched > 0)
-    # longest consecutive prefix run
-    run = jnp.zeros((C,), jnp.int32)
-    longest_run = jnp.zeros((C,), jnp.int32)
-    for i in range(Q):
+
+    def run_body(i, st):
+        run, longest = st
         hit = prefix_hit[:, i] & (i < q_count)
         run = jnp.where(hit, run + 1, 0)
-        longest_run = jnp.maximum(longest_run, run)
-    # suffix run (from the last valid token backwards)
-    suffix_run = jnp.zeros((C,), jnp.int32)
-    still = jnp.ones((C,), bool)
-    for i in range(Q - 1, -1, -1):
+        return run, jnp.maximum(longest, run)
+
+    _, longest_run = jax.lax.fori_loop(
+        0, Q, run_body,
+        (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32)))
+
+    def suf_body(k, st):
+        suffix_run, still = st
+        i = Q - 1 - k
         in_range = i < q_count
         hit = prefix_hit[:, i] & in_range
         cont = still & in_range & hit
-        suffix_run = suffix_run + cont
-        still = jnp.where(in_range, cont, still)
+        return suffix_run + cont, jnp.where(in_range, cont, still)
+
+    suffix_run, _ = jax.lax.fori_loop(
+        0, Q, suf_body,
+        (jnp.zeros((C,), jnp.int32), jnp.ones((C,), bool)))
 
     phrase_span = jnp.where(
         (min_pos != big_pos) & (max_pos >= min_pos) & (terms_with_any >= 2),
         max_pos - min_pos + 1, 0)
+    del phrase_span  # computed for parity; unused by fusion
 
     last_token_has_prefix = jnp.take_along_axis(
         prefix_hit, jnp.broadcast_to(last_idx, (C,))[:, None], 1)[:, 0] & \
@@ -664,122 +738,96 @@ def coverage_fusion_batch(
     # ================== FusionSignalComputer ===========================
     sig = _fusion_signals(
         fq_chars, fq_lens, fq_count, fq_last_is_alpha,
-        chars, lens, offsets, adj_ws, all_valid, tok_count,
-        C, D, L, FQ, k_iota, d_iota, config)
+        chars, lens, adj_ws, all_valid, tok_count,
+        C, D, L, FQ, config)
+    sig["_fq_count"] = fq_count
 
     # ================== FusionScorer ===================================
-    sig["_fq_count"] = fq_count
     score, tiebreaker = _fusion_score_impl(
         C, Q, f32, q_iota, q_count, query_len, text_len,
         terms_with_any, terms_fully, terms_strict, terms_prefix,
         first_match_index, sum_ci, word_hits, cov_count,
         longest_run, suffix_run, preceding_strict, last_token_has_prefix,
-        last_ci, type_ahead, idf_coverage, total_idf, missing_idf,
+        type_ahead, idf_coverage, total_idf, missing_idf,
         q_word_idf, ci, has_term, sig, base_scores)
 
     return score, tiebreaker.astype(jnp.int32), word_hits
 
 
-def _q_endswith_d(q_chars, q_lens, qi, chars, lens, C, D, L, k_iota):
-    """query token qi ends with each doc token: [C,D]."""
-    ql = q_lens[qi]
-    qc = q_chars[qi]
-    start = ql - lens                                  # [C,D]
-    idx = jnp.clip(start[..., None] + k_iota[None, None, :], 0, L - 1)
-    q_shifted = qc[idx]                                # [C,D,L]
-    ch_eq = (q_shifted == chars) | (k_iota[None, None, :] >= lens[..., None])
-    return (ql >= lens) & ch_eq.all(axis=-1)
+def _q_startswith_d(q_chars, q_lens, chars, lens, valid):
+    """q token starts with doc token: [C,Q,D]."""
+    C, D, L = chars.shape
+    k = jnp.arange(L, dtype=jnp.int32)
+    q_c = q_chars[None, :, None, :]
+    q_l = q_lens[None, :, None]
+    d_c = chars[:, None, :, :]
+    d_l = lens[:, None, :]
+    ch_eq = (q_c == d_c) | (k[None, None, None, :] >= d_l[..., None])
+    return valid[:, None, :] & (q_l >= d_l) & ch_eq.all(axis=-1)
 
 
 def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
-                    chars, lens, offsets, adj_ws, all_valid, tok_count,
-                    C, D, L, FQ, k_iota, d_iota, config):
+                    chars, lens, adj_ws, all_valid, tok_count,
+                    C, D, L, FQ, config):
     """FusionSignalComputer.ComputeSignals, batched. Returns a dict."""
     f32 = jnp.float32
     fq_iota = jnp.arange(FQ, dtype=jnp.int32)
-    fq_valid = fq_iota < fq_count
+    d_iota = jnp.arange(D, dtype=jnp.int32)
+    k_iota = jnp.arange(L, dtype=jnp.int32)
+    fq_valid_vec = fq_iota < fq_count
     have = (fq_count > 0) & (tok_count > 0)
 
-    def d_startswith(qc, ql):
-        ch_eq = (chars == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
-        return all_valid & (lens >= ql) & ch_eq.all(axis=-1)
+    (F_EQ, F_D_SW_Q, _F_D_EW_Q, _F_Q_EW_D, F_CONT, F_CP) = \
+        _pairwise_primitives(fq_chars, fq_lens, chars, lens, all_valid)
+    F_Q_SW_D = _q_startswith_d(fq_chars, fq_lens, chars, lens, all_valid)
 
-    def d_eq(qc, ql):
-        ch_eq = (chars == qc[None, None, :]) | (k_iota[None, None, :] >= ql)
-        return all_valid & (lens == ql) & ch_eq.all(axis=-1)
-
-    # --- 1. CheckPrefixLastMatch ---------------------------------------
     last_idx = jnp.maximum(fq_count - 1, 0)
-    last_chars = fq_chars[last_idx]
     last_len = fq_lens[last_idx]
 
-    # single-token case
-    sw0 = d_startswith(fq_chars[0], fq_lens[0])
-    any_sw0, j0 = sw0.any(axis=1), jnp.argmax(sw0, axis=1).astype(jnp.int32)
-    exact0 = jnp.take_along_axis(
-        d_eq(fq_chars[0], fq_lens[0]), j0[:, None], 1)[:, 0]
+    # --- 1. CheckPrefixLastMatch ---------------------------------------
+    sw0 = F_D_SW_Q[:, 0, :]
+    any_sw0 = sw0.any(axis=1)
+    j0 = jnp.argmax(sw0, axis=1).astype(jnp.int32)
+    exact0 = jnp.take_along_axis(F_EQ[:, 0, :], j0[:, None], 1)[:, 0]
     single_lpl = any_sw0
     single_ape = any_sw0 & exact0
 
-    # multi-token case
-    all_prec = jnp.ones((C,), bool)
-    for i in range(FQ):
-        is_prec = (i < fq_count - 1) & fq_valid[i]
-        found = d_eq(fq_chars[i], fq_lens[i]).any(axis=1)
-        all_prec = all_prec & jnp.where(is_prec, found, True)
-    last_sw = d_startswith(last_chars, last_len).any(axis=1)
+    eq_any = F_EQ.any(axis=2)                       # [C,FQ]
+    is_prec = fq_iota[None, :] < (fq_count - 1)
+    all_prec = jnp.where(is_prec, eq_any, True).all(axis=1)
+    last_sw = jnp.take_along_axis(
+        F_D_SW_Q, jnp.broadcast_to(last_idx, (C,))[:, None, None], axis=1
+    )[:, 0, :].any(axis=1)
     multi_lpl = all_prec & last_sw
-    multi_ape = all_prec & last_sw  # reference resets ape when last misses
     lexical_prefix_last = jnp.where(fq_count == 1, single_lpl, multi_lpl) & have
-    all_preceding_exact = jnp.where(fq_count == 1, single_ape, multi_ape) & have
+    all_preceding_exact = jnp.where(
+        fq_count == 1, single_ape, multi_lpl) & have
 
     # --- 2. PerfectDoc -------------------------------------------------
-    explained = jnp.zeros((C, D), bool)
-    for i in range(FQ):
-        ql = fq_lens[i]
-        qc = fq_chars[i]
-        d_sw_q = d_startswith(qc, ql)
-        # q startswith d: per (c,d)
-        ch_eq = (qc[None, None, :] == chars) | \
-            (k_iota[None, None, :] >= lens[..., None])
-        q_sw_d = all_valid & (ql >= lens) & ch_eq.all(axis=-1)
-        explained = explained | ((d_sw_q | q_sw_d) & fq_valid[i])
+    explained = ((F_D_SW_Q | F_Q_SW_D) & fq_valid_vec[None, :, None]
+                 ).any(axis=1)
     perfect = jnp.where(all_valid, explained, True).all(axis=1) & have
 
     # --- 3. StemEvidence (fq_count >= 2) -------------------------------
     min_stem = config.min_word_size
-    unmatched_cnt = jnp.zeros((C,), jnp.int32)
-    evidence_cnt = jnp.zeros((C,), jnp.int32)
-    for i in range(FQ):
-        ql = fq_lens[i]
-        qc = fq_chars[i]
-        considered = fq_valid[i] & (ql >= min_stem)
-        word_match = (d_eq(qc, ql) | d_startswith(qc, ql)).any(axis=1)
-        unmatched = considered & ~word_match
-        # evidence: any d with len >= min_stem and (q startswith d or
-        # common prefix >= min_stem)
-        ch_eq = (qc[None, None, :] == chars) | \
-            (k_iota[None, None, :] >= lens[..., None])
-        q_sw_d = (ql >= lens) & ch_eq.all(axis=-1)
-        both = jnp.minimum(ql, lens)
-        pref_len = jnp.cumprod(
-            jnp.where(k_iota[None, None, :] < both[..., None],
-                      (qc[None, None, :] == chars), 1).astype(jnp.int32),
-            axis=-1).sum(axis=-1)
-        # cumprod-based prefix length counts leading equal chars within both
-        common_ok = (both >= min_stem) & (pref_len >= min_stem)
-        ev = (all_valid & (lens >= min_stem) & (q_sw_d | common_ok)).any(axis=1)
-        unmatched_cnt = unmatched_cnt + unmatched
-        evidence_cnt = evidence_cnt + (unmatched & ev)
+    considered = fq_valid_vec[None, :] & (fq_lens[None, :] >= min_stem)
+    word_match = (F_EQ | F_D_SW_Q).any(axis=2)
+    unmatched = considered & ~word_match
+    ev_tok = all_valid[:, None, :] & (lens[:, None, :] >= min_stem) & \
+        (F_Q_SW_D | (F_CP >= min_stem))
+    evidence = ev_tok.any(axis=2)
+    unmatched_cnt = unmatched.sum(axis=1)
+    evidence_cnt = (unmatched & evidence).sum(axis=1)
     stem_evidence = (fq_count >= 2) & (unmatched_cnt > 0) & \
         (evidence_cnt == unmatched_cnt) & have
 
     # --- 4. AnchorStem -------------------------------------------------
     first_len = fq_lens[0]
     stem_ok = (fq_count > 0) & (first_len >= ANCHOR_STEM_LENGTH)
-    stem_chars = fq_chars[0]
     stem_len = jnp.int32(ANCHOR_STEM_LENGTH)
-    d_sw_stem = d_startswith(stem_chars, stem_len)       # [C,D]
+    ch_eq = (chars == fq_chars[0][None, None, :]) | \
+        (k_iota[None, None, :] >= stem_len)
+    d_sw_stem = all_valid & (lens >= stem_len) & ch_eq.all(axis=-1)
     first_tok_match = d_sw_stem[:, 0] & (tok_count > 0)
     first_tok_long_enough = (tok_count > 0) & (lens[:, 0] >= stem_len)
     rest_match = (d_sw_stem & (d_iota[None, :] >= 1)).any(axis=1)
@@ -791,17 +839,13 @@ def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
     # --- 5. TrailingMatchDensity ---------------------------------------
     trail_on = (fq_count >= 2) & (last_len >= 1) & \
         (last_len <= MAX_TRAILING_LEN)
-    d_sw_last = d_startswith(last_chars, last_len)
-    # contains: last token inside d (len_d > len_last)
-    contains_last = jnp.zeros((C, D), bool)
-    for s in range(L):
-        idx = jnp.minimum(s + k_iota, L - 1)
-        shifted = chars[..., idx]
-        ch_eq = (shifted == last_chars[None, None, :]) | \
-            (k_iota[None, None, :] >= last_len)
-        contains_last = contains_last | (
-            ch_eq.all(axis=-1) & (s + last_len <= lens))
-    matchable = (d_sw_last | ((lens > last_len) & contains_last)) & all_valid
+    d_sw_last = jnp.take_along_axis(
+        F_D_SW_Q, jnp.broadcast_to(last_idx, (C,))[:, None, None], axis=1
+    )[:, 0, :]
+    cont_last = jnp.take_along_axis(
+        F_CONT, jnp.broadcast_to(last_idx, (C,))[:, None, None], axis=1
+    )[:, 0, :]
+    matchable = (d_sw_last | ((lens > last_len) & cont_last)) & all_valid
     m_count = matchable.sum(axis=1)
     density = m_count.astype(f32) / jnp.maximum(tok_count, 1).astype(f32)
     trailing_density = jnp.where(
@@ -809,18 +853,16 @@ def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
         jnp.clip(density * 255.0, 0.0, 255.0).astype(jnp.int32), 0)
 
     # --- 6. SingleTermLexicalSim ---------------------------------------
-    q0_chars = fq_chars[0]
-    q0_len = fq_lens[0]
     sim = _single_term_lexical_sim(
-        q0_chars, q0_len, chars, lens, all_valid, C, D, L, k_iota)
+        fq_chars[0], fq_lens[0], chars, lens, all_valid, C, D, L, k_iota)
     single_sim = jnp.where(
         (fq_count == 1) & have,
         jnp.clip(sim * 255.0, 0.0, 255.0).astype(jnp.int32), 0)
 
     # --- 7. SingleCharLastTokenBoost -----------------------------------
     boost = _single_char_last_boost(
-        fq_chars, fq_lens, fq_count, fq_last_is_alpha, last_chars,
-        chars, lens, adj_ws, all_valid, C, D, L, FQ, k_iota, d_iota)
+        fq_lens, fq_count, fq_last_is_alpha, fq_chars,
+        chars, lens, adj_ws, all_valid, F_CONT, C, D, FQ, d_iota)
     boost = jnp.where((fq_count >= 2) & have, boost, 0)
 
     return dict(
@@ -837,39 +879,45 @@ def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
 
 def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
                              C, D, L, k_iota):
+    from .editdistance_multi import batched_damerau_multi as _dam
+
     f32 = jnp.float32
     qlen_f = jnp.maximum(q_len, 1).astype(f32)
     ok = q_len >= 3
     tok_ok = all_valid & (lens >= 2)
 
-    # substring: find d token inside the query; first index
-    found_idx = jnp.full((C, D), -1, jnp.int32)
-    for s in range(L):
+    # substring: first position of d token inside the query
+    def sub_body(s, found):
         idx = jnp.minimum(s + k_iota, L - 1)
         q_shifted = q_chars[idx]
         ch_eq = (q_shifted[None, None, :] == chars) | \
             (k_iota[None, None, :] >= lens[..., None])
         hit = ch_eq.all(axis=-1) & (s + lens <= q_len)
-        found_idx = jnp.where((found_idx < 0) & hit, s, found_idx)
+        return jnp.where((found < 0) & hit, s, found)
+
+    found_idx = jax.lax.fori_loop(
+        0, L, sub_body, jnp.full((C, D), -1, jnp.int32))
     sub_hit = found_idx >= 0
     len_frac = lens.astype(f32) / qlen_f
     pos_factor = 1.0 - found_idx.astype(f32) / qlen_f
     sub_score = jnp.where(sub_hit & tok_ok, len_frac * pos_factor, 0.0)
 
     # prefix-suffix: largest k >= 2 with q[-k:] == t[:k]
-    best_k = jnp.zeros((C, D), jnp.int32)
-    for kk in range(2, L + 1):
+    def ps_body(kk, best_k):
         start = q_len - kk
         idx = jnp.clip(start + k_iota, 0, L - 1)
         q_tail = q_chars[idx]
-        ch_eq = (q_tail[None, None, :] == chars) | (k_iota[None, None, :] >= kk)
+        ch_eq = (q_tail[None, None, :] == chars) | \
+            (k_iota[None, None, :] >= kk)
         match = ch_eq.all(axis=-1) & (kk <= jnp.minimum(q_len, lens))
-        best_k = jnp.maximum(best_k, jnp.where(match, kk, 0))
+        return jnp.maximum(best_k, jnp.where(match, kk, 0))
+
+    best_k = jax.lax.fori_loop(
+        2, L + 1, ps_body, jnp.zeros((C, D), jnp.int32))
     ps_score = jnp.where(tok_ok, best_k.astype(f32) / qlen_f, 0.0)
 
-    # fuzzy damerau <= 2 (token len <= 32 always true given L_MAX)
-    dist = batched_damerau(q_chars, q_len, chars, lens, max_distance=2,
-                           l_max=L)
+    dist = _dam(q_chars[None, :], q_len[None], chars, lens,
+                max_distance=2, l_max=L)[:, 0, :]
     fz_score = jnp.where(tok_ok & (dist <= 2),
                          (q_len - dist).astype(f32) / qlen_f, 0.0)
 
@@ -883,18 +931,13 @@ def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
     two_ok = q_len >= 2 * MIN_SEG
     seg_len = jnp.minimum(2 * MIN_SEG, q_len // 2)
     tok3 = all_valid & (lens >= 3)
-    # prefix frag = q[:seg_len]
     ch_eq_p = (q_chars[None, None, :] == chars) | \
         (k_iota[None, None, :] >= jnp.minimum(seg_len, lens[..., None]))
-    pre_match = tok3 & ch_eq_p.all(axis=-1)   # matches startswith both ways
-    # t startswith frag requires lens>=seg_len handled by min() above:
-    # if lens < seg_len we check frag startswith t (first lens chars equal).
-    # suffix frag = q[seg_len backwards]
+    pre_match = tok3 & ch_eq_p.all(axis=-1)
     start_suf = q_len - seg_len
     idx_s = jnp.clip(start_suf + k_iota, 0, L - 1)
-    suf_frag = q_chars[idx_s]                  # [L]
-    # t endswith frag OR frag endswith t: compare tails of both
-    m = jnp.minimum(seg_len, lens)             # [C,D] compare last m chars
+    suf_frag = q_chars[idx_s]
+    m = jnp.minimum(seg_len, lens)
     idx_t = jnp.clip(lens[..., None] - m[..., None] + k_iota[None, None, :],
                      0, L - 1)
     t_tail = jnp.take_along_axis(chars, idx_t, axis=-1)
@@ -903,39 +946,29 @@ def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
     ch_eq_s = (t_tail == f_tail) | (k_iota[None, None, :] >= m[..., None])
     suf_match = tok3 & ch_eq_s.all(axis=-1)
 
-    any_pre, pre_i = pre_match.any(axis=1), jnp.argmax(pre_match, axis=1)
-    any_suf, suf_i = suf_match.any(axis=1), jnp.argmax(suf_match, axis=1)
+    any_pre = pre_match.any(axis=1)
+    pre_i = jnp.argmax(pre_match, axis=1)
+    any_suf = suf_match.any(axis=1)
+    suf_i = jnp.argmax(suf_match, axis=1)
     two_seg_hit = two_ok & any_pre & any_suf & (pre_i != suf_i)
     two_seg_score = jnp.minimum(1.0, (2 * seg_len).astype(f32) / qlen_f)
     best = jnp.where(two_seg_hit & (two_seg_score > best), two_seg_score, best)
     return jnp.where(ok, best, 0.0)
 
 
-def _single_char_last_boost(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
-                            last_chars, chars, lens, adj_ws, all_valid,
-                            C, D, L, FQ, k_iota, d_iota):
+def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
+                            chars, lens, adj_ws, all_valid, F_CONT,
+                            C, D, FQ, d_iota):
     """ComputeSingleCharLastTokenMatch, batched sequential walk."""
-    last_len_is_1 = fq_lens[jnp.maximum(fq_count - 1, 0)] == 1
-    target = last_chars[0]
+    last_idx = jnp.maximum(fq_count - 1, 0)
+    last_len_is_1 = fq_lens[last_idx] == 1
+    target = fq_chars[last_idx, 0]
     enabled = last_len_is_1 & fq_last_is_alpha
 
-    # contains matrix per fusion q token i: [C,D]
-    d_index = jnp.zeros((C,), jnp.int32)
-    first_match = jnp.full((C,), -1, jnp.int32)
-    alive = jnp.full((C,), True)
-
-    for i in range(FQ):
-        is_prec = (i < fq_count - 1)
-        ql = fq_lens[i]
-        qc = fq_chars[i]
-        contains = jnp.zeros((C, D), bool)
-        for s in range(L):
-            idx = jnp.minimum(s + k_iota, L - 1)
-            shifted = chars[..., idx]
-            ch_eq = (shifted == qc[None, None, :]) | \
-                (k_iota[None, None, :] >= ql)
-            contains = contains | (ch_eq.all(axis=-1) & (s + ql <= lens))
-        contains = contains & all_valid
+    def walk_body(i, st):
+        d_index, first_match, alive = st
+        is_prec = i < fq_count - 1
+        contains = F_CONT[:, i, :]
         eligible = contains & (d_iota[None, :] >= d_index[:, None])
         found = eligible.any(axis=1)
         j = jnp.argmax(eligible, axis=1).astype(jnp.int32)
@@ -944,11 +977,16 @@ def _single_char_last_boost(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
                                 j, first_match)
         d_index = jnp.where(step_on & found, j, d_index)
         alive = jnp.where(step_on, alive & found, alive)
+        return d_index, first_match, alive
+
+    d_index, first_match, alive = jax.lax.fori_loop(
+        0, FQ, walk_body,
+        (jnp.zeros((C,), jnp.int32), jnp.full((C,), -1, jnp.int32),
+         jnp.full((C,), True)))
 
     nxt = d_index + 1
-    nxt_ok = nxt < jnp.minimum(D, 2**30)
     nxt_valid = jnp.take_along_axis(
-        all_valid, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0] & nxt_ok
+        all_valid, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0] & (nxt < D)
     nxt_first = jnp.take_along_axis(
         chars[..., 0], jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0]
     nxt_len = jnp.take_along_axis(
@@ -965,7 +1003,7 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
                        terms_with_any, terms_fully, terms_strict,
                        terms_prefix, first_match_index, sum_ci, word_hits,
                        doc_token_count, longest_run, suffix_run,
-                       preceding_strict, last_token_has_prefix, last_ci,
+                       preceding_strict, last_token_has_prefix,
                        type_ahead, idf_coverage, total_idf, missing_idf,
                        q_word_idf, ci, has_term, sig, base_scores):
     fq_count = sig["_fq_count"]
@@ -1002,17 +1040,15 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
     precedence = precedence | jnp.where(exact_prefix, 1 << 15, 0)
     precedence = precedence | jnp.where(subset_match, 1 << 14, 0)
 
-    # Dominance: term arrays always present (word idf cache always built)
     avg_idf = jnp.where((total_idf > 0) & (tc > 0),
                         total_idf / jnp.maximum(tc, 1).astype(f32), 0.0)
-    power = q_word_idf[None, :] * ci                 # [C,Q]
+    power = q_word_idf[None, :] * ci
     total_power = jnp.where(has_term, power, 0.0).sum(axis=1)
     cand_ok = has_term & (ci > 0.1) & (q_word_idf[None, :] > 0.0) & \
         (q_word_idf[None, :] >= avg_idf[:, None])
     others = total_power[:, None] - power
-    dominant = (cand_ok & (power >= others)).any(axis=1)
     dominance_on = ~is_single & (tc >= 2)
-    dominant = dominant & dominance_on
+    dominant = (cand_ok & (power >= others)).any(axis=1) & dominance_on
     strong_anchor = sig["has_anchor_stem"] & (q_word_idf[0] >= avg_idf) & \
         dominance_on
     precedence = precedence | jnp.where(dominant | strong_anchor, 1 << 13, 0)
@@ -1020,7 +1056,6 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
     precedence = precedence | jnp.where(
         dominant & (unmatched_terms == 1), 8, 0)
 
-    # single-term tier
     st_tier = jnp.where(
         is_complete,
         jnp.where(starts_at_beginning,
@@ -1030,7 +1065,6 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
     single_prec = jnp.where(is_complete, 1 << 17, 0) | \
         jnp.where(is_clean & (tc > 0), 1 << 16, 0) | (st_tier << 3)
 
-    # multi-term tier
     anchor_run = sig["has_anchor_stem"] & (longest_run >= 2)
     mt_tier = jnp.where(
         prefix_last_strong, 3,
@@ -1044,19 +1078,16 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
         0.0)
     has_partial = (coverage_ratio > 0.0) & (coverage_ratio < 1.0)
 
-    # missing-info / stem-evidence boost (bit 3)
     last_matched = last_token_has_prefix | ((tc > 0) & (terms_with_any == tc))
     can_boost = (last_matched | ~type_ahead) & (total_idf > 0)
     missing_ratio = missing_idf / jnp.maximum(total_idf, 1e-30)
     term_gap = 1.0 - coverage_ratio
     info_boost = (unmatched_terms == 1) & can_boost & \
         (missing_ratio < term_gap)
-    boost_bit = jnp.where(
-        sig["has_stem_evidence"], True, info_boost)
+    boost_bit = jnp.where(sig["has_stem_evidence"], True, info_boost)
     precedence = precedence | jnp.where(
         has_partial & (n >= 2) & boost_bit, 8, 0)
 
-    # semantic
     avg_ci = jnp.where(tc > 0, sum_ci / jnp.maximum(tc, 1).astype(f32), 0.0)
     lexical_sim = sig["single_sim"].astype(f32) / 255.0
     sem_single = (avg_ci + lexical_sim) / 2.0
@@ -1066,7 +1097,6 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
     base_cov = jnp.where(use_idf_cov, idf_coverage, avg_ci)
     density = word_hits.astype(f32) / jnp.maximum(doc_token_count, 1).astype(f32)
     sem_multi = base_cov * density
-    # intent bonus
     signals = (sig["has_anchor_stem"].astype(jnp.int32) +
                (suffix_run >= 2).astype(jnp.int32))
     sem_multi = jnp.where(
@@ -1074,7 +1104,6 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
         jnp.minimum(1.0, sem_multi + INTENT_BONUS_PER_SIGNAL *
                     signals.astype(f32)),
         sem_multi)
-    # trailing term bonus
     t_density = sig["trailing_density"].astype(f32) / 255.0
     sem_multi = jnp.where(
         (tc >= 2) & (t_density > 0.0),

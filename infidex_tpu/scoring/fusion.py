@@ -208,4 +208,9 @@ def fusion_calculate(query_text: str, document_text: str,
         focus = min(1.0, len(query_text) / len(document_text))
         tiebreaker = int(focus * 255.0)
 
-    return float(precedence) + semantic, tiebreaker
+    # The reference computes `float finalScore = precedence + semantic` in
+    # float32 — match that rounding exactly (the device kernel does too).
+    import numpy as _np
+
+    final = float(_np.float32(precedence) + _np.float32(semantic))
+    return final, tiebreaker

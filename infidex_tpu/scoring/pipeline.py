@@ -34,6 +34,16 @@ SHORT_QUERY_MAX_LENGTH = 3
 SHORT_QUERY_COVERAGE_DOC_CAP = 500
 INT_MAX = 2**31 - 1
 
+# Candidate-count threshold above which Stage 2/3 runs as the batched device
+# kernel (below it, per-candidate host scoring has lower latency).
+DEVICE_COVERAGE_MIN_CANDIDATES = 24
+
+
+# Fixed device-coverage batch size: one compiled program regardless of the
+# candidate count (larger worklists run in chunks; each candidate is
+# independent so chunking is exact).
+DEVICE_COVERAGE_CHUNK = 512
+
 
 def analyze_query(search_text: str, tokenizer) -> Tuple[bool, bool, str]:
     """QueryAnalyzer.Analyze: (can_use_ngrams, has_mixed_terms, long_words_text)."""
@@ -212,6 +222,30 @@ class SearchPipeline:
         max_word_hits = 0
         min_stem = model.tokenizer.min_index_size
 
+        def best_segment_doc(doc):
+            if best_segments_map:
+                segs = model.documents.get_documents_for_public_key(doc.document_key)
+                if segs:
+                    base = segs[0].id - segs[0].segment_number
+                    entry = best_segments_map.get(base)
+                    if entry is not None:
+                        best = model.documents.get_document_of_segment(
+                            doc.document_key, entry[1])
+                        if best is not None:
+                            return best
+            return doc
+
+        def lcs_for(idx: int, query: str, doc_text: str) -> int:
+            lcs_val = lcs_memo.get(idx, 0)
+            if lcs_val == 0:
+                tolerance = 0
+                if len(query) >= coverage_setup.coverage_q_limit_for_error_tolerance:
+                    tolerance = int(len(query)
+                                    * coverage_setup.coverage_lcs_error_tolerance_relative_q)
+                lcs_val = calculate_lcs(query, doc_text, tolerance)
+                lcs_memo[idx] = min(lcs_val, 255)
+            return lcs_memo[idx]
+
         def process(internal_id: int, base_score: float) -> None:
             nonlocal max_word_hits
             doc = model.documents.get_document(internal_id)
@@ -230,14 +264,7 @@ class SearchPipeline:
                 coverage_doc_text = self._synonym_map.canonicalize_text(
                     coverage_doc_text, model.tokenizer.tokenizer_setup.delimiters)
 
-            lcs_val = lcs_memo.get(idx, 0)
-            if lcs_val == 0:
-                tolerance = 0
-                if len(context.query) >= coverage_setup.coverage_q_limit_for_error_tolerance:
-                    tolerance = int(len(context.query)
-                                    * coverage_setup.coverage_lcs_error_tolerance_relative_q)
-                lcs_val = calculate_lcs(context.query, coverage_doc_text, tolerance)
-                lcs_memo[idx] = min(lcs_val, 255)
+            lcs_val = lcs_for(idx, context.query, coverage_doc_text)
 
             features = self._coverage_engine.calculate_features(
                 context, coverage_doc_text, lcs_val, internal_id)
@@ -249,22 +276,34 @@ class SearchPipeline:
             max_word_hits = max(max_word_hits, features.word_hits)
             final_scores.append(ScoreEntry(score, doc.document_key, tiebreaker))
 
-        for internal_id in wm_overlapping:
-            process(internal_id, 0.0)
-        processed_unique = 0
-        for internal_id in wm_unique:
-            if processed_unique >= wm_limit:
-                break
-            process(internal_id, 0.0)
-            processed_unique += 1
-
+        # Build the full candidate worklist (order matters for heap ties)
+        worklist: List[Tuple[int, float]] = [
+            (iid, 0.0) for iid in wm_overlapping
+        ] + [(iid, 0.0) for iid in wm_unique[:wm_limit]]
         max_tfidf = top_candidates[0].score if top_candidates else 1.0
         for candidate in top_candidates:
             doc = model.documents.get_document_by_public_key(candidate.document_id)
             if doc is None or doc.deleted:
                 continue
             norm_bm25 = candidate.score / max_tfidf if max_tfidf > 0 else 0.0
-            process(doc.id, norm_bm25)
+            worklist.append((doc.id, norm_bm25))
+
+        handled = False
+        if (model.coverage_tables is not None
+                and len(worklist) >= DEVICE_COVERAGE_MIN_CANDIDATES):
+            device_result = self._device_coverage(
+                worklist, context, coverage_setup, best_segments_map,
+                key_to_index, lcs_memo, word_hits_memo, lcs_for,
+                best_segment_doc, final_scores)
+            if device_result is not None:
+                max_word_hits, leftovers = device_result
+                for internal_id, base_score in leftovers:
+                    process(internal_id, base_score)
+                handled = True
+
+        if not handled:
+            for internal_id, base_score in worklist:
+                process(internal_id, base_score)
 
         if max_word_hits == 0 and wm_ids.size == 0:
             return []
@@ -284,6 +323,113 @@ class SearchPipeline:
         else:
             result_count = min(max(0, truncation_index) + 1, max_results)
         return final_results[:result_count]
+
+    # ------------------------------------------------------------------
+    def _device_coverage(self, worklist, context, coverage_setup,
+                         best_segments_map, key_to_index, lcs_memo,
+                         word_hits_memo, lcs_for, best_segment_doc,
+                         final_scores) -> Optional[Tuple[int, List]]:
+        """Score the candidate worklist with the batched device kernel.
+
+        Returns (max_word_hits, leftover_candidates) or None when the query
+        shape is ineligible (too many / too long tokens) and the host oracle
+        should handle everything.
+        """
+        from ..coverage.engine import tokenize_slices
+        from ..ops.coverage_kernel import (CoverageConfig, FQ_MAX, L_MAX,
+                                           Q_MAX, coverage_fusion_batch,
+                                           encode_query_tokens)
+
+        model = self._model
+        tables = model.coverage_tables
+        delims = (model.tokenizer.tokenizer_setup.delimiter_set
+                  if model.tokenizer.tokenizer_setup else {" "})
+
+        if context.q_count == 0 or context.q_count > Q_MAX:
+            return None
+        q_chars, q_lens, _, q_count, q_ovf = encode_query_tokens(
+            context.query_tokens, Q_MAX)
+        fusion_tokens = tokenize_slices(context.query, 0, delims)
+        fq_chars, fq_lens, _, fq_count, fq_ovf = encode_query_tokens(
+            fusion_tokens, FQ_MAX)
+        if q_ovf or fq_ovf:
+            return None
+
+        order = sorted(range(q_count), key=lambda i: -q_lens[i])
+        q_sorted = np.full(Q_MAX, q_count, dtype=np.int32)
+        q_sorted[: len(order)] = order
+        q_idf = np.zeros(Q_MAX, np.float32)
+        q_idf[:q_count] = context.term_idf[:q_count]
+        q_widf = np.zeros(Q_MAX, np.float32)
+        if context.word_level_idf is not None:
+            q_widf[:q_count] = context.word_level_idf[:q_count]
+        last_alpha = bool(fusion_tokens
+                          and len(fusion_tokens[-1].lower) == 1
+                          and fusion_tokens[-1].lower.isalpha())
+
+        # Resolve candidates -> (text_id, base, idx, key); split off leftovers
+        device_cands = []   # (text_id, base_score, idx, doc_key)
+        leftovers = []
+        for internal_id, base_score in worklist:
+            doc = model.documents.get_document(internal_id)
+            if doc is None or doc.deleted:
+                continue
+            idx = key_to_index.get(doc.document_key)
+            if idx is None:
+                continue
+            text_doc = best_segment_doc(doc)
+            if (text_doc.id != doc.id or tables.overflow[text_doc.id]):
+                leftovers.append((internal_id, base_score))
+                continue
+            doc_text = get_best_segment_text(
+                doc, best_segments_map, model.documents,
+                model.tokenizer.text_normalizer)
+            if (self._synonym_map is not None
+                    and self._synonym_map.has_canonical_mappings
+                    and model.tokenizer.tokenizer_setup is not None):
+                doc_text = self._synonym_map.canonicalize_text(
+                    doc_text, model.tokenizer.tokenizer_setup.delimiters)
+            lcs_val = lcs_for(idx, context.query, doc_text)
+            device_cands.append(
+                (text_doc.id, base_score, idx, doc.document_key, lcs_val))
+
+        if not device_cands:
+            return 0, leftovers
+
+        import jax
+
+        config = CoverageConfig.from_setup(coverage_setup)
+        max_word_hits = 0
+        for chunk_start in range(0, len(device_cands), DEVICE_COVERAGE_CHUNK):
+            chunk = device_cands[chunk_start : chunk_start + DEVICE_COVERAGE_CHUNK]
+            c_pad = DEVICE_COVERAGE_CHUNK
+            text_ids = np.zeros(c_pad, np.int32)
+            base = np.zeros(c_pad, np.float32)
+            lcs_arr = np.zeros(c_pad, np.float32)
+            for i, (tid, b, idx, key, lcs_val) in enumerate(chunk):
+                text_ids[i] = tid
+                base[i] = b
+                lcs_arr[i] = lcs_val
+
+            out = coverage_fusion_batch(
+                tables.word_chars, tables.word_lens, tables.doc_tokens,
+                tables.doc_tok_offsets, tables.doc_tok_count,
+                tables.doc_adj_ws, tables.doc_text_len,
+                text_ids, q_chars, q_lens, q_idf, q_widf, np.int32(q_count),
+                q_sorted, fq_chars, fq_lens, np.int32(fq_count),
+                np.bool_(last_alpha), lcs_arr, base,
+                np.int32(len(context.query)), config=config)
+            # Single round-trip readback (high-latency links).
+            score, tie, wh = jax.device_get(out)
+
+            for i, (tid, b, idx, key, lcs_val) in enumerate(chunk):
+                hits = int(wh[i])
+                if word_hits_memo.get(idx, 0) == 0:
+                    word_hits_memo[idx] = min(hits, 255)
+                max_word_hits = max(max_word_hits, hits)
+                final_scores.append(
+                    ScoreEntry(float(score[i]), key, int(tie[i])))
+        return max_word_hits, leftovers
 
     # ------------------------------------------------------------------
     def _truncation_index(self, results: List[ScoreEntry], max_word_hits: int,

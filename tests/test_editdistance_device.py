@@ -97,3 +97,84 @@ def test_damerau_matches_oracle(max_distance):
                     assert got == expected, (q, w, got, expected)
                     cases += 1
     assert cases > 20  # the perturbations actually exercised matches
+
+
+# ---------------------------------------------------------------------------
+# Multi-query banded variants
+
+from infidex_tpu.ops.editdistance_multi import (batched_damerau_multi,
+                                                batched_lev_multi)
+
+
+def encode_q(words, Q):
+    chars = np.zeros((Q, L), dtype=np.int32)
+    lens = np.zeros(Q, dtype=np.int32)
+    for i, w in enumerate(words):
+        lens[i] = len(w)
+        for k, ch in enumerate(w[:L]):
+            chars[i, k] = ord(ch)
+    return chars, lens
+
+
+@pytest.mark.parametrize("budget", [1, 2, 3])
+def test_lev_multi_matches_oracle(budget):
+    rng = random.Random(10 + budget)
+    C, D, Q = 3, 8, 5
+    qs = [rand_word(rng, 1, 8) for _ in range(Q)]
+    words = [rand_word(rng) for _ in range(C * D)]
+    chars, lens = encode(words, C, D)
+    q_chars, q_lens = encode_q(qs, Q)
+    out = np.asarray(batched_lev_multi(
+        q_chars, q_lens, chars, lens, budget=budget, l_max=L))
+    it = 0
+    for c in range(C):
+        for d in range(D):
+            w = words[it]; it += 1
+            for qi, q in enumerate(qs):
+                expected = min(levenshtein(q, w), budget + 1)
+                assert out[c, qi, d] == expected, (q, w, out[c, qi, d], expected)
+
+
+@pytest.mark.parametrize("max_distance", [1, 2])
+def test_damerau_multi_matches_oracle(max_distance):
+    rng = random.Random(30 + max_distance)
+    C, D, Q = 3, 12, 4
+    matched = 0
+    for trial in range(6):
+        qs = [rand_word(rng, 2, 8) for _ in range(Q)]
+        words = []
+        for _ in range(C * D):
+            base = rng.choice(qs)
+            mode = rng.randint(0, 4)
+            w = list(base)
+            if mode == 0:
+                words.append(rand_word(rng))
+                continue
+            if mode == 1 and len(w) >= 2:
+                i = rng.randrange(len(w) - 1)
+                w[i], w[i + 1] = w[i + 1], w[i]
+            elif mode == 2:
+                i = rng.randrange(len(w))
+                w[i] = rng.choice(ALPHABET)
+            elif mode == 3:
+                w.insert(rng.randrange(len(w) + 1), rng.choice(ALPHABET))
+            elif len(w) >= 2:
+                del w[rng.randrange(len(w))]
+            words.append("".join(w))
+        chars, lens = encode(words, C, D)
+        q_chars, q_lens = encode_q(qs, Q)
+        out = np.asarray(batched_damerau_multi(
+            q_chars, q_lens, chars, lens, max_distance=max_distance, l_max=L))
+        it = 0
+        for c in range(C):
+            for d in range(D):
+                w = words[it]; it += 1
+                for qi, q in enumerate(qs):
+                    expected = calculate_damerau(q, w, max_distance)
+                    got = out[c, qi, d]
+                    assert (got <= max_distance) == (expected <= max_distance), \
+                        (q, w, got, expected)
+                    if expected <= max_distance:
+                        assert got == expected, (q, w, got, expected)
+                        matched += 1
+    assert matched > 50
