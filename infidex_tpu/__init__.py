@@ -8,6 +8,10 @@ both a stack VM and vectorized columnar predicates, facets, boosts,
 synonyms, persistence and multi-chip sharding.
 """
 
+from .utils.jaxcache import enable_persistent_cache as _enable_xla_cache
+
+_enable_xla_cache()
+
 from .api.fields import DocumentFields, Field, Weight
 from .api.filters import (CompositeFilter, DerivedFilter, Filter,
                           FilterBuilder, FilterParseException, InFilter,

@@ -90,6 +90,7 @@ class CoverageTables:
     """Device-resident doc token tables (+ overflow flags for host fallback)."""
 
     word_chars: jax.Array
+    word_chars_rev: jax.Array
     word_lens: jax.Array
     doc_tokens: jax.Array
     doc_tok_offsets: jax.Array
@@ -145,14 +146,17 @@ class CoverageTables:
 
         w_count = max(len(words), 1)
         word_chars = np.zeros((w_count, L_MAX), dtype=np.int32)
+        word_chars_rev = np.zeros((w_count, L_MAX), dtype=np.int32)
         word_lens = np.zeros(w_count, dtype=np.int32)
         for code, w in enumerate(words):
             word_lens[code] = len(w)
             for k, ch in enumerate(w):
                 word_chars[code, k] = ord(ch)
+                word_chars_rev[code, len(w) - 1 - k] = ord(ch)
 
         return CoverageTables(
             word_chars=jnp.asarray(word_chars),
+            word_chars_rev=jnp.asarray(word_chars_rev),
             word_lens=jnp.asarray(word_lens),
             doc_tokens=jnp.asarray(doc_tokens),
             doc_tok_offsets=jnp.asarray(doc_offsets),
@@ -164,8 +168,9 @@ class CoverageTables:
 
 
 def encode_query_tokens(tokens, max_tokens: int):
-    """(chars [max,L], lens [max], offsets [max], count, overflow)."""
+    """(chars [max,L], rev_chars [max,L], lens, offsets, count, overflow)."""
     chars = np.zeros((max_tokens, L_MAX), dtype=np.int32)
+    rev = np.zeros((max_tokens, L_MAX), dtype=np.int32)
     lens = np.zeros(max_tokens, dtype=np.int32)
     offsets = np.zeros(max_tokens, dtype=np.int32)
     overflow = len(tokens) > max_tokens
@@ -178,70 +183,79 @@ def encode_query_tokens(tokens, max_tokens: int):
         offsets[i] = t.position
         for k, ch in enumerate(text):
             chars[i, k] = ord(ch)
-    return chars, lens, offsets, min(len(tokens), max_tokens), overflow
+            rev[i, len(text) - 1 - k] = ord(ch)
+    return chars, rev, lens, offsets, min(len(tokens), max_tokens), overflow
 
 
 # ======================================================================
 # Pairwise primitives: [C, Q, D] relations between query and doc tokens
 
 
-def _pairwise_primitives(q_chars, q_lens, chars, lens, valid):
-    """EQ / D startswith Q / D endswith Q / D contains Q / Q endswith D.
+def _pairwise_primitives(q_chars, q_lens, q_rev, chars_t, chars_rev_t,
+                         lens, valid):
+    """EQ / D startswith Q / D endswith Q / Q endswith D / D contains Q /
+    common-prefix length, in the D-minor layout.
 
-    q_chars [S,L], q_lens [S]; chars [C,D,L], lens [C,D]; valid [C,D].
-    All outputs [C,S,D] and masked by `valid`.
+    q_chars/q_rev [S,L]; chars_t/chars_rev_t [C,L,D]; lens/valid [C,D].
+    All outputs [C,S,D] and masked by `valid`. Suffix relations are prefix
+    relations of the reversed strings (no gathers).
     """
-    C, D, L = chars.shape
+    C, L, D = chars_t.shape
     S = q_chars.shape[0]
-    k = jnp.arange(L, dtype=jnp.int32)
+    l4 = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]   # [1,1,L,1]
 
-    q_c = q_chars[None, :, None, :]                    # [1,S,1,L]
-    q_l = q_lens[None, :, None]                        # [1,S,1]
-    d_c = chars[:, None, :, :]                         # [C,1,D,L]
-    d_l = lens[:, None, :]                             # [C,1,D]
+    q_t = q_chars[None, :, :, None]                    # [1,S,L,1]
+    qr_t = q_rev[None, :, :, None]
+    d_t = chars_t[:, None, :, :]                       # [C,1,L,D]
+    dr_t = chars_rev_t[:, None, :, :]
+    ql = q_lens[None, :, None]                         # [1,S,1]
+    ql4 = q_lens[None, :, None, None]                  # [1,S,1,1]
+    dl = lens[:, None, :]                              # [C,1,D]
+    dl4 = lens[:, None, None, :]                       # [C,1,1,D]
     v = valid[:, None, :]                              # [C,1,D]
 
-    # exact equality + prefix
-    ch_eq = (d_c == q_c) | (k[None, None, None, :] >= q_l[..., None])
-    all_eq = ch_eq.all(axis=-1)
-    eq = v & (d_l == q_l) & all_eq
-    d_sw_q = v & (d_l >= q_l) & all_eq
+    all_eq = ((q_t == d_t) | (l4 >= ql4)).all(axis=2)          # [C,S,D]
+    eq = v & (dl == ql) & all_eq
+    d_sw_q = v & (dl >= ql) & all_eq
 
-    # d endswith q: d chars at d_l - q_l + k
-    start = d_l - q_l                                   # [C,S,D]
-    idx = jnp.clip(start[..., None] + k[None, None, None, :], 0, L - 1)
-    d_bc = jnp.broadcast_to(d_c, (C, S, D, L))
-    shifted = jnp.take_along_axis(d_bc, idx, axis=-1)
-    ew_eq = (shifted == q_c) | (k[None, None, None, :] >= q_l[..., None])
-    d_ew_q = v & (d_l >= q_l) & ew_eq.all(axis=-1)
+    rev_pref_q = ((qr_t == dr_t) | (l4 >= ql4)).all(axis=2)
+    d_ew_q = v & (dl >= ql) & rev_pref_q
+    rev_pref_d = ((qr_t == dr_t) | (l4 >= dl4)).all(axis=2)
+    q_ew_d = v & (ql >= dl) & rev_pref_d
 
-    # q endswith d: q chars at q_l - d_l + k vs d chars
-    startq = q_l - d_l
-    idxq = jnp.clip(startq[..., None] + k[None, None, None, :], 0, L - 1)
-    q_bc = jnp.broadcast_to(q_c, (C, S, D, L))
-    q_shift = jnp.take_along_axis(q_bc, idxq, axis=-1)
-    qe_eq = (q_shift == d_c) | (k[None, None, None, :] >= d_l[..., None])
-    q_ew_d = v & (q_l >= d_l) & qe_eq.all(axis=-1)
+    # d contains q: slide q over d via static slices of a zero-padded copy.
+    padded = jnp.concatenate(
+        [chars_t, jnp.zeros((C, L, D), chars_t.dtype)], axis=1)  # [C,2L,D]
 
-    # d contains q: any window
-    def cont_body(s, acc):
-        idx_s = jnp.minimum(s + k, L - 1)
-        sh = d_c[..., idx_s]                            # [C,1,D,L]
-        c_eq = (sh == q_c) | (k[None, None, None, :] >= q_l[..., None])
-        hit = c_eq.all(axis=-1) & (s + q_l <= d_l)
+    def cont_body(sw, acc):
+        sh = jax.lax.dynamic_slice_in_dim(padded, sw, L, axis=1)[:, None, :, :]
+        hit = ((sh == q_t) | (l4 >= ql4)).all(axis=2) & (sw + ql <= dl)
         return acc | hit
 
     d_cont_q = jax.lax.fori_loop(
         0, L, cont_body, jnp.zeros((C, S, D), bool)) & v
 
-    # common prefix length (leading equal chars within min(q_l, d_l))
-    both = jnp.minimum(q_l, d_l)                        # [C,S,D]
-    in_r = k[None, None, None, :] < both[..., None]
-    run = jnp.cumprod(
-        jnp.where(in_r, (d_c == q_c), True).astype(jnp.int32), axis=-1)
-    common_prefix = jnp.minimum(run.sum(axis=-1), both)
+    both4 = jnp.minimum(ql4, dl4)
+    mism = (q_t != d_t) & (l4 < both4)
+    any_m = mism.any(axis=2)
+    first_m = jnp.argmax(mism, axis=2).astype(jnp.int32)
+    common_prefix = jnp.where(any_m, first_m,
+                              jnp.broadcast_to(jnp.minimum(ql, dl), (C, S, D)))
 
     return eq, d_sw_q, d_ew_q, q_ew_d, d_cont_q, common_prefix
+
+
+def _q_startswith_d_t(q_chars, q_lens, chars_t, lens, valid):
+    """q token starts with doc token: [C,S,D] (D-minor layout)."""
+    C, L, D = chars_t.shape
+    l4 = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]
+    q_t = q_chars[None, :, :, None]
+    d_t = chars_t[:, None, :, :]
+    ql = q_lens[None, :, None]
+    dl = lens[:, None, :]
+    dl4 = lens[:, None, None, :]
+    ch_eq = ((q_t == d_t) | (l4 >= dl4)).all(axis=2)
+    return valid[:, None, :] & (ql >= dl) & ch_eq
 
 
 # ======================================================================
@@ -250,12 +264,12 @@ def _pairwise_primitives(q_chars, q_lens, chars, lens, valid):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def coverage_fusion_batch(
-    word_chars, word_lens, doc_tokens, doc_tok_offsets, doc_tok_count,
-    doc_adj_ws, doc_text_len,
+    word_chars, word_chars_rev, word_lens, doc_tokens, doc_tok_offsets,
+    doc_tok_count, doc_adj_ws, doc_text_len,
     text_ids,            # int32 [C] internal id whose text is scored
-    q_chars, q_lens, q_idf, q_word_idf, q_count,     # coverage query tokens
+    q_chars, q_chars_rev, q_lens, q_idf, q_word_idf, q_count,
     q_sorted,            # int32 [Q] token order by length desc (stable)
-    fq_chars, fq_lens, fq_count,                     # fusion query tokens
+    fq_chars, fq_chars_rev, fq_lens, fq_count,       # fusion query tokens
     fq_last_is_alpha,    # bool scalar: last fusion token is a single letter
     lcs_vals,            # f32 [C]
     base_scores,         # f32 [C]
@@ -278,12 +292,18 @@ def coverage_fusion_batch(
     text_len = doc_text_len[text_ids]               # [C]
     safe_codes = jnp.maximum(codes, 0)
     chars = word_chars[safe_codes]                  # [C,D,L]
+    chars_rev = word_chars_rev[safe_codes]          # [C,D,L]
     lens = jnp.where(codes >= 0, word_lens[safe_codes], 0)  # [C,D]
 
     d_iota = jnp.arange(D, dtype=jnp.int32)
     all_valid = (codes >= 0) & (d_iota[None, :] < tok_count[:, None])
     chars = jnp.where(all_valid[..., None], chars, 0)
+    chars_rev = jnp.where(all_valid[..., None], chars_rev, 0)
     lens = jnp.where(all_valid, lens, 0)
+    # D-minor layouts for all char math
+    chars_t = jnp.transpose(chars, (0, 2, 1))       # [C,L,D]
+    chars_rev_t = jnp.transpose(chars_rev, (0, 2, 1))
+    first_char = chars_t[:, 0, :]                   # [C,D]
 
     cov = all_valid & (lens >= config.min_word_size)
     same = (codes[:, :, None] == codes[:, None, :])
@@ -299,12 +319,14 @@ def coverage_fusion_batch(
 
     # ---------------- precomputed pairwise primitives -------------------
     (EQ, D_SW_Q, D_EW_Q, Q_EW_D, D_CONT_Q, _cp) = _pairwise_primitives(
-        q_chars, q_lens, chars, lens, all_valid)
+        q_chars, q_lens, q_chars_rev, chars_t, chars_rev_t, lens, all_valid)
+    _Q_SW_D = _q_startswith_d_t(q_chars, q_lens, chars_t, lens, all_valid)
 
     # edit distances (banded multi-query sweeps)
     dam1 = batched_damerau_multi(q_chars, q_lens, chars, lens,
                                  max_distance=1, l_max=L)
     dam2 = batched_damerau_multi(q_chars, q_lens, chars, lens,
+                                 q_chars_rev, chars_rev,
                                  max_distance=2, l_max=L)
     ql_b = q_lens[None, :, None]
     dl1 = jnp.minimum(lens[:, None, :], ql_b)
@@ -471,9 +493,6 @@ def coverage_fusion_batch(
             return (q_active, d_active, term_matched, term_has_joined,
                     term_has_prefix, term_first_pos, num_joined, word_hits)
 
-        # Q startswith D: precompute [C,Q,D] (q token starts with doc token)
-        _Q_SW_D = _q_startswith_d(q_chars, q_lens, chars, lens, all_valid)
-
         st = (q_active, d_active, term_matched, term_has_joined,
               term_has_prefix, term_first_pos, num_joined, word_hits)
         if D >= 2:
@@ -634,7 +653,7 @@ def coverage_fusion_batch(
                                 ql + edit_dist), 63)
                 window = (lens >= min_len) & (lens <= max_len)
                 first_char_ok = jnp.where(
-                    special, (lens > 0) & (chars[..., 0] == q_chars[i, 0]),
+                    special, (lens > 0) & (first_char == q_chars[i, 0]),
                     True)
                 dist = dist_all[:, i, :]
                 is_match = d_active & window & first_char_ok & \
@@ -737,9 +756,9 @@ def coverage_fusion_batch(
 
     # ================== FusionSignalComputer ===========================
     sig = _fusion_signals(
-        fq_chars, fq_lens, fq_count, fq_last_is_alpha,
-        chars, lens, adj_ws, all_valid, tok_count,
-        C, D, L, FQ, config)
+        fq_chars, fq_chars_rev, fq_lens, fq_count, fq_last_is_alpha,
+        chars, chars_rev, chars_t, chars_rev_t, lens, adj_ws, all_valid,
+        tok_count, C, D, L, FQ, config)
     sig["_fq_count"] = fq_count
 
     # ================== FusionScorer ===================================
@@ -754,32 +773,21 @@ def coverage_fusion_batch(
     return score, tiebreaker.astype(jnp.int32), word_hits
 
 
-def _q_startswith_d(q_chars, q_lens, chars, lens, valid):
-    """q token starts with doc token: [C,Q,D]."""
-    C, D, L = chars.shape
-    k = jnp.arange(L, dtype=jnp.int32)
-    q_c = q_chars[None, :, None, :]
-    q_l = q_lens[None, :, None]
-    d_c = chars[:, None, :, :]
-    d_l = lens[:, None, :]
-    ch_eq = (q_c == d_c) | (k[None, None, None, :] >= d_l[..., None])
-    return valid[:, None, :] & (q_l >= d_l) & ch_eq.all(axis=-1)
-
-
-def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
-                    chars, lens, adj_ws, all_valid, tok_count,
+def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
+                    fq_last_is_alpha, chars, chars_rev, chars_t, chars_rev_t,
+                    lens, adj_ws, all_valid, tok_count,
                     C, D, L, FQ, config):
     """FusionSignalComputer.ComputeSignals, batched. Returns a dict."""
     f32 = jnp.float32
     fq_iota = jnp.arange(FQ, dtype=jnp.int32)
     d_iota = jnp.arange(D, dtype=jnp.int32)
-    k_iota = jnp.arange(L, dtype=jnp.int32)
     fq_valid_vec = fq_iota < fq_count
     have = (fq_count > 0) & (tok_count > 0)
 
     (F_EQ, F_D_SW_Q, _F_D_EW_Q, _F_Q_EW_D, F_CONT, F_CP) = \
-        _pairwise_primitives(fq_chars, fq_lens, chars, lens, all_valid)
-    F_Q_SW_D = _q_startswith_d(fq_chars, fq_lens, chars, lens, all_valid)
+        _pairwise_primitives(fq_chars, fq_lens, fq_chars_rev, chars_t,
+                             chars_rev_t, lens, all_valid)
+    F_Q_SW_D = _q_startswith_d_t(fq_chars, fq_lens, chars_t, lens, all_valid)
 
     last_idx = jnp.maximum(fq_count - 1, 0)
     last_len = fq_lens[last_idx]
@@ -825,9 +833,9 @@ def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
     first_len = fq_lens[0]
     stem_ok = (fq_count > 0) & (first_len >= ANCHOR_STEM_LENGTH)
     stem_len = jnp.int32(ANCHOR_STEM_LENGTH)
-    ch_eq = (chars == fq_chars[0][None, None, :]) | \
-        (k_iota[None, None, :] >= stem_len)
-    d_sw_stem = all_valid & (lens >= stem_len) & ch_eq.all(axis=-1)
+    l3 = jnp.arange(L, dtype=jnp.int32)[None, :, None]      # [1,L,1]
+    ch_eq = (chars_t == fq_chars[0][None, :, None]) | (l3 >= stem_len)
+    d_sw_stem = all_valid & (lens >= stem_len) & ch_eq.all(axis=1)
     first_tok_match = d_sw_stem[:, 0] & (tok_count > 0)
     first_tok_long_enough = (tok_count > 0) & (lens[:, 0] >= stem_len)
     rest_match = (d_sw_stem & (d_iota[None, :] >= 1)).any(axis=1)
@@ -854,7 +862,8 @@ def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
 
     # --- 6. SingleTermLexicalSim ---------------------------------------
     sim = _single_term_lexical_sim(
-        fq_chars[0], fq_lens[0], chars, lens, all_valid, C, D, L, k_iota)
+        fq_chars[0], fq_chars_rev[0], fq_lens[0], chars, chars_rev,
+        chars_t, chars_rev_t, lens, all_valid, C, D, L)
     single_sim = jnp.where(
         (fq_count == 1) & have,
         jnp.clip(sim * 255.0, 0.0, 255.0).astype(jnp.int32), 0)
@@ -862,7 +871,7 @@ def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
     # --- 7. SingleCharLastTokenBoost -----------------------------------
     boost = _single_char_last_boost(
         fq_lens, fq_count, fq_last_is_alpha, fq_chars,
-        chars, lens, adj_ws, all_valid, F_CONT, C, D, FQ, d_iota)
+        chars_t[:, 0, :], lens, adj_ws, all_valid, F_CONT, C, D, FQ, d_iota)
     boost = jnp.where((fq_count >= 2) & have, boost, 0)
 
     return dict(
@@ -877,23 +886,27 @@ def _fusion_signals(fq_chars, fq_lens, fq_count, fq_last_is_alpha,
     )
 
 
-def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
-                             C, D, L, k_iota):
+def _single_term_lexical_sim(q_chars, q_rev, q_len, chars, chars_rev,
+                             chars_t, chars_rev_t, lens, all_valid, C, D, L):
+    """ComputeSingleTermLexicalSimilarity, batched (D-minor layout)."""
     from .editdistance_multi import batched_damerau_multi as _dam
 
     f32 = jnp.float32
     qlen_f = jnp.maximum(q_len, 1).astype(f32)
     ok = q_len >= 3
     tok_ok = all_valid & (lens >= 2)
+    l3 = jnp.arange(L, dtype=jnp.int32)[None, :, None]       # [1,L,1]
+    dl3 = lens[:, None, :]                                    # [C,1,D]
 
-    # substring: first position of d token inside the query
-    def sub_body(s, found):
-        idx = jnp.minimum(s + k_iota, L - 1)
-        q_shifted = q_chars[idx]
-        ch_eq = (q_shifted[None, None, :] == chars) | \
-            (k_iota[None, None, :] >= lens[..., None])
-        hit = ch_eq.all(axis=-1) & (s + lens <= q_len)
-        return jnp.where((found < 0) & hit, s, found)
+    # substring: first position of d token inside the query.
+    # q window at s (static slice of the zero-padded 1-D query).
+    q_padded = jnp.concatenate([q_chars, jnp.zeros((L,), q_chars.dtype)])
+
+    def sub_body(sw, found):
+        q_sh = jax.lax.dynamic_slice_in_dim(q_padded, sw, L)[None, :, None]
+        hit = ((q_sh == chars_t) | (l3 >= dl3)).all(axis=1) & \
+            (sw + lens <= q_len)
+        return jnp.where((found < 0) & hit, sw, found)
 
     found_idx = jax.lax.fori_loop(
         0, L, sub_body, jnp.full((C, D), -1, jnp.int32))
@@ -902,14 +915,14 @@ def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
     pos_factor = 1.0 - found_idx.astype(f32) / qlen_f
     sub_score = jnp.where(sub_hit & tok_ok, len_frac * pos_factor, 0.0)
 
-    # prefix-suffix: largest k >= 2 with q[-k:] == t[:k]
+    # prefix-suffix: largest k >= 2 with q[-k:] == t[:k].
+    # q[-k:] reversed == q_rev[:k]; t[:k] is a prefix, so compare
+    # rev(q tail) char-by-char against... simpler: slice q at q_len-k.
     def ps_body(kk, best_k):
-        start = q_len - kk
-        idx = jnp.clip(start + k_iota, 0, L - 1)
-        q_tail = q_chars[idx]
-        ch_eq = (q_tail[None, None, :] == chars) | \
-            (k_iota[None, None, :] >= kk)
-        match = ch_eq.all(axis=-1) & (kk <= jnp.minimum(q_len, lens))
+        start = jnp.maximum(q_len - kk, 0)
+        q_tail = jax.lax.dynamic_slice_in_dim(q_padded, start, L)[None, :, None]
+        match = ((q_tail == chars_t) | (l3 >= kk)).all(axis=1) & \
+            (kk <= jnp.minimum(q_len, lens))
         return jnp.maximum(best_k, jnp.where(match, kk, 0))
 
     best_k = jax.lax.fori_loop(
@@ -917,7 +930,7 @@ def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
     ps_score = jnp.where(tok_ok, best_k.astype(f32) / qlen_f, 0.0)
 
     dist = _dam(q_chars[None, :], q_len[None], chars, lens,
-                max_distance=2, l_max=L)[:, 0, :]
+                q_rev[None, :], chars_rev, max_distance=2, l_max=L)[:, 0, :]
     fz_score = jnp.where(tok_ok & (dist <= 2),
                          (q_len - dist).astype(f32) / qlen_f, 0.0)
 
@@ -931,20 +944,14 @@ def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
     two_ok = q_len >= 2 * MIN_SEG
     seg_len = jnp.minimum(2 * MIN_SEG, q_len // 2)
     tok3 = all_valid & (lens >= 3)
-    ch_eq_p = (q_chars[None, None, :] == chars) | \
-        (k_iota[None, None, :] >= jnp.minimum(seg_len, lens[..., None]))
-    pre_match = tok3 & ch_eq_p.all(axis=-1)
-    start_suf = q_len - seg_len
-    idx_s = jnp.clip(start_suf + k_iota, 0, L - 1)
-    suf_frag = q_chars[idx_s]
-    m = jnp.minimum(seg_len, lens)
-    idx_t = jnp.clip(lens[..., None] - m[..., None] + k_iota[None, None, :],
-                     0, L - 1)
-    t_tail = jnp.take_along_axis(chars, idx_t, axis=-1)
-    idx_f = jnp.clip(seg_len - m[..., None] + k_iota[None, None, :], 0, L - 1)
-    f_tail = suf_frag[idx_f]
-    ch_eq_s = (t_tail == f_tail) | (k_iota[None, None, :] >= m[..., None])
-    suf_match = tok3 & ch_eq_s.all(axis=-1)
+    # prefix frag vs token: one is a prefix of the other
+    pre_match = tok3 & (((q_chars[None, :, None] == chars_t) |
+                         (l3 >= jnp.minimum(seg_len, dl3))).all(axis=1))
+    # suffix frag: rev(frag) = q_rev[:seg_len]; t-or-frag suffix relation ==
+    # prefix relation of the reversed strings over m = min(seg_len, len_t).
+    m3 = jnp.minimum(seg_len, dl3)                             # [C,1,D]
+    suf_match = tok3 & (((q_rev[None, :, None] == chars_rev_t) |
+                         (l3 >= m3)).all(axis=1))
 
     any_pre = pre_match.any(axis=1)
     pre_i = jnp.argmax(pre_match, axis=1)
@@ -957,7 +964,7 @@ def _single_term_lexical_sim(q_chars, q_len, chars, lens, all_valid,
 
 
 def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
-                            chars, lens, adj_ws, all_valid, F_CONT,
+                            first_char, lens, adj_ws, all_valid, F_CONT,
                             C, D, FQ, d_iota):
     """ComputeSingleCharLastTokenMatch, batched sequential walk."""
     last_idx = jnp.maximum(fq_count - 1, 0)
@@ -988,7 +995,7 @@ def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
     nxt_valid = jnp.take_along_axis(
         all_valid, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0] & (nxt < D)
     nxt_first = jnp.take_along_axis(
-        chars[..., 0], jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0]
+        first_char, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0]
     nxt_len = jnp.take_along_axis(
         lens, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0]
     adj = jnp.take_along_axis(adj_ws, d_index[:, None], 1)[:, 0]

@@ -1,17 +1,22 @@
 """Multi-query banded edit distance: all query tokens vs all doc tokens in
-ONE banded DP sweep.
+ONE banded DP sweep, laid out for the TPU VPU.
 
-Computes [C, Q, D] distances in a single scan instead of Q separate DP
-instances — the compile-time and bandwidth fix for ops/coverage_kernel.py.
+Layout: DP state is [W, C, Q, D] with the doc-token axis D minor (lanes) and
+Q second-minor (sublanes); the tiny band axis W stays major so it never
+wastes lanes. Char tensors are [C, L, D] / [Q, L].
 
-* ``batched_lev_multi``: banded Levenshtein, band half-width = budget, state
-  [C, Q, D, 2*budget+1]. Exact min(dist, budget+1) (entries outside the band
-  can never be < budget+1).
-* ``batched_damerau_multi``: the reference CalculateDamerau
+* ``batched_lev_multi``: banded Levenshtein, band half-width = budget.
+  Exact min(dist, budget+1).
+* ``batched_damerau_multi``: reference CalculateDamerau
   (Metrics/LevenshteinDistance.cs:281-341) with the first-mismatch
-  transposition rescue evaluated in closed form: the rescue's residual
-  lev(q[p+2:], d[p+2:]) <= 1 test reduces to aligned-prefix + common-suffix
-  run lengths (no second DP).
+  transposition rescue in closed form. For max_distance == 1 the rescue
+  residual must be EQUAL (aligned equality only); for max_distance == 2 the
+  residual lev<=1 test needs common-suffix runs, computed from REVERSED char
+  tables (suffix match == prefix match of the reversed strings — no gathers).
+
+``d_lens`` may be [C, D] or per-query [C, Q, D] (clamped prefix windows);
+reversed tables are only required (and only valid) for the unclamped
+max_distance == 2 case.
 
 Property-tested against utils/metrics.py in tests/test_editdistance_device.py.
 """
@@ -19,22 +24,24 @@ Property-tested against utils/metrics.py in tests/test_editdistance_device.py.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
-def _cummin_plus(row: jax.Array) -> jax.Array:
-    """row[o] = min_{o'<=o}(row[o'] + (o - o')) along the last axis."""
-    iota = jnp.arange(row.shape[-1], dtype=row.dtype)
-    return iota + jax.lax.cummin(row - iota, axis=row.ndim - 1)
+def _cummin_plus_axis0(row: jax.Array) -> jax.Array:
+    """row[o] = min_{o'<=o}(row[o'] + (o - o')) along axis 0 (band axis)."""
+    iota = jnp.arange(row.shape[0], dtype=row.dtype).reshape(
+        (-1,) + (1,) * (row.ndim - 1))
+    return iota + jax.lax.cummin(row - iota, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "l_max"))
 def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
                       q_lens: jax.Array,    # int32 [Q]
                       d_chars: jax.Array,   # int32 [C, D, L]
-                      d_lens: jax.Array,    # int32 [C, D]
+                      d_lens: jax.Array,    # int32 [C, D] or [C, Q, D]
                       *, budget: int, l_max: int) -> jax.Array:
     """min(lev(q_i, d_cd), budget+1) for every (c, i, d). Shape [C, Q, D]."""
     C, D, L = d_chars.shape
@@ -42,58 +49,52 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
     B = budget
     W = 2 * B + 1
     big = jnp.int32(budget + 1)
-    # d_lens may be [C, D] (shared across queries) or [C, Q, D]
-    # (per-query clamped lengths, e.g. prefix-window variants).
-    d_len3 = d_lens[:, None, :] if d_lens.ndim == 2 else d_lens
+    d_len3 = d_lens[:, None, :] if d_lens.ndim == 2 else d_lens   # [C,1|Q,D]
 
-    # Band state: cost[..., o] is the DP value at (i = j + (o - B)) for the
-    # current column j. Column 0: cost(i, 0) = i.
-    o_iota = jnp.arange(W, dtype=jnp.int32)           # o index
+    o_iota = jnp.arange(W, dtype=jnp.int32)
     off = o_iota - B                                  # diagonal offset i - j
-    init = jnp.where(off >= 0, off, big + 1)          # i = off at j=0
-    row0 = jnp.broadcast_to(init, (C, Q, D, W)).astype(jnp.int32)
+    init = jnp.where(off >= 0, off, big + 1)
+    row0 = jnp.broadcast_to(init[:, None, None, None],
+                            (W, C, Q, D)).astype(jnp.int32)
     row0 = jnp.minimum(row0, big + 1)
 
-    q_len_b = q_lens[None, :, None]                   # [1,Q,1]
+    # scan consumes doc chars along L: xs[j] = d char j for every (C, D)
+    xs = jnp.transpose(d_chars, (2, 0, 1))            # [L, C, D]
+    steps = min(L, l_max)
 
-    def step(row, j):
-        # j is 0-based text index; column number = j+1.
-        d_char = d_chars[:, None, :, j]                # [C,1,D]
-        # q char at i-1 = (j+1) + off - 1 = j + off
+    def step(carry, inp):
+        row, j = carry
+        d_char = inp                                   # [C, D]
         qi = j + off                                   # [W]
         qi_clip = jnp.clip(qi, 0, q_chars.shape[1] - 1)
-        q_at = q_chars[:, qi_clip]                     # [Q,W]
-        valid_i = (qi >= 0) & (qi[None, :] < q_lens[:, None])  # [Q,W]
+        q_at = q_chars[:, qi_clip]                     # [Q, W]
+        q_at_w = jnp.transpose(q_at)[:, None, :, None]  # [W,1,Q,1]
 
-        sub = jnp.where(q_at[None, :, None, :, ] == d_char[..., None], 0, 1)
-        # i==0 row (all-insertions): cost = column number = j+1 at off = -(j+1)
-        diag = row + sub                               # offset preserved
+        sub = jnp.where(q_at_w == d_char[None, :, None, :], 0, 1)
+        diag = row + sub
         up = jnp.concatenate(
-            [row[..., 1:], jnp.full((C, Q, D, 1), big + 1)], axis=-1) + 1
+            [row[1:], jnp.full((1, C, Q, D), big + 1, jnp.int32)], axis=0) + 1
         base = jnp.minimum(diag, up)
-        # boundary: i == 0 -> cost = j+1 (only representable when j+1 <= B)
-        i_here = (j + 1) + off                         # [W] value of i at col j+1
-        base = jnp.where((i_here[None, None, None, :] == 0),
+        i_here = (j + 1) + off                         # [W]
+        base = jnp.where((i_here == 0)[:, None, None, None],
                          jnp.minimum(base, j + 1), base)
-        new_row = _cummin_plus(base)
-        # invalid i positions get big
-        iv = (i_here >= 0) & (i_here[None, :] <= q_lens[:, None])   # [Q,W]
-        new_row = jnp.where(iv[None, :, None, :], new_row, big + 1)
+        new_row = _cummin_plus_axis0(base)
+        iv = (i_here[:, None] >= 0) & (i_here[:, None] <= q_lens[None, :])
+        new_row = jnp.where(iv[:, None, :, None], new_row, big + 1)
         new_row = jnp.minimum(new_row, big + 1)
-        d_valid = j < d_len3                           # [C,1|Q,D]
-        row = jnp.where(d_valid[..., None], new_row, row)
-        return row, None
+        d_valid = (j < d_len3)[None, ...]              # [1,C,1|Q,D]
+        row = jnp.where(d_valid, new_row, row)
+        return (row, j + 1), None
 
-    row, _ = jax.lax.scan(step, row0, jnp.arange(min(L, l_max), dtype=jnp.int32))
+    (row, _), _ = jax.lax.scan(step, (row0, jnp.int32(0)), xs[:steps])
 
-    # Result at i = q_len, j = d_len -> offset o = q_len - d_len + B.
+    # Result at offset o = q_len - d_len + B: one-hot reduction over W.
     o_final = q_lens[None, :, None] - d_len3 + B                  # [C,Q,D]
     o_final = jnp.broadcast_to(o_final, (C, Q, D))
-    in_band = (o_final >= 0) & (o_final < W)
-    o_idx = jnp.clip(o_final, 0, W - 1)
-    dist = jnp.take_along_axis(row, o_idx[..., None], axis=-1)[..., 0]
-    dist = jnp.where(in_band, dist, big)
+    sel = o_iota[:, None, None, None] == o_final[None, ...]
+    dist = jnp.min(jnp.where(sel, row, big), axis=0)
     # Degenerate sides
+    q_len_b = q_lens[None, :, None]
     dist = jnp.where(q_len_b == 0, jnp.broadcast_to(d_len3, (C, Q, D)), dist)
     dist = jnp.where(jnp.broadcast_to(d_len3 == 0, (C, Q, D)),
                      jnp.broadcast_to(q_len_b, (C, Q, D)), dist)
@@ -104,7 +105,9 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
 def batched_damerau_multi(q_chars: jax.Array,   # int32 [Q, L]
                           q_lens: jax.Array,    # int32 [Q]
                           d_chars: jax.Array,   # int32 [C, D, L]
-                          d_lens: jax.Array,    # int32 [C, D]
+                          d_lens: jax.Array,    # int32 [C, D] or [C, Q, D]
+                          q_chars_rev: Optional[jax.Array] = None,  # [Q, L]
+                          d_chars_rev: Optional[jax.Array] = None,  # [C, D, L]
                           *, max_distance: int, l_max: int) -> jax.Array:
     """Reference CalculateDamerau for every (c, q, d). Values above
     max_distance are clamped; callers compare <= max_distance."""
@@ -120,73 +123,71 @@ def batched_damerau_multi(q_chars: jax.Array,   # int32 [Q, L]
                              budget=max_distance + 1, l_max=l_max)
 
     # --- transposition rescue (dist == max_distance + 1) ---------------
-    # Aligned equality matrix over k: q[k] vs d[k].
-    k_iota = jnp.arange(L, dtype=jnp.int32)
-    eq = q_chars[None, :, None, :] == d_chars[:, None, :, :]      # [C,Q,D,L]
+    # Aligned equality in [C, Q, L, D] layout (D minor).
+    d_t = jnp.transpose(d_chars, (0, 2, 1))[:, None, :, :]       # [C,1,L,D]
+    q_t = q_chars[None, :, :, None]                              # [1,Q,L,1]
+    l_iota = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]  # [1,1,L,1]
+    eq = q_t == d_t                                              # [C,Q,L,D]
 
-    # First mismatch p within k < q_len-1 and k < d_len.
-    in_scan = (k_iota[None, None, None, :] < (q_len_b - 1)[..., None]) & \
-              (k_iota[None, None, None, :] < d_len_b[..., None])
+    ql4 = q_lens[None, :, None, None]
+    dl4 = d_len_b[:, :, None, :]
+    in_scan = (l_iota < (ql4 - 1)) & (l_iota < dl4)
     mism = (~eq) & in_scan
-    has_mism = mism.any(axis=-1)
-    p = jnp.argmax(mism, axis=-1).astype(jnp.int32)               # [C,Q,D]
+    has_mism = mism.any(axis=2)                                   # [C,Q,D]
+    # first mismatch p: argmax over the L axis
+    p = jnp.argmax(mism, axis=2).astype(jnp.int32)                # [C,Q,D]
+    p4 = p[:, :, None, :]
 
-    # Swap check: p+1 < d_len, q[p]==d[p+1], q[p+1]==d[p]
+    # chars at p, p+1 via one-hot reductions over L
+    sel_p = l_iota == p4
+    sel_p1 = l_iota == (p4 + 1)
+    q_b = jnp.broadcast_to(q_t, (C, Q, L, D))
+    d_b = jnp.broadcast_to(d_t, (C, Q, L, D))
+    q_p = jnp.max(jnp.where(sel_p, q_b, 0), axis=2)
+    q_p1 = jnp.max(jnp.where(sel_p1, q_b, 0), axis=2)
+    d_p = jnp.max(jnp.where(sel_p, d_b, 0), axis=2)
+    d_p1 = jnp.max(jnp.where(sel_p1, d_b, 0), axis=2)
     p1_ok = (p + 1) < d_len_b
-    qL = q_chars.shape[1]
-    q_p = jnp.take_along_axis(
-        jnp.broadcast_to(q_chars[None, :, None, :], (C, Q, D, qL)),
-        jnp.minimum(p, qL - 1)[..., None], axis=-1)[..., 0]
-    q_p1 = jnp.take_along_axis(
-        jnp.broadcast_to(q_chars[None, :, None, :], (C, Q, D, qL)),
-        jnp.minimum(p + 1, qL - 1)[..., None], axis=-1)[..., 0]
-    d_b = jnp.broadcast_to(d_chars[:, None, :, :], (C, Q, D, L))
-    d_p = jnp.take_along_axis(d_b, jnp.minimum(p, L - 1)[..., None],
-                              axis=-1)[..., 0]
-    d_p1 = jnp.take_along_axis(d_b, jnp.minimum(p + 1, L - 1)[..., None],
-                               axis=-1)[..., 0]
     swap_fixes = p1_ok & (q_p == d_p1) & (q_p1 == d_p)
 
     remaining = max_distance - 1
-    if remaining >= 0:
-        # rest = (q[p+2:], d[p+2:]); need rest_dist and rest_dist <= remaining.
-        shorter = jnp.minimum(q_len_b, d_len_b)                   # [C,1/Q,D]
-        shorter = jnp.broadcast_to(shorter, (C, Q, D))
-        rest_q_len = jnp.maximum(q_len_b - (p + 2), 0)
-        rest_d_len = jnp.maximum(d_len_b - (p + 2), 0)
-        rest_short = jnp.minimum(rest_q_len, rest_d_len)
-        rest_diff = jnp.abs(rest_q_len - rest_d_len)
+    if remaining < 0:
+        return jnp.where(len_diff_ok, dist, no)
 
-        # Aligned common prefix of the rests: run of eq from k = p+2.
-        after = k_iota[None, None, None, :] >= (p + 2)[..., None]
-        within = k_iota[None, None, None, :] < \
-            ((p + 2)[..., None] + rest_short[..., None])
-        # mismatch positions in the aligned window
-        window_mism = (~eq) & after & within
-        any_wm = window_mism.any(axis=-1)
-        first_wm = jnp.argmax(window_mism, axis=-1).astype(jnp.int32)
-        aligned_prefix = jnp.where(any_wm, first_wm - (p + 2), rest_short)
+    rest_q_len = jnp.maximum(q_len_b - (p + 2), 0)
+    rest_d_len = jnp.maximum(d_len_b - (p + 2), 0)
+    rest_short = jnp.minimum(rest_q_len, rest_d_len)
+    rest_diff = jnp.abs(rest_q_len - rest_d_len)
 
-        # Common suffix of the rests == common suffix of the full strings,
-        # clamped to the rest length.
-        rev_q_idx = jnp.clip(q_len_b[..., None] - 1 - k_iota[None, None, None, :],
-                             0, qL - 1)
-        rev_q_idx = jnp.broadcast_to(rev_q_idx, (C, Q, D, L))
-        rev_q = jnp.take_along_axis(
-            jnp.broadcast_to(q_chars[None, :, None, :], (C, Q, D, qL)),
-            rev_q_idx, axis=-1)
-        rev_d_idx = jnp.clip(d_len_b[..., None] - 1 - k_iota[None, None, None, :],
-                             0, L - 1)
-        rev_d = jnp.take_along_axis(d_b, rev_d_idx, axis=-1)
-        rev_eq = (rev_q == rev_d) & \
-            (k_iota[None, None, None, :] < shorter[..., None])
-        rev_mism = ~rev_eq & (k_iota[None, None, None, :] < shorter[..., None])
-        any_rm = rev_mism.any(axis=-1)
-        suffix_run = jnp.where(any_rm,
-                               jnp.argmax(rev_mism, axis=-1), shorter)
-        suffix_run = jnp.minimum(suffix_run.astype(jnp.int32), rest_short)
+    # Aligned common prefix of the rests: run of eq from l = p+2.
+    after = l_iota >= (p4 + 2)
+    within = l_iota < (p4 + 2 + rest_short[:, :, None, :])
+    window_mism = (~eq) & after & within
+    any_wm = window_mism.any(axis=2)
+    first_wm = jnp.argmax(window_mism, axis=2).astype(jnp.int32)
+    aligned_prefix = jnp.where(any_wm, first_wm - (p + 2), rest_short)
 
-        rest_equal = (rest_diff == 0) & (aligned_prefix >= rest_short)
+    rest_equal = (rest_diff == 0) & (aligned_prefix >= rest_short)
+
+    if remaining == 0:
+        rest_dist = jnp.where(rest_equal, 0, 1)
+        rescue_ok = swap_fixes & rest_equal
+    else:
+        # remaining == 1: need common suffix runs -> reversed prefix match.
+        if q_chars_rev is None or d_chars_rev is None:
+            raise ValueError(
+                "batched_damerau_multi with max_distance >= 2 requires "
+                "reversed char tables (and unclamped d_lens)")
+        dr_t = jnp.transpose(d_chars_rev, (0, 2, 1))[:, None, :, :]
+        qr_t = q_chars_rev[None, :, :, None]
+        shorter4 = jnp.minimum(ql4, dl4)
+        rev_mism = (qr_t != dr_t) & (l_iota < shorter4)
+        any_rm = rev_mism.any(axis=2)
+        suffix_run = jnp.where(
+            any_rm, jnp.argmax(rev_mism, axis=2).astype(jnp.int32),
+            jnp.broadcast_to(jnp.minimum(q_len_b, d_len_b), (C, Q, D)))
+        suffix_run = jnp.minimum(suffix_run, rest_short)
+
         rest_lev1 = jnp.where(
             rest_diff == 0,
             aligned_prefix + suffix_run >= rest_short - 1,
@@ -194,11 +195,8 @@ def batched_damerau_multi(q_chars: jax.Array,   # int32 [Q, L]
         rest_dist = jnp.where(rest_equal, 0,
                               jnp.where(rest_lev1, 1, remaining + 1))
         rescue_ok = swap_fixes & (rest_dist <= remaining)
-        rescued = 1 + rest_dist
-    else:
-        rescue_ok = jnp.zeros((C, Q, D), bool)
-        rescued = jnp.full((C, Q, D), no)
 
+    rescued = 1 + rest_dist
     use_rescue = (dist > max_distance) & (dist <= max_distance + 1) & \
         has_mism & rescue_ok
     result = jnp.where(use_rescue, rescued, dist)

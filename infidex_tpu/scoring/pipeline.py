@@ -347,10 +347,10 @@ class SearchPipeline:
 
         if context.q_count == 0 or context.q_count > Q_MAX:
             return None
-        q_chars, q_lens, _, q_count, q_ovf = encode_query_tokens(
+        q_chars, q_rev, q_lens, _, q_count, q_ovf = encode_query_tokens(
             context.query_tokens, Q_MAX)
         fusion_tokens = tokenize_slices(context.query, 0, delims)
-        fq_chars, fq_lens, _, fq_count, fq_ovf = encode_query_tokens(
+        fq_chars, fq_rev, fq_lens, _, fq_count, fq_ovf = encode_query_tokens(
             fusion_tokens, FQ_MAX)
         if q_ovf or fq_ovf:
             return None
@@ -412,12 +412,12 @@ class SearchPipeline:
                 lcs_arr[i] = lcs_val
 
             out = coverage_fusion_batch(
-                tables.word_chars, tables.word_lens, tables.doc_tokens,
-                tables.doc_tok_offsets, tables.doc_tok_count,
-                tables.doc_adj_ws, tables.doc_text_len,
-                text_ids, q_chars, q_lens, q_idf, q_widf, np.int32(q_count),
-                q_sorted, fq_chars, fq_lens, np.int32(fq_count),
-                np.bool_(last_alpha), lcs_arr, base,
+                tables.word_chars, tables.word_chars_rev, tables.word_lens,
+                tables.doc_tokens, tables.doc_tok_offsets,
+                tables.doc_tok_count, tables.doc_adj_ws, tables.doc_text_len,
+                text_ids, q_chars, q_rev, q_lens, q_idf, q_widf,
+                np.int32(q_count), q_sorted, fq_chars, fq_rev, fq_lens,
+                np.int32(fq_count), np.bool_(last_alpha), lcs_arr, base,
                 np.int32(len(context.query)), config=config)
             # Single round-trip readback (high-latency links).
             score, tie, wh = jax.device_get(out)

@@ -1,0 +1,149 @@
+"""Auxiliary component tests: packed LCS, autocomplete scoring, Jaccard,
+ProcessMonitor, TokenCache, fuzzy autocomplete DFS."""
+
+import threading
+import time
+
+import pytest
+
+from infidex_tpu.api.process_monitor import (OperationCancelledError,
+                                             ProcessMonitor)
+from infidex_tpu.index.fuzzy_autocomplete import DepthFirstFuzzySearch
+from infidex_tpu.tokenization.token_cache import TokenCache
+from infidex_tpu.utils.metrics import longest_common_subsequence
+from infidex_tpu.utils.metrics_extra import (JaccardMetric,
+                                             compute_jaro_like_score,
+                                             compute_lcs_length, packed_lcs)
+
+
+class TestPackedLcs:
+    def test_single_word_matches_dp(self):
+        for a, b in [("abc", "abc"), ("abcde", "ace"), ("kitten", "sitting"),
+                     ("xyz", "abc"), ("batman", "battamam")]:
+            assert compute_lcs_length(a, b) == longest_common_subsequence(a, b)
+
+    def test_packed_multi_word(self):
+        result = packed_lcs(["new", "york"], "newyork city")
+        assert result.lcs_values == [3, 4]
+        assert result.total_lcs == 7
+        assert result.matched_words == 2
+
+    def test_packed_equals_individual(self):
+        words = ["star", "wars", "trek"]
+        doc = "star trek into darkness"
+        packed = packed_lcs(words, doc)
+        individual = [longest_common_subsequence(w, doc) for w in words]
+        assert packed.lcs_values == individual
+
+    def test_no_match(self):
+        result = packed_lcs(["zzz"], "abc")
+        assert result.total_lcs == 0
+        assert result.matched_words == 0
+
+
+class TestAutocompleteScoring:
+    def test_exact_match_is_high(self):
+        assert compute_jaro_like_score("star", "star") > \
+            compute_jaro_like_score("star", "stellar")
+
+    def test_prefix_preferred(self):
+        assert compute_jaro_like_score("sta", "star") > \
+            compute_jaro_like_score("sta", "least")
+
+    def test_empty(self):
+        assert compute_jaro_like_score("", "x") == 0.0
+
+
+class TestJaccard:
+    def test_set_jaccard(self):
+        j = JaccardMetric()
+        assert j.jaccard_of_char_set("abc", "abc") == 1.0
+        assert j.jaccard_of_char_set("abc", "xyz") == 0.0
+        assert j.jaccard_of_char_set("ab", "bc") == pytest.approx(1 / 3)
+
+    def test_multiset_jaccard(self):
+        j = JaccardMetric()
+        assert j.jaccard_of_all_chars("aab", "ab") == pytest.approx(2 / 3)
+
+
+class TestProcessMonitor:
+    def test_progress_events(self):
+        m = ProcessMonitor()
+        m.start()
+        seen = []
+        m.progress_changed.append(seen.append)
+        m.report_progress(10)
+        m.report_progress(10)  # duplicate suppressed
+        m.report_progress(100)
+        assert seen == [10, 100]
+        assert m.is_completed
+
+    def test_cancellation(self):
+        m = ProcessMonitor()
+        m.start()
+        m.cancel()
+        with pytest.raises(OperationCancelledError):
+            m.throw_if_cancelled()
+
+    def test_timeout(self):
+        m = ProcessMonitor(timeout_seconds=0.0)
+        m.start()
+        time.sleep(0.01)
+        assert m.timed_out
+        with pytest.raises(TimeoutError):
+            m.throw_if_cancelled()
+
+    def test_wait_for_completion(self):
+        m = ProcessMonitor()
+        m.start()
+        t = threading.Timer(0.05, m.complete)
+        t.start()
+        assert m.wait_for_completion(timeout=2.0)
+
+
+class TestTokenCache:
+    def test_lru_eviction(self):
+        c = TokenCache(capacity=2)
+        c.put("a", [1])
+        c.put("b", [2])
+        c.get("a")
+        c.put("c", [3])  # evicts "b"
+        assert c.get("b") is None
+        assert c.get("a") == [1]
+
+    def test_get_or_compute(self):
+        c = TokenCache()
+        calls = []
+
+        def compute(t):
+            calls.append(t)
+            return list(t)
+
+        assert c.get_or_compute("xy", compute) == ["x", "y"]
+        assert c.get_or_compute("xy", compute) == ["x", "y"]
+        assert calls == ["xy"]
+        assert c.hit_rate > 0
+
+
+class TestFuzzyAutocomplete:
+    def test_exact_first(self):
+        dfs = DepthFirstFuzzySearch()
+        for w in ["star", "stark", "start", "stellar", "moon"]:
+            dfs.add(w)
+        results = dfs.search("star", k=3)
+        assert results[0][0] == "star"
+        assert results[0][2] == 0
+
+    def test_fuzzy_prefix(self):
+        dfs = DepthFirstFuzzySearch()
+        for w in ["algorithm", "alligator", "zebra"]:
+            dfs.add(w)
+        results = dfs.search("algro", k=2, max_distance=2)
+        names = [r[0] for r in results]
+        assert "algorithm" in names
+
+    def test_k_limit(self):
+        dfs = DepthFirstFuzzySearch()
+        for i in range(50):
+            dfs.add(f"term{i}")
+        assert len(dfs.search("term", k=5)) == 5

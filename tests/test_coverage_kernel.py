@@ -126,11 +126,11 @@ def test_kernel_matches_oracle(seed):
             oracle.append((score, tie, features.word_hits))
 
         # Device kernel
-        q_chars, q_lens, _, q_count, q_ovf = encode_query_tokens(
+        q_chars, q_rev, q_lens, _, q_count, q_ovf = encode_query_tokens(
             context.query_tokens, Q_MAX)
         from infidex_tpu.coverage.engine import tokenize_slices
         fusion_tokens = tokenize_slices(query, 0, delims)
-        fq_chars, fq_lens, _, fq_count, fq_ovf = encode_query_tokens(
+        fq_chars, fq_rev, fq_lens, _, fq_count, fq_ovf = encode_query_tokens(
             fusion_tokens, FQ_MAX)
         if q_ovf or fq_ovf:
             continue
@@ -146,12 +146,12 @@ def test_kernel_matches_oracle(seed):
                           and fusion_tokens[-1].lower.isalpha())
 
         score, tie, wh = coverage_fusion_batch(
-            tables.word_chars, tables.word_lens, tables.doc_tokens,
-            tables.doc_tok_offsets, tables.doc_tok_count, tables.doc_adj_ws,
-            tables.doc_text_len,
+            tables.word_chars, tables.word_chars_rev, tables.word_lens,
+            tables.doc_tokens, tables.doc_tok_offsets, tables.doc_tok_count,
+            tables.doc_adj_ws, tables.doc_text_len,
             np.arange(C, dtype=np.int32),
-            q_chars, q_lens, q_idf, q_widf, np.int32(q_count),
-            q_sorted, fq_chars, fq_lens, np.int32(fq_count),
+            q_chars, q_rev, q_lens, q_idf, q_widf, np.int32(q_count),
+            q_sorted, fq_chars, fq_rev, fq_lens, np.int32(fq_count),
             np.bool_(last_alpha),
             lcs_vals, base, np.int32(len(query)),
             config=config)

@@ -163,8 +163,11 @@ def test_damerau_multi_matches_oracle(max_distance):
             words.append("".join(w))
         chars, lens = encode(words, C, D)
         q_chars, q_lens = encode_q(qs, Q)
+        chars_rev, _ = encode([w[::-1] for w in words], C, D)
+        q_chars_rev, _ = encode_q([q[::-1] for q in qs], Q)
         out = np.asarray(batched_damerau_multi(
-            q_chars, q_lens, chars, lens, max_distance=max_distance, l_max=L))
+            q_chars, q_lens, chars, lens, q_chars_rev, chars_rev,
+            max_distance=max_distance, l_max=L))
         it = 0
         for c in range(C):
             for d in range(D):
