@@ -22,6 +22,7 @@ import time
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
 N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+N_WORKERS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 BASELINE_QPS = 1000.0  # provisional C#-engine estimate; see module docstring
 
 ADJECTIVES = [
@@ -75,7 +76,12 @@ def make_queries(titles, n):
 
 
 def main():
+    from concurrent.futures import ThreadPoolExecutor
+
     from infidex_tpu import Document, Query, SearchEngine
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
 
     titles = make_corpus(N_DOCS)
     engine = SearchEngine.create_default()
@@ -83,19 +89,29 @@ def main():
     t0 = time.perf_counter()
     engine.index_documents([Document(i, t) for i, t in enumerate(titles)])
     index_secs = time.perf_counter() - t0
+    log(f"[bench] indexed {N_DOCS} docs in {index_secs:.1f}s")
 
     queries = make_queries(titles, N_QUERIES)
 
-    # Warmup (JIT compile of the shape buckets)
-    for q in queries[:20]:
-        engine.search(Query(q, 10))
-
-    latencies = []
+    # Warmup (JIT compile of the shape buckets; slow on tunneled TPUs)
     t0 = time.perf_counter()
-    for q in queries:
+    for i, q in enumerate(queries[:20]):
+        engine.search(Query(q, 10))
+        if i in (0, 4, 9):
+            log(f"[bench] warmup {i + 1}/20 ({time.perf_counter() - t0:.0f}s)")
+    log(f"[bench] warmup done in {time.perf_counter() - t0:.0f}s")
+
+    # Throughput: concurrent searches (serving-style QPS); latency per query.
+    latencies = []
+
+    def run_one(q):
         t1 = time.perf_counter()
         engine.search(Query(q, 10))
-        latencies.append(time.perf_counter() - t1)
+        return time.perf_counter() - t1
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=N_WORKERS) as pool:
+        latencies = list(pool.map(run_one, queries))
     wall = time.perf_counter() - t0
 
     qps = len(queries) / wall
@@ -103,8 +119,8 @@ def main():
     p50 = latencies[len(latencies) // 2] * 1000.0
 
     print(json.dumps({
-        "metric": f"fuzzy-query QPS ({N_DOCS} docs, p50={p50:.1f}ms, "
-                  f"index={index_secs:.1f}s)",
+        "metric": f"fuzzy-query QPS ({N_DOCS} docs, {N_WORKERS} clients, "
+                  f"p50={p50:.1f}ms, index={index_secs:.1f}s)",
         "value": round(qps, 2),
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_QPS, 4),

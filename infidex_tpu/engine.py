@@ -186,6 +186,19 @@ class SearchEngine:
             finally:
                 self.status = SearchEngineStatus.READY
 
+    def flush(self, segment_path: str) -> None:
+        """Roll the in-memory postings into an on-disk segment
+        (SearchEngine.Flush, SearchEngine.cs:211-222)."""
+        with self._rw_lock.write_lock():
+            self.status = SearchEngineStatus.INDEXING
+            try:
+                self._vector_model.flush(segment_path)
+                self._vector_model.build_inverted_lists()
+                self._pipeline.invalidate_caches()
+                self._is_indexed = True
+            finally:
+                self.status = SearchEngineStatus.READY
+
     def calculate_weights(self) -> None:
         with self._rw_lock.write_lock():
             self.status = SearchEngineStatus.INDEXING

@@ -122,6 +122,9 @@ class BuiltIndex:
         s, e = self.term_offsets[term_id], self.term_offsets[term_id + 1]
         return self.postings_docs[s:e], self.postings_weights[s:e]
 
+    def get_id(self, term: str) -> int:
+        return self.term_to_id.get(term, -1)
+
 
 def finalize_postings(term_dict: TermDictionary, num_docs: int) -> BuiltIndex:
     """Flatten accumulated postings to CSR and compute doc lengths/avgdl."""

@@ -76,10 +76,11 @@ def save_engine(engine, file_path: str) -> None:
     if model.built is None:
         model.build_inverted_lists()
 
-    term_state = []
-    for tid, term in enumerate(model.term_dict.terms):
-        p = model.term_dict.postings[tid]
-        term_state.append((term, p.df))
+    # Persist the UNIFIED vocabulary (memory + any flushed segments): a
+    # loaded engine is a consolidated in-memory index, mirroring the
+    # reference's save of the memory image.
+    term_state = [(term, int(model.built.df[tid]))
+                  for tid, term in enumerate(model.built.terms)]
 
     payload = {
         "version": VERSION,

@@ -115,6 +115,10 @@ class VectorModel:
         # Device coverage tables (ops/coverage_kernel.CoverageTables)
         self.coverage_tables = None
 
+        # On-disk segments created by flush() (index/segments.py)
+        self._segments = []           # List[SegmentReader]
+        self._flushed_doc_count = 0
+
     # ------------------------------------------------------------------
     # Indexing
 
@@ -176,7 +180,10 @@ class VectorModel:
     def build_inverted_lists(self) -> None:
         """Finalize postings into CSR tensors + device upload + derived stats."""
         n = len(self.documents)  # internal id slots, incl. deleted
-        self.built = finalize_postings(self.term_dict, n)
+        if self._segments:
+            self.built = self._build_unified_csr(n)
+        else:
+            self.built = finalize_postings(self.term_dict, n)
         deleted = np.array(
             [self.documents.get_document(i).deleted for i in range(n)], dtype=bool
         ) if n else np.zeros(0, bool)
@@ -186,6 +193,109 @@ class VectorModel:
         self._fuzzy_cache = _LruCache(1000)
 
     calculate_weights = build_inverted_lists
+
+    # ------------------------------------------------------------------
+    # Disk segments (VectorModel.Flush, VectorModel.cs:804-820)
+
+    def flush(self, segment_path: str) -> None:
+        """Roll the in-memory postings into an on-disk segment and free them.
+
+        The unified CSR is rebuilt from all segments + (new) memory postings
+        on the next build_inverted_lists, mirroring the reference's
+        per-segment search + merge with a repack program.
+        """
+        from .builder import TermDictionary
+        from .segments import SegmentReader, SegmentWriter
+
+        if len(self.term_dict) == 0:
+            return
+        terms_postings = {}
+        for tid, term in enumerate(self.term_dict.terms):
+            p = self.term_dict.postings[tid]
+            if p.df > 0 and p.doc_ids:
+                terms_postings[term] = (p.doc_ids, p.weights)
+        doc_count = len(self.documents) - self._flushed_doc_count
+        SegmentWriter().write_segment(
+            terms_postings, doc_count, self._flushed_doc_count, segment_path)
+        self._segments.append(SegmentReader(segment_path))
+        self._flushed_doc_count = len(self.documents)
+        self.term_dict = TermDictionary()
+        self.built = None
+        self.device = None
+
+    @property
+    def segments(self):
+        return list(self._segments)
+
+    def _build_unified_csr(self, n_docs: int):
+        """Merge segment postings + live memory postings into one BuiltIndex."""
+        from .builder import BuiltIndex
+
+        term_map: Dict[str, int] = {}
+        chunks: List[List] = []      # per unified id: [(docs, weights), ...]
+        dfs: List[int] = []
+
+        def uid(term: str) -> int:
+            t = term_map.get(term)
+            if t is None:
+                t = len(term_map)
+                term_map[term] = t
+                chunks.append([])
+                dfs.append(0)
+            return t
+
+        for seg in self._segments:
+            for term, ordinal in seg.iter_terms():
+                t = uid(term)
+                docs, weights = seg.get_postings_by_ordinal(ordinal, True)
+                chunks[t].append((docs.astype(np.int32),
+                                  weights.astype(np.uint8)))
+                dfs[t] += int(seg.dfs[ordinal])
+
+        for tid, term in enumerate(self.term_dict.terms):
+            p = self.term_dict.postings[tid]
+            t = uid(term)
+            if p.df == -1:
+                dfs[t] = -1
+                continue
+            if p.df > 0 and p.doc_ids:
+                chunks[t].append((np.asarray(p.doc_ids, np.int32),
+                                  np.asarray(p.weights, np.uint8)))
+            if dfs[t] >= 0:
+                dfs[t] += p.df
+
+        T = len(term_map)
+        lens = np.zeros(T, dtype=np.int64)
+        for t in range(T):
+            if dfs[t] != -1:
+                lens[t] = sum(c[0].size for c in chunks[t])
+        offsets = np.zeros(T + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        P = int(offsets[-1])
+        docs_arr = np.zeros(P, dtype=np.int32)
+        weights_arr = np.zeros(P, dtype=np.uint8)
+        for t in range(T):
+            if dfs[t] == -1 or not chunks[t]:
+                continue
+            pos = offsets[t]
+            for d, w in chunks[t]:
+                docs_arr[pos : pos + d.size] = d
+                weights_arr[pos : pos + w.size] = w
+                pos += d.size
+
+        terms = [None] * T
+        for term, t in term_map.items():
+            terms[t] = term
+        doc_lengths = np.zeros(max(n_docs, 1), dtype=np.float32)
+        np.add.at(doc_lengths, docs_arr[:P], weights_arr[:P].astype(np.float32))
+        doc_lengths = doc_lengths[:n_docs]
+        avgdl = float(doc_lengths.mean()) if n_docs > 0 else 0.0
+        return BuiltIndex(
+            terms=terms, term_to_id=dict(term_map),
+            term_offsets=offsets, postings_docs=docs_arr,
+            postings_weights=weights_arr,
+            df=np.asarray(dfs, dtype=np.int32),
+            doc_lengths=doc_lengths, avgdl=avgdl, num_docs=n_docs)
 
     def build_optimized_indexes(self) -> None:
         if self.short_query_index is not None:
@@ -274,8 +384,9 @@ class VectorModel:
     def _ensure_ld1_index(self) -> Dict[str, List[int]]:
         if self._ld1_index is None:
             idx: Dict[str, List[int]] = {}
-            for tid, term in enumerate(self.term_dict.terms):
-                if len(term) < 3 or self.term_dict.postings[tid].df <= 0:
+            built = self.built
+            for tid, term in enumerate(built.terms):
+                if len(term) < 3 or built.df[tid] <= 0:
                     continue
                 idx.setdefault(term, []).append(tid)
                 for v in _delete_variants(term):
@@ -301,7 +412,7 @@ class VectorModel:
 
         matched: List[int] = []
         for tid in cand_ids:
-            term = self.term_dict.terms[tid]
+            term = self.built.terms[tid]
             if abs(len(term) - len(text)) <= 1 and levenshtein(text, term, 1) <= 1:
                 matched.append(tid)
         # The reference caps the FST traversal at 1024 matched ordinals.
@@ -354,7 +465,7 @@ class VectorModel:
         extra_idf_list: List[np.ndarray] = []
 
         for tok in unique_tokens:
-            tid = self.term_dict.get_id(tok)
+            tid = built.term_to_id.get(tok, -1)
             df = built.df[tid] if tid >= 0 else 0
             if df <= 0 and len(tok) >= 4:
                 expansion = self.expand_missing_term(tok)

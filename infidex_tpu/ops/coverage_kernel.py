@@ -42,7 +42,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .editdistance_multi import batched_damerau_multi
+from .editdistance_multi import (alignment_tensors, batched_lev_multi,
+                                 damerau_rescue)
 
 # Static capacities
 D_MAX = 64    # doc tokens per candidate
@@ -322,22 +323,35 @@ def coverage_fusion_batch(
         q_chars, q_lens, q_chars_rev, chars_t, chars_rev_t, lens, all_valid)
     _Q_SW_D = _q_startswith_d_t(q_chars, q_lens, chars_t, lens, all_valid)
 
-    # edit distances (banded multi-query sweeps)
-    dam1 = batched_damerau_multi(q_chars, q_lens, chars, lens,
-                                 max_distance=1, l_max=L)
-    dam2 = batched_damerau_multi(q_chars, q_lens, chars, lens,
-                                 q_chars_rev, chars_rev,
-                                 max_distance=2, l_max=L)
+    # Edit distances: TWO banded sweeps serve all five Damerau variants.
+    # Sweep A (budget 3) gives exact min(lev, 4): clamped to 3 it is the
+    # md=1 internal value, as-is the md=2 one. Alignment/rescue tensors are
+    # computed once and shared by every rescue application.
+    eq_al, eq_qd1, eq_q1d, rev_eq = alignment_tensors(
+        q_chars, chars, q_chars_rev, chars_rev)
+    lev3 = batched_lev_multi(q_chars, q_lens, chars, lens, budget=3, l_max=L)
+    dam1 = damerau_rescue(jnp.minimum(lev3, 3), eq_al, eq_qd1, eq_q1d,
+                          q_lens, lens, max_distance=1)
+    dam2 = damerau_rescue(lev3, eq_al, eq_qd1, eq_q1d, q_lens, lens,
+                          max_distance=2, rev_eq=rev_eq)
+    # Sweep B: the three prefix-window variants stacked along the lane axis.
     ql_b = q_lens[None, :, None]
     dl1 = jnp.minimum(lens[:, None, :], ql_b)
     dl2 = jnp.minimum(lens[:, None, :], ql_b + 1)
     dl3 = jnp.minimum(lens[:, None, :], jnp.maximum(ql_b - 1, 0))
-    pdam1 = batched_damerau_multi(q_chars, q_lens, chars, dl1,
-                                  max_distance=1, l_max=L)
-    pdam2 = batched_damerau_multi(q_chars, q_lens, chars, dl2,
-                                  max_distance=1, l_max=L)
-    pdam3 = batched_damerau_multi(q_chars, q_lens, chars, dl3,
-                                  max_distance=1, l_max=L)
+    chars3 = jnp.concatenate([chars, chars, chars], axis=1)     # [C,3D,L]
+    dl_stack = jnp.concatenate(
+        [jnp.broadcast_to(dl1, (C, Q, D)),
+         jnp.broadcast_to(dl2, (C, Q, D)),
+         jnp.broadcast_to(dl3, (C, Q, D))], axis=2)             # [C,Q,3D]
+    lev_p = batched_lev_multi(q_chars, q_lens, chars3, dl_stack,
+                              budget=2, l_max=L)
+    pdam1 = damerau_rescue(lev_p[:, :, :D], eq_al, eq_qd1, eq_q1d,
+                           q_lens, dl1, max_distance=1)
+    pdam2 = damerau_rescue(lev_p[:, :, D:2 * D], eq_al, eq_qd1, eq_q1d,
+                           q_lens, dl2, max_distance=1)
+    pdam3 = damerau_rescue(lev_p[:, :, 2 * D:], eq_al, eq_qd1, eq_q1d,
+                           q_lens, dl3, max_distance=1)
 
     def first_true(mask):
         return mask.any(axis=-1), jnp.argmax(mask, axis=-1).astype(jnp.int32)
@@ -411,7 +425,7 @@ def coverage_fusion_batch(
 
         st = (q_active, d_active, term_matched, term_has_whole,
               term_has_prefix, term_first_pos, word_hits, num_whole, penalty)
-        st = jax.lax.fori_loop(0, Q, ww_body, st)
+        st = jax.lax.fori_loop(0, jnp.minimum(q_count, Q), ww_body, st)
         (q_active, d_active, term_matched, term_has_whole, term_has_prefix,
          term_first_pos, word_hits, num_whole, penalty) = st
 
@@ -446,7 +460,8 @@ def coverage_fusion_batch(
         st = (q_active, d_active, term_matched, term_has_joined,
               term_has_prefix, term_first_pos, num_joined, word_hits)
         if Q >= 2:
-            st = jax.lax.fori_loop(0, Q - 1, qj_body, st)
+            st = jax.lax.fori_loop(
+                0, jnp.clip(q_count - 1, 0, Q - 1), qj_body, st)
         (q_active, d_active, term_matched, term_has_joined,
          term_has_prefix, term_first_pos, num_joined, word_hits) = st
 
@@ -496,7 +511,8 @@ def coverage_fusion_batch(
         st = (q_active, d_active, term_matched, term_has_joined,
               term_has_prefix, term_first_pos, num_joined, word_hits)
         if D >= 2:
-            st = jax.lax.fori_loop(0, D - 1, dj_body, st)
+            max_tok = jnp.minimum(jnp.max(tok_count), D - 1)
+            st = jax.lax.fori_loop(0, max_tok, dj_body, st)
         (q_active, d_active, term_matched, term_has_joined,
          term_has_prefix, term_first_pos, num_joined, word_hits) = st
 
@@ -559,7 +575,7 @@ def coverage_fusion_batch(
 
         st = (q_active, d_active, term_matched, term_has_prefix,
               term_first_pos, num_ps, word_hits)
-        st = jax.lax.fori_loop(0, Q, ps1_body, st)
+        st = jax.lax.fori_loop(0, jnp.minimum(q_count, Q), ps1_body, st)
         (q_active, d_active, term_matched, term_has_prefix,
          term_first_pos, num_ps, word_hits) = st
 
@@ -602,7 +618,7 @@ def coverage_fusion_batch(
 
         st = (q_active, d_active, term_matched, term_first_pos, num_ps,
               word_hits)
-        st = jax.lax.fori_loop(0, Q, ps2_body, st)
+        st = jax.lax.fori_loop(0, jnp.minimum(q_count, Q), ps2_body, st)
         (q_active, d_active, term_matched, term_first_pos, num_ps,
          word_hits) = st
 
@@ -673,7 +689,7 @@ def coverage_fusion_batch(
 
             st = (q_active, d_active, term_matched, term_first_pos,
                   word_hits, num_fuzzy)
-            st = jax.lax.fori_loop(0, Q, fz_body, st)
+            st = jax.lax.fori_loop(0, jnp.minimum(q_count, Q), fz_body, st)
             (q_active, d_active, term_matched, term_first_pos, word_hits,
              num_fuzzy) = st
 
@@ -728,19 +744,19 @@ def coverage_fusion_batch(
         return run, jnp.maximum(longest, run)
 
     _, longest_run = jax.lax.fori_loop(
-        0, Q, run_body,
+        0, jnp.minimum(q_count, Q), run_body,
         (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32)))
 
     def suf_body(k, st):
         suffix_run, still = st
-        i = Q - 1 - k
-        in_range = i < q_count
-        hit = prefix_hit[:, i] & in_range
-        cont = still & in_range & hit
-        return suffix_run + cont, jnp.where(in_range, cont, still)
+        i = jnp.clip(q_count - 1 - k, 0, Q - 1)
+        hit = jnp.take_along_axis(
+            prefix_hit, jnp.broadcast_to(i, (C,))[:, None], 1)[:, 0]
+        cont = still & hit
+        return suffix_run + cont, cont
 
     suffix_run, _ = jax.lax.fori_loop(
-        0, Q, suf_body,
+        0, jnp.minimum(q_count, Q), suf_body,
         (jnp.zeros((C,), jnp.int32), jnp.ones((C,), bool)))
 
     phrase_span = jnp.where(
@@ -757,7 +773,7 @@ def coverage_fusion_batch(
     # ================== FusionSignalComputer ===========================
     sig = _fusion_signals(
         fq_chars, fq_chars_rev, fq_lens, fq_count, fq_last_is_alpha,
-        chars, chars_rev, chars_t, chars_rev_t, lens, adj_ws, all_valid,
+        dam2[:, 0, :], chars_t, chars_rev_t, lens, adj_ws, all_valid,
         tok_count, C, D, L, FQ, config)
     sig["_fq_count"] = fq_count
 
@@ -774,7 +790,7 @@ def coverage_fusion_batch(
 
 
 def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
-                    fq_last_is_alpha, chars, chars_rev, chars_t, chars_rev_t,
+                    fq_last_is_alpha, dam2_q0, chars_t, chars_rev_t,
                     lens, adj_ws, all_valid, tok_count,
                     C, D, L, FQ, config):
     """FusionSignalComputer.ComputeSignals, batched. Returns a dict."""
@@ -861,8 +877,10 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
         jnp.clip(density * 255.0, 0.0, 255.0).astype(jnp.int32), 0)
 
     # --- 6. SingleTermLexicalSim ---------------------------------------
+    # When fq_count == 1 (the only case this signal is used) the single
+    # fusion token equals coverage token 0, so dam2[:, 0, :] is its Damerau.
     sim = _single_term_lexical_sim(
-        fq_chars[0], fq_chars_rev[0], fq_lens[0], chars, chars_rev,
+        fq_chars[0], fq_chars_rev[0], fq_lens[0], dam2_q0,
         chars_t, chars_rev_t, lens, all_valid, C, D, L)
     single_sim = jnp.where(
         (fq_count == 1) & have,
@@ -886,10 +904,9 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
     )
 
 
-def _single_term_lexical_sim(q_chars, q_rev, q_len, chars, chars_rev,
+def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
                              chars_t, chars_rev_t, lens, all_valid, C, D, L):
     """ComputeSingleTermLexicalSimilarity, batched (D-minor layout)."""
-    from .editdistance_multi import batched_damerau_multi as _dam
 
     f32 = jnp.float32
     qlen_f = jnp.maximum(q_len, 1).astype(f32)
@@ -929,8 +946,7 @@ def _single_term_lexical_sim(q_chars, q_rev, q_len, chars, chars_rev,
         2, L + 1, ps_body, jnp.zeros((C, D), jnp.int32))
     ps_score = jnp.where(tok_ok, best_k.astype(f32) / qlen_f, 0.0)
 
-    dist = _dam(q_chars[None, :], q_len[None], chars, lens,
-                q_rev[None, :], chars_rev, max_distance=2, l_max=L)[:, 0, :]
+    dist = dam2_q0
     fz_score = jnp.where(tok_ok & (dist <= 2),
                          (q_len - dist).astype(f32) / qlen_f, 0.0)
 
@@ -987,7 +1003,7 @@ def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
         return d_index, first_match, alive
 
     d_index, first_match, alive = jax.lax.fori_loop(
-        0, FQ, walk_body,
+        0, jnp.clip(fq_count - 1, 0, FQ), walk_body,
         (jnp.zeros((C,), jnp.int32), jnp.full((C,), -1, jnp.int32),
          jnp.full((C,), True)))
 

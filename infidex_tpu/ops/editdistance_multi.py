@@ -3,20 +3,18 @@ ONE banded DP sweep, laid out for the TPU VPU.
 
 Layout: DP state is [W, C, Q, D] with the doc-token axis D minor (lanes) and
 Q second-minor (sublanes); the tiny band axis W stays major so it never
-wastes lanes. Char tensors are [C, L, D] / [Q, L].
+wastes lanes. Char tensors are [C, D, L] at the API, transposed internally.
 
 * ``batched_lev_multi``: banded Levenshtein, band half-width = budget.
   Exact min(dist, budget+1).
-* ``batched_damerau_multi``: reference CalculateDamerau
-  (Metrics/LevenshteinDistance.cs:281-341) with the first-mismatch
-  transposition rescue in closed form. For max_distance == 1 the rescue
-  residual must be EQUAL (aligned equality only); for max_distance == 2 the
-  residual lev<=1 test needs common-suffix runs, computed from REVERSED char
-  tables (suffix match == prefix match of the reversed strings — no gathers).
-
-``d_lens`` may be [C, D] or per-query [C, Q, D] (clamped prefix windows);
-reversed tables are only required (and only valid) for the unclamped
-max_distance == 2 case.
+* ``alignment_tensors``: aligned / one-shifted / reversed char equality
+  [C, Q, L, D] — computed once and shared by every rescue application.
+* ``damerau_rescue``: the reference CalculateDamerau transposition rescue
+  (Metrics/LevenshteinDistance.cs:281-341) applied to clamped lev values.
+  For max_distance == 1 the residual must be EQUAL (aligned equality only);
+  for max_distance == 2 the residual lev<=1 test uses common-suffix runs
+  from the reversed equality (only valid for unclamped doc lengths).
+* ``batched_damerau_multi``: convenience wrapper (lev sweep + rescue).
 
 Property-tested against utils/metrics.py in tests/test_editdistance_device.py.
 """
@@ -24,7 +22,7 @@ Property-tested against utils/metrics.py in tests/test_editdistance_device.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +56,6 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
                             (W, C, Q, D)).astype(jnp.int32)
     row0 = jnp.minimum(row0, big + 1)
 
-    # scan consumes doc chars along L: xs[j] = d char j for every (C, D)
     xs = jnp.transpose(d_chars, (2, 0, 1))            # [L, C, D]
     steps = min(L, l_max)
 
@@ -88,12 +85,10 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
 
     (row, _), _ = jax.lax.scan(step, (row0, jnp.int32(0)), xs[:steps])
 
-    # Result at offset o = q_len - d_len + B: one-hot reduction over W.
     o_final = q_lens[None, :, None] - d_len3 + B                  # [C,Q,D]
     o_final = jnp.broadcast_to(o_final, (C, Q, D))
     sel = o_iota[:, None, None, None] == o_final[None, ...]
     dist = jnp.min(jnp.where(sel, row, big), axis=0)
-    # Degenerate sides
     q_len_b = q_lens[None, :, None]
     dist = jnp.where(q_len_b == 0, jnp.broadcast_to(d_len3, (C, Q, D)), dist)
     dist = jnp.where(jnp.broadcast_to(d_len3 == 0, (C, Q, D)),
@@ -101,65 +96,75 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
     return jnp.minimum(dist, big)
 
 
-@functools.partial(jax.jit, static_argnames=("max_distance", "l_max"))
-def batched_damerau_multi(q_chars: jax.Array,   # int32 [Q, L]
-                          q_lens: jax.Array,    # int32 [Q]
-                          d_chars: jax.Array,   # int32 [C, D, L]
-                          d_lens: jax.Array,    # int32 [C, D] or [C, Q, D]
-                          q_chars_rev: Optional[jax.Array] = None,  # [Q, L]
-                          d_chars_rev: Optional[jax.Array] = None,  # [C, D, L]
-                          *, max_distance: int, l_max: int) -> jax.Array:
-    """Reference CalculateDamerau for every (c, q, d). Values above
-    max_distance are clamped; callers compare <= max_distance."""
+def alignment_tensors(q_chars, d_chars, q_chars_rev=None, d_chars_rev=None):
+    """(eq, eq_qd1, eq_q1d, rev_eq) in [C, Q, L, D] layout.
+
+    eq[l]     = q[l] == d[l]
+    eq_qd1[l] = q[l] == d[l+1]   (d shifted left by one)
+    eq_q1d[l] = q[l+1] == d[l]   (q shifted left by one)
+    rev_eq[l] = q_rev[l] == d_rev[l]  (None when rev inputs absent)
+    """
     C, D, L = d_chars.shape
-    Q = q_chars.shape[0]
-    no = jnp.int32(max_distance + 1)
-
-    q_len_b = q_lens[None, :, None]                   # [1,Q,1]
-    d_len_b = d_lens[:, None, :] if d_lens.ndim == 2 else d_lens  # [C,1|Q,D]
-    len_diff_ok = jnp.abs(d_len_b - q_len_b) <= max_distance
-
-    dist = batched_lev_multi(q_chars, q_lens, d_chars, d_lens,
-                             budget=max_distance + 1, l_max=l_max)
-
-    # --- transposition rescue (dist == max_distance + 1) ---------------
-    # Aligned equality in [C, Q, L, D] layout (D minor).
     d_t = jnp.transpose(d_chars, (0, 2, 1))[:, None, :, :]       # [C,1,L,D]
     q_t = q_chars[None, :, :, None]                              # [1,Q,L,1]
-    l_iota = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]  # [1,1,L,1]
-    eq = q_t == d_t                                              # [C,Q,L,D]
+    eq = q_t == d_t
 
+    zpad_d = jnp.zeros((C, 1, 1, D), d_chars.dtype)
+    d_shift = jnp.concatenate([d_t[:, :, 1:, :], zpad_d], axis=2)
+    eq_qd1 = q_t == d_shift
+
+    zpad_q = jnp.zeros((1, q_chars.shape[0], 1, 1), q_chars.dtype)
+    q_shift = jnp.concatenate([q_t[:, :, 1:, :], zpad_q], axis=2)
+    eq_q1d = q_shift == d_t
+
+    rev_eq = None
+    if q_chars_rev is not None and d_chars_rev is not None:
+        dr_t = jnp.transpose(d_chars_rev, (0, 2, 1))[:, None, :, :]
+        qr_t = q_chars_rev[None, :, :, None]
+        rev_eq = qr_t == dr_t
+    return eq, eq_qd1, eq_q1d, rev_eq
+
+
+def damerau_rescue(dist, eq, eq_qd1, eq_q1d, q_lens, d_lens,
+                   *, max_distance: int, rev_eq=None):
+    """Reference transposition rescue on clamped lev distances.
+
+    dist [C,Q,D] = min(lev, max_distance+2); eq/eq_qd1/eq_q1d [C,Q,L,D];
+    d_lens [C,D] or [C,Q,D]. Returns CalculateDamerau-equivalent distances
+    (clamped above max_distance).
+    """
+    C, Q, L, D = eq.shape
+    no = jnp.int32(max_distance + 1)
+    q_len_b = q_lens[None, :, None]
+    d_len3 = d_lens[:, None, :] if d_lens.ndim == 2 else d_lens
+    len_diff_ok = jnp.abs(d_len3 - q_len_b) <= max_distance
+
+    l_iota = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]
     ql4 = q_lens[None, :, None, None]
-    dl4 = d_len_b[:, :, None, :]
+    dl4 = d_len3[:, :, None, :] if d_len3.shape[1] != 1 else \
+        d_len3[:, :, None, :]
+
     in_scan = (l_iota < (ql4 - 1)) & (l_iota < dl4)
     mism = (~eq) & in_scan
-    has_mism = mism.any(axis=2)                                   # [C,Q,D]
-    # first mismatch p: argmax over the L axis
-    p = jnp.argmax(mism, axis=2).astype(jnp.int32)                # [C,Q,D]
+    has_mism = mism.any(axis=2)
+    p = jnp.argmax(mism, axis=2).astype(jnp.int32)
     p4 = p[:, :, None, :]
-
-    # chars at p, p+1 via one-hot reductions over L
     sel_p = l_iota == p4
-    sel_p1 = l_iota == (p4 + 1)
-    q_b = jnp.broadcast_to(q_t, (C, Q, L, D))
-    d_b = jnp.broadcast_to(d_t, (C, Q, L, D))
-    q_p = jnp.max(jnp.where(sel_p, q_b, 0), axis=2)
-    q_p1 = jnp.max(jnp.where(sel_p1, q_b, 0), axis=2)
-    d_p = jnp.max(jnp.where(sel_p, d_b, 0), axis=2)
-    d_p1 = jnp.max(jnp.where(sel_p1, d_b, 0), axis=2)
-    p1_ok = (p + 1) < d_len_b
-    swap_fixes = p1_ok & (q_p == d_p1) & (q_p1 == d_p)
+
+    # Swap: p+1 < d_len, q[p]==d[p+1], q[p+1]==d[p]
+    swap_at_p = (eq_qd1 & eq_q1d & sel_p).any(axis=2)
+    p1_ok = (p + 1) < d_len3
+    swap_fixes = p1_ok & swap_at_p
 
     remaining = max_distance - 1
     if remaining < 0:
         return jnp.where(len_diff_ok, dist, no)
 
     rest_q_len = jnp.maximum(q_len_b - (p + 2), 0)
-    rest_d_len = jnp.maximum(d_len_b - (p + 2), 0)
+    rest_d_len = jnp.maximum(d_len3 - (p + 2), 0)
     rest_short = jnp.minimum(rest_q_len, rest_d_len)
     rest_diff = jnp.abs(rest_q_len - rest_d_len)
 
-    # Aligned common prefix of the rests: run of eq from l = p+2.
     after = l_iota >= (p4 + 2)
     within = l_iota < (p4 + 2 + rest_short[:, :, None, :])
     window_mism = (~eq) & after & within
@@ -173,21 +178,17 @@ def batched_damerau_multi(q_chars: jax.Array,   # int32 [Q, L]
         rest_dist = jnp.where(rest_equal, 0, 1)
         rescue_ok = swap_fixes & rest_equal
     else:
-        # remaining == 1: need common suffix runs -> reversed prefix match.
-        if q_chars_rev is None or d_chars_rev is None:
+        if rev_eq is None:
             raise ValueError(
-                "batched_damerau_multi with max_distance >= 2 requires "
-                "reversed char tables (and unclamped d_lens)")
-        dr_t = jnp.transpose(d_chars_rev, (0, 2, 1))[:, None, :, :]
-        qr_t = q_chars_rev[None, :, :, None]
+                "damerau_rescue with max_distance >= 2 requires rev_eq "
+                "(and unclamped d_lens)")
         shorter4 = jnp.minimum(ql4, dl4)
-        rev_mism = (qr_t != dr_t) & (l_iota < shorter4)
+        rev_mism = (~rev_eq) & (l_iota < shorter4)
         any_rm = rev_mism.any(axis=2)
         suffix_run = jnp.where(
             any_rm, jnp.argmax(rev_mism, axis=2).astype(jnp.int32),
-            jnp.broadcast_to(jnp.minimum(q_len_b, d_len_b), (C, Q, D)))
+            jnp.broadcast_to(jnp.minimum(q_len_b, d_len3), (C, Q, D)))
         suffix_run = jnp.minimum(suffix_run, rest_short)
-
         rest_lev1 = jnp.where(
             rest_diff == 0,
             aligned_prefix + suffix_run >= rest_short - 1,
@@ -201,3 +202,20 @@ def batched_damerau_multi(q_chars: jax.Array,   # int32 [Q, L]
         has_mism & rescue_ok
     result = jnp.where(use_rescue, rescued, dist)
     return jnp.where(len_diff_ok, result, no)
+
+
+@functools.partial(jax.jit, static_argnames=("max_distance", "l_max"))
+def batched_damerau_multi(q_chars: jax.Array,   # int32 [Q, L]
+                          q_lens: jax.Array,    # int32 [Q]
+                          d_chars: jax.Array,   # int32 [C, D, L]
+                          d_lens: jax.Array,    # int32 [C, D] or [C, Q, D]
+                          q_chars_rev: Optional[jax.Array] = None,
+                          d_chars_rev: Optional[jax.Array] = None,
+                          *, max_distance: int, l_max: int) -> jax.Array:
+    """Convenience wrapper: lev sweep + rescue (see damerau_rescue)."""
+    dist = batched_lev_multi(q_chars, q_lens, d_chars, d_lens,
+                             budget=max_distance + 1, l_max=l_max)
+    eq, eq_qd1, eq_q1d, rev_eq = alignment_tensors(
+        q_chars, d_chars, q_chars_rev, d_chars_rev)
+    return damerau_rescue(dist, eq, eq_qd1, eq_q1d, q_lens, d_lens,
+                          max_distance=max_distance, rev_eq=rev_eq)

@@ -84,7 +84,7 @@ class SearchPipeline:
     def _rewire_coverage(self) -> None:
         m = self._model
         self._coverage_engine.set_corpus_statistics(
-            m.term_dict,
+            m.built,
             m.built.df if m.built is not None else None,
             m.documents.count,
         )
@@ -462,17 +462,16 @@ class SearchPipeline:
             search_text, setup.min_word_size)
         if not tokens:
             return candidates
+        built = model.built
         for token in tokens:
-            tid = model.term_dict.get_id(token)
-            if tid < 0 or model.term_dict.postings[tid].df == 0:
+            tid = built.term_to_id.get(token, -1)
+            if tid < 0 or built.df[tid] == 0:
                 return candidates
         docs_with_any: Set[int] = set()
         for token in tokens:
-            tid = model.term_dict.get_id(token)
-            if tid >= 0:
-                postings = model.term_dict.postings[tid]
-                if postings.df > 0:
-                    docs_with_any.update(postings.doc_ids)
+            tid = built.term_to_id.get(token, -1)
+            if tid >= 0 and built.df[tid] > 0:
+                docs_with_any.update(built.postings_for(tid)[0].tolist())
         if not docs_with_any:
             return candidates
         filtered = []

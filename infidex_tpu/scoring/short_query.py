@@ -131,11 +131,15 @@ def build_prefix_patterns(search_lower: str, min_index_size: int,
 
 
 class _SortedVocab:
-    """Sorted term table for prefix enumeration (FST GetByPrefix stand-in)."""
+    """Sorted term table for prefix enumeration (FST GetByPrefix stand-in).
+
+    Built over the finalized unified vocabulary (memory + disk segments)."""
 
     def __init__(self, model: VectorModel):
+        if model.built is None:
+            model.build_inverted_lists()
         self.sorted_terms = sorted(
-            (t, i) for i, t in enumerate(model.term_dict.terms)
+            (t, i) for i, t in enumerate(model.built.terms)
         )
         self.keys = [t for t, _ in self.sorted_terms]
 
@@ -171,10 +175,10 @@ def search_short_query(
         vocab = _SortedVocab(model)
 
     def process_term(term_id: int, multiplier: int) -> None:
-        postings = model.term_dict.postings[term_id]
-        if postings.df <= 0:
+        if model.built.df[term_id] <= 0:
             return
-        for internal_id, weight in zip(postings.doc_ids, postings.weights):
+        doc_ids, weights = model.built.postings_for(term_id)
+        for internal_id, weight in zip(doc_ids.tolist(), weights.tolist()):
             doc = model.documents.get_document(internal_id)
             if doc is None or doc.deleted:
                 continue
@@ -199,7 +203,7 @@ def search_short_query(
 
     # Fuzzy fallback when the prefix scan matched few documents (:221-228).
     if len(matched_docs) < 100:
-        for tid, term in enumerate(model.term_dict.terms):
+        for tid, term in enumerate(model.built.terms):
             if any(term.startswith(p) for p in patterns):
                 continue
             has_word_boundary = False
@@ -277,7 +281,6 @@ def count_short_query_documents(search_lower: str, model: VectorModel,
     docs: Set[int] = set()
     for pattern in patterns:
         for tid in vocab.by_prefix(pattern, MAX_FST_TERMS_PER_PREFIX):
-            postings = model.term_dict.postings[tid]
-            if postings.df > 0:
-                docs.update(postings.doc_ids)
+            if model.built.df[tid] > 0:
+                docs.update(model.built.postings_for(tid)[0].tolist())
     return len(docs)

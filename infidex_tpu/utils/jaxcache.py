@@ -14,9 +14,11 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
     import jax
 
     if cache_dir is None:
-        cache_dir = os.environ.get(
-            "INFIDEX_TPU_JAX_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "infidex_tpu_xla"))
+        # Opt-in only: some experimental backends (tunneled TPUs with remote
+        # compile) hang when a persistent compilation cache is configured.
+        cache_dir = os.environ.get("INFIDEX_TPU_JAX_CACHE")
+        if not cache_dir:
+            return
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
