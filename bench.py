@@ -22,7 +22,7 @@ import time
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
 N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-N_WORKERS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 BASELINE_QPS = 1000.0  # provisional C#-engine estimate; see module docstring
 
 ADJECTIVES = [
@@ -76,8 +76,6 @@ def make_queries(titles, n):
 
 
 def main():
-    from concurrent.futures import ThreadPoolExecutor
-
     from infidex_tpu import Document, Query, SearchEngine
 
     def log(msg):
@@ -93,25 +91,29 @@ def main():
 
     queries = make_queries(titles, N_QUERIES)
 
-    # Warmup (JIT compile of the shape buckets; slow on tunneled TPUs)
+    # Warmup: one full unmeasured pass (JIT compile of every shape bucket
+    # the workload hits; compiles are slow on tunneled TPUs).
     t0 = time.perf_counter()
-    for i, q in enumerate(queries[:20]):
-        engine.search(Query(q, 10))
-        if i in (0, 4, 9):
-            log(f"[bench] warmup {i + 1}/20 ({time.perf_counter() - t0:.0f}s)")
+    n_batches = (len(queries) + BATCH - 1) // BATCH
+    for i in range(0, len(queries), BATCH):
+        engine.search_batch([Query(q, 10) for q in queries[i : i + BATCH]])
+        if (i // BATCH) % 4 == 0:
+            log(f"[bench] warmup batch {i // BATCH + 1}/{n_batches} "
+                f"({time.perf_counter() - t0:.0f}s)")
     log(f"[bench] warmup done in {time.perf_counter() - t0:.0f}s")
 
-    # Throughput: concurrent searches (serving-style QPS); latency per query.
+    # Serving-style throughput: requests arrive continuously and are served
+    # in device batches of BATCH (the device serializes work, so batching —
+    # not thread concurrency — is what scales QPS). Per-query latency is the
+    # wall time of the batch that served it.
     latencies = []
-
-    def run_one(q):
-        t1 = time.perf_counter()
-        engine.search(Query(q, 10))
-        return time.perf_counter() - t1
-
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=N_WORKERS) as pool:
-        latencies = list(pool.map(run_one, queries))
+    for i in range(0, len(queries), BATCH):
+        chunk = queries[i : i + BATCH]
+        t1 = time.perf_counter()
+        engine.search_batch([Query(q, 10) for q in chunk])
+        dt = time.perf_counter() - t1
+        latencies.extend([dt] * len(chunk))
     wall = time.perf_counter() - t0
 
     qps = len(queries) / wall
@@ -119,7 +121,7 @@ def main():
     p50 = latencies[len(latencies) // 2] * 1000.0
 
     print(json.dumps({
-        "metric": f"fuzzy-query QPS ({N_DOCS} docs, {N_WORKERS} clients, "
+        "metric": f"fuzzy-query QPS ({N_DOCS} docs, batch={BATCH}, "
                   f"p50={p50:.1f}ms, index={index_secs:.1f}s)",
         "value": round(qps, 2),
         "unit": "qps",

@@ -18,6 +18,7 @@ class Document:
     __slots__ = (
         "id", "document_key", "segment_number", "fields", "indexed_text",
         "document_client_information", "reserved", "json_index", "deleted",
+        "_norm_cache",
     )
 
     def __init__(
@@ -35,6 +36,10 @@ class Document:
         self.reserved: str = ""
         self.json_index: int = 0
         self.deleted: bool = False
+        # (normalizer id, normalized indexed_text) — hot-path memo; the
+        # indexed text is immutable once set, so per-candidate search-time
+        # normalization would be pure rework.
+        self._norm_cache = None
 
         if isinstance(text_or_fields, DocumentFields):
             self.fields = text_or_fields

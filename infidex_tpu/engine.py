@@ -274,6 +274,84 @@ class SearchEngine:
                 total_candidates=len(results),
             )
 
+    def search_batch(self, queries: List[Query]) -> List[Result]:
+        """Execute B searches with shared device work.
+
+        Per-query semantics are identical to ``search``; the two device
+        stages are batched across queries (one Stage-1 kernel call for the
+        whole batch; coverage chunks mix candidates of all queries). This is
+        the high-throughput entry point: on links with high per-call latency
+        it multiplies QPS by roughly the batch size.
+        """
+        with self._rw_lock.read_lock():
+            if not self._is_indexed:
+                return [Result.make_empty() for _ in queries]
+
+            prepped: List[Query] = []
+            direct: Dict[int, Result] = {}
+            for i, query in enumerate(queries):
+                q = query.copy()
+                q_text = q.text.strip()
+                if self._vector_model.tokenizer.text_normalizer is not None:
+                    q_text = self._vector_model.tokenizer.text_normalizer.normalize(q_text)
+                q_text = q_text.lower()
+                if (self._synonym_map is not None
+                        and self._synonym_map.has_canonical_mappings
+                        and self._vector_model.tokenizer.tokenizer_setup is not None):
+                    q_text = self._synonym_map.canonicalize_text(
+                        q_text, self._vector_model.tokenizer.tokenizer_setup.delimiters)
+                q.text = q_text
+                q.time_out_limit_milliseconds = max(
+                    0, min(q.time_out_limit_milliseconds, 10000))
+                if not q.text or q.text.isspace():
+                    direct[i] = (self._handle_empty_query_with_facets(q)
+                                 if q.enable_facets else Result.make_empty())
+                prepped.append(q)
+
+            # Group queries by identical pipeline parameters; each group is
+            # one batched pipeline run (parameters are almost always uniform).
+            groups: Dict[tuple, List[int]] = {}
+            for i, q in enumerate(prepped):
+                if i in direct:
+                    continue
+                setup = (q.coverage_setup or self._coverage_setup) \
+                    if q.enable_coverage else None
+                key = (id(setup), q.coverage_depth,
+                       q.max_number_of_records_to_return)
+                groups.setdefault(key, []).append(i)
+
+            results_by_query: Dict[int, List[ScoreEntry]] = {}
+            for (_, depth, max_records), idxs in groups.items():
+                q0 = prepped[idxs[0]]
+                setup = (q0.coverage_setup or self._coverage_setup) \
+                    if q0.enable_coverage else None
+                batch_out = self._pipeline.execute_batch(
+                    [prepped[i].text for i in idxs], setup, depth, max_records)
+                for i, res in zip(idxs, batch_out):
+                    results_by_query[i] = res
+
+            out: List[Result] = []
+            for i, q in enumerate(prepped):
+                if i in direct:
+                    out.append(direct[i])
+                    continue
+                results = self._apply_post_processing(results_by_query[i], q)
+                facets = None
+                if q.enable_facets:
+                    facets = facet_builder.build_facets(
+                        results, self._vector_model.documents,
+                        self._document_field_schema)
+                top = results[: q.max_number_of_records_to_return]
+                out.append(Result(
+                    records=top,
+                    facets=facets,
+                    truncation_index=len(top) - 1 if top else 0,
+                    truncation_score=top[-1].score if top else 0.0,
+                    did_time_out=False,
+                    total_candidates=len(results),
+                ))
+            return out
+
     def _handle_empty_query_with_facets(self, q: Query) -> Result:
         all_results = [ScoreEntry(65535.0, d.document_key)
                        for d in self._vector_model.documents.all_documents()]

@@ -127,6 +127,81 @@ def _stage1_kernel(
     return top_scores, top_ids
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_pad", "e_pad", "k", "n_q"),
+)
+def _stage1_kernel_batch(
+    postings_docs: jax.Array,     # int32 [P]
+    postings_weights: jax.Array,  # uint8 [P]
+    doc_lengths: jax.Array,       # f32 [N_pad]
+    live_mask: jax.Array,         # f32 [N_pad]
+    term_starts: jax.Array,       # int32 [QT] (all queries' terms, flat)
+    term_lens: jax.Array,         # int32 [QT]
+    term_idf: jax.Array,          # f32 [QT]
+    term_query: jax.Array,        # int32 [QT] owning query per term
+    extra_docs: jax.Array,        # int32 [e_pad]
+    extra_idf: jax.Array,         # f32 [e_pad]
+    extra_query: jax.Array,       # int32 [e_pad]
+    avgdl: jax.Array,             # f32 scalar
+    *,
+    l_pad: int,
+    e_pad: int,
+    k: int,
+    n_q: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-query Stage-1: B queries' postings in ONE flat lane space.
+
+    Identical math to ``_stage1_kernel`` but the scatter target is the
+    flattened [B * N_pad] score matrix (lane -> owning query via a second
+    searchsorted-free gather: term_query[term_of]). One device round trip
+    amortizes the host<->device link latency across the whole batch, and
+    top-k runs batched on [B, N_pad].
+    """
+    n_pad = doc_lengths.shape[0]
+    avgdl = jnp.maximum(avgdl, 1e-9)
+
+    cum = jnp.cumsum(term_lens)
+    total = cum[-1]
+    lane = jnp.arange(l_pad, dtype=jnp.int32)
+    term_of = jnp.searchsorted(cum, lane, side="right").astype(jnp.int32)
+    qt = term_lens.shape[0]
+    term_of_c = jnp.minimum(term_of, qt - 1)
+    prev = jnp.where(term_of_c > 0, cum[jnp.maximum(term_of_c - 1, 0)], 0)
+    pos = lane - prev
+    idx = term_starts[term_of_c] + pos
+    valid = lane < total
+    idx = jnp.where(valid, idx, 0)
+
+    doc = postings_docs[idx]
+    tf = postings_weights[idx].astype(jnp.float32)
+    dl = doc_lengths[doc]
+    dl = jnp.where(dl <= 0.0, 1.0, dl)
+
+    norm = K1 * (1.0 - B + B * (dl / avgdl))
+    contrib = term_idf[term_of_c] * ((tf * (K1 + 1.0)) / (tf + norm) + DELTA)
+    contrib = jnp.where(valid, contrib, 0.0)
+    qof = term_query[term_of_c]
+    flat = jnp.where(valid, qof * n_pad + doc, n_pad - 1)
+
+    scores = jnp.zeros((n_q * n_pad,), dtype=jnp.float32)
+    scores = scores.at[flat].add(contrib, mode="drop")
+
+    if e_pad > 0:
+        edl = doc_lengths[extra_docs]
+        edl = jnp.where(edl <= 0.0, 1.0, edl)
+        enorm = K1 * (1.0 - B + B * (edl / avgdl))
+        econtrib = extra_idf * ((K1 + 1.0) / (1.0 + enorm) + DELTA)
+        eflat = extra_query * n_pad + extra_docs
+        scores = scores.at[eflat].add(econtrib, mode="drop")
+
+    scores = scores.reshape(n_q, n_pad) * live_mask[None, :]
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    # One packed output = one host transfer (tunneled links pay a full
+    # round trip per array). Doc ids are exact in f32 up to 2^24.
+    return jnp.stack([top_scores, top_ids.astype(jnp.float32)])
+
+
 class DeviceIndex:
     """HBM-resident CSR postings + jitted Stage-1 search."""
 
@@ -230,3 +305,90 @@ class DeviceIndex:
         # outputs one array at a time.
         scores, ids = jax.device_get(out)
         return scores, ids
+
+    def search_batch(
+        self,
+        queries,          # list of (term_ids, term_idf, extra_docs, extra_idf)
+        top_k: int,
+    ) -> list:
+        """Score B queries in ONE kernel call; returns [(scores, ids)] * B.
+
+        Each query is (term_ids, term_idf, extra_docs|None, extra_idf|None).
+        The flat-lane trick from ``search`` extends naturally: terms of all
+        queries share one lane space, each lane scatter-adds into its owning
+        query's row of the [B, N_pad] score matrix.
+        """
+        built = self.built
+        n_q = len(queries)
+        if n_q == 0:
+            return []
+        # Bucket the batch width so partial batches reuse a compiled program
+        # (n_q is a static shape dim; pad rows cost one extra top-k row each).
+        n_q_pad = _bucket(n_q, 4)
+
+        starts_l, lens_l, idfs_l, tq_l = [], [], [], []
+        ed_l, ei_l, eq_l = [], [], []
+        for qi, (term_ids, term_idf, extra_docs, extra_idf) in enumerate(queries):
+            for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
+                s, e = built.term_offsets[tid], built.term_offsets[tid + 1]
+                starts_l.append(s)
+                lens_l.append(e - s)
+                idfs_l.append(term_idf[i])
+                tq_l.append(qi)
+            if extra_docs is not None and len(extra_docs) > 0:
+                ed_l.extend(np.asarray(extra_docs, dtype=np.int64).tolist())
+                ei_l.extend(np.asarray(extra_idf, dtype=np.float64).tolist())
+                eq_l.extend([qi] * len(extra_docs))
+
+        qt = max(len(starts_l), 1)
+        qt_pad = _bucket(qt, 8)
+        starts = np.zeros(qt_pad, dtype=np.int32)
+        lens = np.zeros(qt_pad, dtype=np.int32)
+        idfs = np.zeros(qt_pad, dtype=np.float32)
+        tq = np.zeros(qt_pad, dtype=np.int32)
+        starts[: len(starts_l)] = starts_l
+        lens[: len(lens_l)] = lens_l
+        idfs[: len(idfs_l)] = idfs_l
+        tq[: len(tq_l)] = tq_l
+
+        total = int(lens.sum())
+        l_pad = _bucket(max(total, 1), _MIN_L)
+
+        if ed_l:
+            e = len(ed_l)
+            e_pad = _bucket(e, _MIN_E)
+            ed = np.full(e_pad, self.n_pad - 1, dtype=np.int32)
+            ei = np.zeros(e_pad, dtype=np.float32)
+            eq = np.zeros(e_pad, dtype=np.int32)
+            ed[:e] = ed_l
+            ei[:e] = ei_l
+            eq[:e] = eq_l
+            extra = (jnp.asarray(ed), jnp.asarray(ei), jnp.asarray(eq))
+        else:
+            e_pad = 0
+            extra = (self._zero_extra[0], self._zero_extra[1],
+                     jnp.zeros((0,), jnp.int32))
+
+        k = min(int(top_k), self.n_pad)
+        out = _stage1_kernel_batch(
+            self.postings_docs,
+            self.postings_weights,
+            self.doc_lengths,
+            self.live_mask,
+            jnp.asarray(starts),
+            jnp.asarray(lens),
+            jnp.asarray(idfs),
+            jnp.asarray(tq),
+            extra[0],
+            extra[1],
+            extra[2],
+            self.avgdl,
+            l_pad=l_pad,
+            e_pad=e_pad,
+            k=k,
+            n_q=n_q_pad,
+        )
+        packed = jax.device_get(out)
+        scores = packed[0]
+        ids = packed[1].astype(np.int32)
+        return [(scores[b], ids[b]) for b in range(n_q)]

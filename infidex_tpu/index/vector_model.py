@@ -430,23 +430,23 @@ class VectorModel:
     # ------------------------------------------------------------------
     # Search
 
-    def search(
-        self,
-        query_text: str,
-        top_k: int,
-        best_segments_map: Optional[Dict[int, int]] = None,
-    ) -> List[ScoreEntry]:
-        """Stage-1 BM25 search; returns entries sorted desc (score, -key)."""
+    def prepare_stage1(self, query_text: str):
+        """Host half of Stage-1: tokenize, look up terms, expand fuzzies.
+
+        Returns (term_ids, idfs, extra_docs, extra_idf) ready for
+        ``DeviceIndex.search``/``search_batch``, or None when the query
+        resolves to nothing scoreable.
+        """
         if self.built is None:
             self.build_inverted_lists()
         built = self.built
         total_docs = self.documents.count
         if total_docs == 0:
-            return []
+            return None
 
         tokens = self.tokenizer.tokenize_for_search(query_text)
         if not tokens:
-            return []
+            return None
 
         # Dedupe tokens into unique query terms (occurrences tracked but not
         # used by BM25 scoring — matches Bm25Scorer which scores unique terms).
@@ -484,23 +484,24 @@ class VectorModel:
             idfs.append(compute_idf(total_docs, int(df)))
 
         if not term_ids and not extra_docs_list:
-            return []
+            return None
 
         extra_docs = (
             np.concatenate(extra_docs_list) if extra_docs_list else None
         )
         extra_idf = np.concatenate(extra_idf_list) if extra_idf_list else None
+        return (np.asarray(term_ids, dtype=np.int64),
+                np.asarray(idfs, dtype=np.float32),
+                extra_docs, extra_idf)
 
-        if self.device is None:
-            self.build_inverted_lists()
-        scores, ids = self.device.search(
-            np.asarray(term_ids, dtype=np.int64),
-            np.asarray(idfs, dtype=np.float32),
-            top_k,
-            extra_docs,
-            extra_idf,
-        )
-
+    def finish_stage1(
+        self,
+        scores: np.ndarray,
+        ids: np.ndarray,
+        best_segments_map: Optional[Dict[int, int]] = None,
+    ) -> List[ScoreEntry]:
+        """Host half of Stage-1 after the device top-k: resolve documents,
+        drop deleted, fill the best-segments map."""
         entries: List[ScoreEntry] = []
         for s, i in zip(scores.tolist(), ids.tolist()):
             if s <= 0.0:
@@ -516,3 +517,20 @@ class VectorModel:
                     if prev is None or s > prev[0]:
                         best_segments_map[base] = (float(s), doc.segment_number)
         return entries
+
+    def search(
+        self,
+        query_text: str,
+        top_k: int,
+        best_segments_map: Optional[Dict[int, int]] = None,
+    ) -> List[ScoreEntry]:
+        """Stage-1 BM25 search; returns entries sorted desc (score, -key)."""
+        prep = self.prepare_stage1(query_text)
+        if prep is None:
+            return []
+        term_ids, idfs, extra_docs, extra_idf = prep
+        if self.device is None:
+            self.build_inverted_lists()
+        scores, ids = self.device.search(
+            term_ids, idfs, top_k, extra_docs, extra_idf)
+        return self.finish_stage1(scores, ids, best_segments_map)

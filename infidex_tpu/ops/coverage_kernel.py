@@ -202,15 +202,18 @@ def _pairwise_primitives(q_chars, q_lens, q_rev, chars_t, chars_rev_t,
     relations of the reversed strings (no gathers).
     """
     C, L, D = chars_t.shape
-    S = q_chars.shape[0]
+    q3 = q_chars if q_chars.ndim == 3 else q_chars[None]
+    qr3 = q_rev if q_rev.ndim == 3 else q_rev[None]
+    ql2 = q_lens if q_lens.ndim == 2 else q_lens[None]
+    S = q3.shape[1]
     l4 = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]   # [1,1,L,1]
 
-    q_t = q_chars[None, :, :, None]                    # [1,S,L,1]
-    qr_t = q_rev[None, :, :, None]
+    q_t = q3[..., None]                                # [1|C,S,L,1]
+    qr_t = qr3[..., None]
     d_t = chars_t[:, None, :, :]                       # [C,1,L,D]
     dr_t = chars_rev_t[:, None, :, :]
-    ql = q_lens[None, :, None]                         # [1,S,1]
-    ql4 = q_lens[None, :, None, None]                  # [1,S,1,1]
+    ql = ql2[:, :, None]                               # [1|C,S,1]
+    ql4 = ql2[:, :, None, None]                        # [1|C,S,1,1]
     dl = lens[:, None, :]                              # [C,1,D]
     dl4 = lens[:, None, None, :]                       # [C,1,1,D]
     v = valid[:, None, :]                              # [C,1,D]
@@ -241,7 +244,8 @@ def _pairwise_primitives(q_chars, q_lens, q_rev, chars_t, chars_rev_t,
     any_m = mism.any(axis=2)
     first_m = jnp.argmax(mism, axis=2).astype(jnp.int32)
     common_prefix = jnp.where(any_m, first_m,
-                              jnp.broadcast_to(jnp.minimum(ql, dl), (C, S, D)))
+                              jnp.broadcast_to(jnp.minimum(ql, dl),
+                                               any_m.shape))
 
     return eq, d_sw_q, d_ew_q, q_ew_d, d_cont_q, common_prefix
 
@@ -250,9 +254,11 @@ def _q_startswith_d_t(q_chars, q_lens, chars_t, lens, valid):
     """q token starts with doc token: [C,S,D] (D-minor layout)."""
     C, L, D = chars_t.shape
     l4 = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]
-    q_t = q_chars[None, :, :, None]
+    q3 = q_chars if q_chars.ndim == 3 else q_chars[None]
+    ql2 = q_lens if q_lens.ndim == 2 else q_lens[None]
+    q_t = q3[..., None]
     d_t = chars_t[:, None, :, :]
-    ql = q_lens[None, :, None]
+    ql = ql2[:, :, None]
     dl = lens[:, None, :]
     dl4 = lens[:, None, None, :]
     ch_eq = ((q_t == d_t) | (l4 >= dl4)).all(axis=2)
@@ -268,22 +274,49 @@ def coverage_fusion_batch(
     word_chars, word_chars_rev, word_lens, doc_tokens, doc_tok_offsets,
     doc_tok_count, doc_adj_ws, doc_text_len,
     text_ids,            # int32 [C] internal id whose text is scored
-    q_chars, q_chars_rev, q_lens, q_idf, q_word_idf, q_count,
-    q_sorted,            # int32 [Q] token order by length desc (stable)
-    fq_chars, fq_chars_rev, fq_lens, fq_count,       # fusion query tokens
-    fq_last_is_alpha,    # bool scalar: last fusion token is a single letter
+    qsel,                # int32 [C] which query each candidate belongs to
+    q_chars, q_chars_rev,        # int32 [B, Q, L]
+    q_lens, q_idf, q_word_idf,   # [B, Q]
+    q_count,                     # int32 [B]
+    q_sorted,                    # int32 [B, Q] length-desc stable order
+    fq_chars, fq_chars_rev,      # int32 [B, FQ, L]
+    fq_lens,                     # int32 [B, FQ]
+    fq_count,                    # int32 [B]
+    fq_last_is_alpha,            # bool [B]
     lcs_vals,            # f32 [C]
     base_scores,         # f32 [C]
-    query_len,           # int32 scalar (full query string length)
+    query_len,           # int32 [B] (full query string lengths)
     *,
     config: CoverageConfig,
 ):
     C = text_ids.shape[0]
-    Q = q_chars.shape[0]
-    FQ = fq_chars.shape[0]
-    L = q_chars.shape[1]
+    Q = q_chars.shape[1]
+    FQ = fq_chars.shape[1]
+    L = q_chars.shape[2]
     D = doc_tokens.shape[1]
     f32 = jnp.float32
+
+    # Per-candidate query views (multi-query batches: candidates of many
+    # queries score in ONE kernel call).
+    qc3 = q_chars[qsel]            # [C,Q,L]
+    qr3 = q_chars_rev[qsel]
+    qlens2 = q_lens[qsel]          # [C,Q]
+    qidf2 = q_idf[qsel]
+    qwidf2 = q_word_idf[qsel]
+    qcount = q_count[qsel]         # [C]
+    qsorted2 = q_sorted[qsel]      # [C,Q]
+    fqc3 = fq_chars[qsel]
+    fqr3 = fq_chars_rev[qsel]
+    fqlens2 = fq_lens[qsel]
+    fqcount = fq_count[qsel]
+    fq_alpha = fq_last_is_alpha[qsel]
+    qlen_c = query_len[qsel]       # [C]
+    # Dynamic loop bounds from the GATHERED counts: only queries with a
+    # candidate in THIS call pay iterations. Callers sort candidates by
+    # token count so chunks are homogeneous and short-query chunks stop
+    # after 1-2 trips even when the batch holds longer queries.
+    max_qc = jnp.minimum(jnp.max(qcount), Q)
+    max_fqc = jnp.max(fqcount)
 
     # ---------------- gather doc data ---------------------------------
     codes = doc_tokens[text_ids]                    # [C,D]
@@ -316,42 +349,39 @@ def coverage_fusion_batch(
     cov_count = cov.sum(axis=1)
 
     q_iota = jnp.arange(Q, dtype=jnp.int32)
-    q_valid = q_iota < q_count
+    q_valid = q_iota[None, :] < qcount[:, None]        # [C,Q]
 
     # ---------------- precomputed pairwise primitives -------------------
     (EQ, D_SW_Q, D_EW_Q, Q_EW_D, D_CONT_Q, _cp) = _pairwise_primitives(
-        q_chars, q_lens, q_chars_rev, chars_t, chars_rev_t, lens, all_valid)
-    _Q_SW_D = _q_startswith_d_t(q_chars, q_lens, chars_t, lens, all_valid)
+        qc3, qlens2, qr3, chars_t, chars_rev_t, lens, all_valid)
+    _Q_SW_D = _q_startswith_d_t(qc3, qlens2, chars_t, lens, all_valid)
 
     # Edit distances: TWO banded sweeps serve all five Damerau variants.
     # Sweep A (budget 3) gives exact min(lev, 4): clamped to 3 it is the
     # md=1 internal value, as-is the md=2 one. Alignment/rescue tensors are
     # computed once and shared by every rescue application.
     eq_al, eq_qd1, eq_q1d, rev_eq = alignment_tensors(
-        q_chars, chars, q_chars_rev, chars_rev)
-    lev3 = batched_lev_multi(q_chars, q_lens, chars, lens, budget=3, l_max=L)
+        qc3, chars, qr3, chars_rev)
+    lev3 = batched_lev_multi(qc3, qlens2, chars, lens, budget=3, l_max=L)
     dam1 = damerau_rescue(jnp.minimum(lev3, 3), eq_al, eq_qd1, eq_q1d,
-                          q_lens, lens, max_distance=1)
-    dam2 = damerau_rescue(lev3, eq_al, eq_qd1, eq_q1d, q_lens, lens,
+                          qlens2, lens, max_distance=1)
+    dam2 = damerau_rescue(lev3, eq_al, eq_qd1, eq_q1d, qlens2, lens,
                           max_distance=2, rev_eq=rev_eq)
     # Sweep B: the three prefix-window variants stacked along the lane axis.
-    ql_b = q_lens[None, :, None]
+    ql_b = qlens2[:, :, None]                                   # [C,Q,1]
     dl1 = jnp.minimum(lens[:, None, :], ql_b)
     dl2 = jnp.minimum(lens[:, None, :], ql_b + 1)
     dl3 = jnp.minimum(lens[:, None, :], jnp.maximum(ql_b - 1, 0))
     chars3 = jnp.concatenate([chars, chars, chars], axis=1)     # [C,3D,L]
-    dl_stack = jnp.concatenate(
-        [jnp.broadcast_to(dl1, (C, Q, D)),
-         jnp.broadcast_to(dl2, (C, Q, D)),
-         jnp.broadcast_to(dl3, (C, Q, D))], axis=2)             # [C,Q,3D]
-    lev_p = batched_lev_multi(q_chars, q_lens, chars3, dl_stack,
+    dl_stack = jnp.concatenate([dl1, dl2, dl3], axis=2)         # [C,Q,3D]
+    lev_p = batched_lev_multi(qc3, qlens2, chars3, dl_stack,
                               budget=2, l_max=L)
     pdam1 = damerau_rescue(lev_p[:, :, :D], eq_al, eq_qd1, eq_q1d,
-                           q_lens, dl1, max_distance=1)
+                           qlens2, dl1, max_distance=1)
     pdam2 = damerau_rescue(lev_p[:, :, D:2 * D], eq_al, eq_qd1, eq_q1d,
-                           q_lens, dl2, max_distance=1)
+                           qlens2, dl2, max_distance=1)
     pdam3 = damerau_rescue(lev_p[:, :, 2 * D:], eq_al, eq_qd1, eq_q1d,
-                           q_lens, dl3, max_distance=1)
+                           qlens2, dl3, max_distance=1)
 
     def first_true(mask):
         return mask.any(axis=-1), jnp.argmax(mask, axis=-1).astype(jnp.int32)
@@ -364,7 +394,7 @@ def coverage_fusion_batch(
         return arr2d & ~mask
 
     # ---------------- matcher state ------------------------------------
-    q_active = jnp.broadcast_to(q_valid, (C, Q))
+    q_active = q_valid
     d_active = unique
     term_matched = jnp.zeros((C, Q), f32)
     term_has_whole = jnp.zeros((C, Q), bool)
@@ -392,21 +422,21 @@ def coverage_fusion_batch(
 
     # ---------------- 1. whole word matcher ----------------------------
     if config.cover_whole_words:
-        p_increment = jnp.where(q_count > 1, 1.0, 0.0)
+        p_increment = jnp.where(qcount > 1, 1.0, 0.0)      # [C]
 
         def ww_body(i, st):
             (q_active, d_active, term_matched, term_has_whole,
              term_has_prefix, term_first_pos, word_hits, num_whole,
              penalty) = st
-            ql = q_lens[i]
+            ql = qlens2[:, i]                                  # [C]
             eqm = EQ[:, i, :] & d_active
             any_m, j = first_true(eqm)
-            m = any_m & q_active[:, i] & (i < q_count)
+            m = any_m & q_active[:, i] & (i < qcount)
 
             word_hits = word_hits + m
             num_whole = num_whole + jnp.where(m, ql.astype(f32), 0.0)
             num_whole = num_whole + jnp.where(
-                m & (i < q_count - 1), p_increment, 0.0)
+                m & (i < qcount - 1), p_increment, 0.0)
             term_matched = upd_q(term_matched, i, ql.astype(f32), m)
             term_has_whole = set_q_true(term_has_whole, i, m)
             term_has_prefix = set_q_true(term_has_prefix, i, m)
@@ -425,7 +455,7 @@ def coverage_fusion_batch(
 
         st = (q_active, d_active, term_matched, term_has_whole,
               term_has_prefix, term_first_pos, word_hits, num_whole, penalty)
-        st = jax.lax.fori_loop(0, jnp.minimum(q_count, Q), ww_body, st)
+        st = jax.lax.fori_loop(0, max_qc, ww_body, st)
         (q_active, d_active, term_matched, term_has_whole, term_has_prefix,
          term_first_pos, word_hits, num_whole, penalty) = st
 
@@ -434,21 +464,21 @@ def coverage_fusion_batch(
         def qj_body(i, st):
             (q_active, d_active, term_matched, term_has_joined,
              term_has_prefix, term_first_pos, num_joined, word_hits) = st
-            cond_q = q_active[:, i] & q_active[:, i + 1] & (i + 1 < q_count)
-            jl = q_lens[i] + q_lens[i + 1]
-            dmask = d_active & (lens == jl) & D_SW_Q[:, i, :] & \
+            cond_q = q_active[:, i] & q_active[:, i + 1] & (i + 1 < qcount)
+            jl = qlens2[:, i] + qlens2[:, i + 1]               # [C]
+            dmask = d_active & (lens == jl[:, None]) & D_SW_Q[:, i, :] & \
                 D_EW_Q[:, i + 1, :]
             any_m, j = first_true(dmask)
             m = any_m & cond_q
             num_joined = num_joined + jnp.where(m, jl.astype(f32), 0.0)
             word_hits = word_hits + 2 * m
             pos = at(offsets, j)
-            term_matched = upd_q(term_matched, i, q_lens[i].astype(f32), m)
+            term_matched = upd_q(term_matched, i, qlens2[:, i].astype(f32), m)
             term_has_joined = set_q_true(term_has_joined, i, m)
             term_has_prefix = set_q_true(term_has_prefix, i, m)
             term_first_pos = note_pos(term_first_pos, i, pos, m)
             term_matched = upd_q(term_matched, i + 1,
-                                 q_lens[i + 1].astype(f32), m)
+                                 qlens2[:, i + 1].astype(f32), m)
             term_has_joined = set_q_true(term_has_joined, i + 1, m)
             term_first_pos = note_pos(term_first_pos, i + 1, pos, m)
             q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
@@ -461,7 +491,7 @@ def coverage_fusion_batch(
               term_has_prefix, term_first_pos, num_joined, word_hits)
         if Q >= 2:
             st = jax.lax.fori_loop(
-                0, jnp.clip(q_count - 1, 0, Q - 1), qj_body, st)
+                0, jnp.clip(jnp.max(q_count) - 1, 0, Q - 1), qj_body, st)
         (q_active, d_active, term_matched, term_has_joined,
          term_has_prefix, term_first_pos, num_joined, word_hits) = st
 
@@ -485,7 +515,7 @@ def coverage_fusion_batch(
             q_ew_dn = jnp.take_along_axis(
                 Q_EW_D, jnp.broadcast_to(nxt[:, None, None], (C, Q, 1)),
                 axis=2)[..., 0]
-            qmask = q_active & (q_lens[None, :] == jl[:, None]) & \
+            qmask = q_active & (qlens2 == jl[:, None]) & \
                 q_sw_di & q_ew_dn
             any_q, qi = first_true(qmask)
             m = cond & any_q
@@ -530,29 +560,29 @@ def coverage_fusion_batch(
             return any_m, j
 
         def take_q(arr_cqd, qi):
-            """arr [C,Q,D] at per-batch scalar qi -> [C,D]."""
+            """arr [C,Q,D] at per-candidate token index qi [C] -> [C,D]."""
             return jnp.take_along_axis(
-                arr_cqd, jnp.broadcast_to(qi, (C,))[:, None, None], axis=1
-            )[:, 0, :]
+                arr_cqd, qi[:, None, None], axis=1)[:, 0, :]
 
         def ps1_body(si, st):
             (q_active, d_active, term_matched, term_has_prefix,
              term_first_pos, num_ps, word_hits) = st
-            qi = q_sorted[si]
-            ql = q_lens[qi]
-            qa = at(q_active, jnp.broadcast_to(qi, (C,))) & (qi < q_count)
+            qi = qsorted2[:, si]                               # [C]
+            ql = at(qlens2, qi)                                # [C]
+            qlc = ql[:, None]                                  # [C,1]
+            qa = at(q_active, qi) & (qi < qcount)
 
-            shorter = ql < lens
-            longer = ql > lens
+            shorter = qlc < lens
+            longer = qlc > lens
             pre = shorter & take_q(D_SW_Q, qi)
             suf = shorter & ~pre & take_q(D_EW_Q, qi)
-            cont = shorter & ~pre & ~suf & (ql >= 4) & take_q(D_CONT_Q, qi)
+            cont = shorter & ~pre & ~suf & (qlc >= 4) & take_q(D_CONT_Q, qi)
             dq = longer & take_q(Q_EW_D, qi)
             is_match = (pre | suf | cont | dq) & d_active
             score = jnp.where(
-                pre, ql.astype(f32),
-                jnp.where(suf, jnp.maximum(1, ql // 2).astype(f32),
-                          jnp.where(cont, ql.astype(f32) * 0.6,
+                pre, qlc.astype(f32),
+                jnp.where(suf, jnp.maximum(1, qlc // 2).astype(f32),
+                          jnp.where(cont, qlc.astype(f32) * 0.6,
                                     lens.astype(f32))))
             any_m, j = first_in_order(is_match, d_order)
             m = any_m & qa
@@ -560,11 +590,11 @@ def coverage_fusion_batch(
             is_pre = at(pre, j)
             num_ps = num_ps + jnp.where(m, sc, 0.0)
             word_hits = word_hits + m
-            upd = m[:, None] & (q_iota[None, :] == qi)
+            upd = m[:, None] & (q_iota[None, :] == qi[:, None])
             term_matched = term_matched + jnp.where(upd, sc[:, None], 0.0)
             term_has_prefix = term_has_prefix | (upd & is_pre[:, None])
             pos = at(offsets, j)
-            cur = at(term_first_pos, jnp.broadcast_to(qi, (C,)))
+            cur = at(term_first_pos, qi)
             new = jnp.where((cur == -1) | (pos < cur), pos, cur)
             term_first_pos = jnp.where(
                 upd, jnp.where(m, new, cur)[:, None], term_first_pos)
@@ -575,39 +605,40 @@ def coverage_fusion_batch(
 
         st = (q_active, d_active, term_matched, term_has_prefix,
               term_first_pos, num_ps, word_hits)
-        st = jax.lax.fori_loop(0, jnp.minimum(q_count, Q), ps1_body, st)
+        st = jax.lax.fori_loop(0, max_qc, ps1_body, st)
         (q_active, d_active, term_matched, term_has_prefix,
          term_first_pos, num_ps, word_hits) = st
 
         def ps2_body(si, st):
             (q_active, d_active, term_matched, term_first_pos, num_ps,
              word_hits) = st
-            qi = q_sorted[si]
-            ql = q_lens[qi]
-            qa = at(q_active, jnp.broadcast_to(qi, (C,))) & (qi < q_count)
-            eligible_q = (ql >= 4) | ((qi == q_count - 1) & (ql >= 2))
-            d_elig = d_active & (ql < lens)
+            qi = qsorted2[:, si]
+            ql = at(qlens2, qi)
+            qlc = ql[:, None]
+            qa = at(q_active, qi) & (qi < qcount)
+            eligible_q = (ql >= 4) | ((qi == qcount - 1) & (ql >= 2))
+            d_elig = d_active & (qlc < lens)
 
             d1 = take_q(pdam1, qi)
             d2 = take_q(pdam2, qi)
             d3 = take_q(pdam3, qi)
             m1 = d1 <= 1
-            m2 = ~m1 & (lens > ql) & (d2 <= 1)
-            m3 = ~m1 & ~m2 & (lens > ql) & (ql > 1) & (d3 <= 1)
+            m2 = ~m1 & (lens > qlc) & (d2 <= 1)
+            m3 = ~m1 & ~m2 & (lens > qlc) & (qlc > 1) & (d3 <= 1)
             score = jnp.where(
-                m1, jnp.maximum((ql - d1).astype(f32), 0.1),
-                jnp.where(m2, jnp.maximum((ql - d2).astype(f32), 0.1),
-                          jnp.maximum((ql - 1 - d3).astype(f32), 0.1)))
+                m1, jnp.maximum((qlc - d1).astype(f32), 0.1),
+                jnp.where(m2, jnp.maximum((qlc - d2).astype(f32), 0.1),
+                          jnp.maximum((qlc - 1 - d3).astype(f32), 0.1)))
             is_match = (m1 | m2 | m3) & d_elig
             any_m, j = first_in_order(is_match, d_order)
             m = any_m & qa & eligible_q
             sc = at(jnp.where(is_match, score, 0.0), j)
             num_ps = num_ps + jnp.where(m, sc, 0.0)
             word_hits = word_hits + m
-            upd = m[:, None] & (q_iota[None, :] == qi)
+            upd = m[:, None] & (q_iota[None, :] == qi[:, None])
             term_matched = term_matched + jnp.where(upd, sc[:, None], 0.0)
             pos = at(offsets, j)
-            cur = at(term_first_pos, jnp.broadcast_to(qi, (C,)))
+            cur = at(term_first_pos, qi)
             new = jnp.where((cur == -1) | (pos < cur), pos, cur)
             term_first_pos = jnp.where(
                 upd, jnp.where(m, new, cur)[:, None], term_first_pos)
@@ -618,18 +649,18 @@ def coverage_fusion_batch(
 
         st = (q_active, d_active, term_matched, term_first_pos, num_ps,
               word_hits)
-        st = jax.lax.fori_loop(0, jnp.minimum(q_count, Q), ps2_body, st)
+        st = jax.lax.fori_loop(0, max_qc, ps2_body, st)
         (q_active, d_active, term_matched, term_first_pos, num_ps,
          word_hits) = st
 
     # ---------------- 4. fuzzy word matcher ----------------------------
     if config.cover_fuzzy_words:
-        fully = (q_lens[None, :] <= 0) | \
-            (term_matched >= q_lens[None, :].astype(f32)) | ~q_valid[None, :]
+        fully = (qlens2 <= 0) | \
+            (term_matched >= qlens2.astype(f32)) | ~q_valid
         all_full = fully.all(axis=1)
 
         max_q_len = jnp.max(
-            jnp.where(q_active & q_valid[None, :], q_lens[None, :], 0), axis=1)
+            jnp.where(q_active & q_valid, qlens2, 0), axis=1)
         max_edit = jnp.where(
             max_q_len >= config.min_length_two_typos, 2,
             jnp.where(max_q_len >= config.min_length_one_typo, 1, 0))
@@ -648,8 +679,8 @@ def coverage_fusion_batch(
                         round_on=round_on):
                 (q_active, d_active, term_matched, term_first_pos,
                  word_hits, num_fuzzy) = st
-                ql = q_lens[i]
-                qa = q_active[:, i] & (i < q_count) & round_on
+                ql = qlens2[:, i]                              # [C]
+                qa = q_active[:, i] & (i < qcount) & round_on
                 if config.min_word_size > 0:
                     qa = qa & (ql >= config.min_word_size)
                 token_max = jnp.where(
@@ -663,13 +694,15 @@ def coverage_fusion_batch(
                 if edit_dist != 1:
                     qa = qa & ~special
 
-                min_len = jnp.maximum(config.min_word_size, ql - edit_dist)
+                min_len = jnp.maximum(config.min_word_size,
+                                      ql - edit_dist)[:, None]
                 max_len = jnp.minimum(
                     jnp.minimum(config.levenshtein_max_word_size,
-                                ql + edit_dist), 63)
+                                ql + edit_dist), 63)[:, None]
                 window = (lens >= min_len) & (lens <= max_len)
                 first_char_ok = jnp.where(
-                    special, (lens > 0) & (first_char == q_chars[i, 0]),
+                    special[:, None],
+                    (lens > 0) & (first_char == qc3[:, i, 0][:, None]),
                     True)
                 dist = dist_all[:, i, :]
                 is_match = d_active & window & first_char_ok & \
@@ -689,7 +722,7 @@ def coverage_fusion_batch(
 
             st = (q_active, d_active, term_matched, term_first_pos,
                   word_hits, num_fuzzy)
-            st = jax.lax.fori_loop(0, jnp.minimum(q_count, Q), fz_body, st)
+            st = jax.lax.fori_loop(0, max_qc, fz_body, st)
             (q_active, d_active, term_matched, term_first_pos, word_hits,
              num_fuzzy) = st
 
@@ -697,20 +730,20 @@ def coverage_fusion_batch(
     lcs_eff = lcs_vals if config.cover_whole_query else jnp.zeros_like(lcs_vals)
     num11 = num_joined + num_whole + num_fuzzy + num_ps - penalty.astype(f32)
     num11 = jnp.where((num11 == 0.0) & (lcs_eff > 2.0), lcs_eff - 2.0, num11)
-    qlen_f = jnp.maximum(query_len, 1).astype(f32)
+    qlen_f = jnp.maximum(qlen_c, 1).astype(f32)                 # [C]
 
-    tmc = q_lens[None, :].astype(f32)
-    has_term = q_valid[None, :] & (q_lens[None, :] > 0)
+    tmc = qlens2.astype(f32)
+    has_term = q_valid & (qlens2 > 0)
     ci = jnp.where(has_term,
                    jnp.minimum(1.0, term_matched / jnp.maximum(tmc, 1.0)), 0.0)
     sum_ci = ci.sum(axis=1)
     terms_with_any = (has_term & (ci > 0)).sum(axis=1)
-    total_idf = jnp.where(has_term, q_idf[None, :], 0.0).sum(axis=1)
-    idf_weighted = (ci * jnp.where(has_term, q_idf[None, :], 0.0)).sum(axis=1)
+    total_idf = jnp.where(has_term, qidf2, 0.0).sum(axis=1)
+    idf_weighted = (ci * jnp.where(has_term, qidf2, 0.0)).sum(axis=1)
     missing_idf = jnp.where(has_term & (ci < 1.0),
-                            (1.0 - ci) * q_idf[None, :], 0.0).sum(axis=1)
-    last_idx = jnp.maximum(q_count - 1, 0)
-    last_idf = q_idf[last_idx]
+                            (1.0 - ci) * qidf2, 0.0).sum(axis=1)
+    last_idx = jnp.maximum(qcount - 1, 0)                       # [C]
+    last_idf = jnp.take_along_axis(qidf2, last_idx[:, None], 1)[:, 0]
 
     fully_matched = has_term & (term_matched >= (tmc - 0.01))
     terms_fully = fully_matched.sum(axis=1)
@@ -728,35 +761,36 @@ def coverage_fusion_batch(
     max_pos = jnp.max(jnp.where(pos_valid, term_first_pos, -1), axis=1)
 
     idf_coverage = jnp.where(total_idf > 0, idf_weighted / total_idf, 0.0)
-    type_ahead = (q_count > 0) & (total_idf > 0) & \
-        ((last_idf / jnp.maximum(total_idf, 1e-30)) <= 1.0 / (q_count + 1))
+    type_ahead = (qcount > 0) & (total_idf > 0) & \
+        ((last_idf / jnp.maximum(total_idf, 1e-30)) <=
+         1.0 / (qcount + 1).astype(f32))
 
     single_lcs_ci = jnp.minimum(1.0, lcs_eff / qlen_f)
-    sum_ci = jnp.where((q_count == 1) & (query_len > 0) & (lcs_eff > 0) &
+    sum_ci = jnp.where((qcount == 1) & (qlen_c > 0) & (lcs_eff > 0) &
                        (single_lcs_ci > sum_ci), single_lcs_ci, sum_ci)
 
     prefix_hit = term_has_prefix & has_term & (term_matched > 0)
 
     def run_body(i, st):
         run, longest = st
-        hit = prefix_hit[:, i] & (i < q_count)
+        hit = prefix_hit[:, i] & (i < qcount)
         run = jnp.where(hit, run + 1, 0)
         return run, jnp.maximum(longest, run)
 
     _, longest_run = jax.lax.fori_loop(
-        0, jnp.minimum(q_count, Q), run_body,
+        0, max_qc, run_body,
         (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32)))
 
     def suf_body(k, st):
         suffix_run, still = st
-        i = jnp.clip(q_count - 1 - k, 0, Q - 1)
-        hit = jnp.take_along_axis(
-            prefix_hit, jnp.broadcast_to(i, (C,))[:, None], 1)[:, 0]
-        cont = still & hit
-        return suffix_run + cont, cont
+        i = jnp.clip(qcount - 1 - k, 0, Q - 1)                  # [C]
+        hit = jnp.take_along_axis(prefix_hit, i[:, None], 1)[:, 0]
+        in_range = k < qcount
+        cont = still & hit & in_range
+        return suffix_run + cont, jnp.where(in_range, cont, still)
 
     suffix_run, _ = jax.lax.fori_loop(
-        0, jnp.minimum(q_count, Q), suf_body,
+        0, max_qc, suf_body,
         (jnp.zeros((C,), jnp.int32), jnp.ones((C,), bool)))
 
     phrase_span = jnp.where(
@@ -765,39 +799,47 @@ def coverage_fusion_batch(
     del phrase_span  # computed for parity; unused by fusion
 
     last_token_has_prefix = jnp.take_along_axis(
-        prefix_hit, jnp.broadcast_to(last_idx, (C,))[:, None], 1)[:, 0] & \
-        (q_count >= 1)
-    preceding_strict = (strict & (q_iota[None, :] < q_count - 1)).sum(axis=1)
-    preceding_strict = jnp.where(q_count >= 2, preceding_strict, 0)
+        prefix_hit, last_idx[:, None], 1)[:, 0] & (qcount >= 1)
+    preceding_strict = (strict &
+                        (q_iota[None, :] < (qcount - 1)[:, None])).sum(axis=1)
+    preceding_strict = jnp.where(qcount >= 2, preceding_strict, 0)
 
     # ================== FusionSignalComputer ===========================
     sig = _fusion_signals(
-        fq_chars, fq_chars_rev, fq_lens, fq_count, fq_last_is_alpha,
+        fqc3, fqr3, fqlens2, fqcount, fq_alpha, max_fqc,
         dam2[:, 0, :], chars_t, chars_rev_t, lens, adj_ws, all_valid,
         tok_count, C, D, L, FQ, config)
-    sig["_fq_count"] = fq_count
+    sig["_fq_count"] = fqcount
 
     # ================== FusionScorer ===================================
     score, tiebreaker = _fusion_score_impl(
-        C, Q, f32, q_iota, q_count, query_len, text_len,
+        C, Q, f32, q_iota, qcount, qlen_c, text_len,
         terms_with_any, terms_fully, terms_strict, terms_prefix,
         first_match_index, sum_ci, word_hits, cov_count,
         longest_run, suffix_run, preceding_strict, last_token_has_prefix,
         type_ahead, idf_coverage, total_idf, missing_idf,
-        q_word_idf, ci, has_term, sig, base_scores)
+        qwidf2, ci, has_term, sig, base_scores)
 
-    return score, tiebreaker.astype(jnp.int32), word_hits
+    # ONE packed output array = ONE host transfer per call. On tunneled
+    # devices every array readback pays a full round trip, so returning
+    # (score, tie, hits) separately would triple the readback latency.
+    # tie (0-255) and word_hits (small counts) are exact in float32.
+    return jnp.stack([score, tiebreaker.astype(f32), word_hits.astype(f32)])
 
 
 def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
-                    fq_last_is_alpha, dam2_q0, chars_t, chars_rev_t,
+                    fq_last_is_alpha, max_fqc, dam2_q0, chars_t, chars_rev_t,
                     lens, adj_ws, all_valid, tok_count,
                     C, D, L, FQ, config):
-    """FusionSignalComputer.ComputeSignals, batched. Returns a dict."""
+    """FusionSignalComputer.ComputeSignals, batched over candidates.
+
+    fq_chars/fq_chars_rev [C,FQ,L]; fq_lens [C,FQ]; fq_count [C];
+    fq_last_is_alpha [C].
+    """
     f32 = jnp.float32
     fq_iota = jnp.arange(FQ, dtype=jnp.int32)
     d_iota = jnp.arange(D, dtype=jnp.int32)
-    fq_valid_vec = fq_iota < fq_count
+    fq_valid_vec = fq_iota[None, :] < fq_count[:, None]         # [C,FQ]
     have = (fq_count > 0) & (tok_count > 0)
 
     (F_EQ, F_D_SW_Q, _F_D_EW_Q, _F_Q_EW_D, F_CONT, F_CP) = \
@@ -805,8 +847,8 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
                              chars_rev_t, lens, all_valid)
     F_Q_SW_D = _q_startswith_d_t(fq_chars, fq_lens, chars_t, lens, all_valid)
 
-    last_idx = jnp.maximum(fq_count - 1, 0)
-    last_len = fq_lens[last_idx]
+    last_idx = jnp.maximum(fq_count - 1, 0)                     # [C]
+    last_len = jnp.take_along_axis(fq_lens, last_idx[:, None], 1)[:, 0]
 
     # --- 1. CheckPrefixLastMatch ---------------------------------------
     sw0 = F_D_SW_Q[:, 0, :]
@@ -817,24 +859,23 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
     single_ape = any_sw0 & exact0
 
     eq_any = F_EQ.any(axis=2)                       # [C,FQ]
-    is_prec = fq_iota[None, :] < (fq_count - 1)
+    is_prec = fq_iota[None, :] < (fq_count - 1)[:, None]
     all_prec = jnp.where(is_prec, eq_any, True).all(axis=1)
     last_sw = jnp.take_along_axis(
-        F_D_SW_Q, jnp.broadcast_to(last_idx, (C,))[:, None, None], axis=1
-    )[:, 0, :].any(axis=1)
+        F_D_SW_Q, last_idx[:, None, None], axis=1)[:, 0, :].any(axis=1)
     multi_lpl = all_prec & last_sw
     lexical_prefix_last = jnp.where(fq_count == 1, single_lpl, multi_lpl) & have
     all_preceding_exact = jnp.where(
         fq_count == 1, single_ape, multi_lpl) & have
 
     # --- 2. PerfectDoc -------------------------------------------------
-    explained = ((F_D_SW_Q | F_Q_SW_D) & fq_valid_vec[None, :, None]
+    explained = ((F_D_SW_Q | F_Q_SW_D) & fq_valid_vec[:, :, None]
                  ).any(axis=1)
     perfect = jnp.where(all_valid, explained, True).all(axis=1) & have
 
     # --- 3. StemEvidence (fq_count >= 2) -------------------------------
     min_stem = config.min_word_size
-    considered = fq_valid_vec[None, :] & (fq_lens[None, :] >= min_stem)
+    considered = fq_valid_vec & (fq_lens >= min_stem)
     word_match = (F_EQ | F_D_SW_Q).any(axis=2)
     unmatched = considered & ~word_match
     ev_tok = all_valid[:, None, :] & (lens[:, None, :] >= min_stem) & \
@@ -846,11 +887,11 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
         (evidence_cnt == unmatched_cnt) & have
 
     # --- 4. AnchorStem -------------------------------------------------
-    first_len = fq_lens[0]
+    first_len = fq_lens[:, 0]
     stem_ok = (fq_count > 0) & (first_len >= ANCHOR_STEM_LENGTH)
     stem_len = jnp.int32(ANCHOR_STEM_LENGTH)
     l3 = jnp.arange(L, dtype=jnp.int32)[None, :, None]      # [1,L,1]
-    ch_eq = (chars_t == fq_chars[0][None, :, None]) | (l3 >= stem_len)
+    ch_eq = (chars_t == fq_chars[:, 0, :][:, :, None]) | (l3 >= stem_len)
     d_sw_stem = all_valid & (lens >= stem_len) & ch_eq.all(axis=1)
     first_tok_match = d_sw_stem[:, 0] & (tok_count > 0)
     first_tok_long_enough = (tok_count > 0) & (lens[:, 0] >= stem_len)
@@ -864,12 +905,11 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
     trail_on = (fq_count >= 2) & (last_len >= 1) & \
         (last_len <= MAX_TRAILING_LEN)
     d_sw_last = jnp.take_along_axis(
-        F_D_SW_Q, jnp.broadcast_to(last_idx, (C,))[:, None, None], axis=1
-    )[:, 0, :]
+        F_D_SW_Q, last_idx[:, None, None], axis=1)[:, 0, :]
     cont_last = jnp.take_along_axis(
-        F_CONT, jnp.broadcast_to(last_idx, (C,))[:, None, None], axis=1
-    )[:, 0, :]
-    matchable = (d_sw_last | ((lens > last_len) & cont_last)) & all_valid
+        F_CONT, last_idx[:, None, None], axis=1)[:, 0, :]
+    matchable = (d_sw_last |
+                 ((lens > last_len[:, None]) & cont_last)) & all_valid
     m_count = matchable.sum(axis=1)
     density = m_count.astype(f32) / jnp.maximum(tok_count, 1).astype(f32)
     trailing_density = jnp.where(
@@ -880,7 +920,7 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
     # When fq_count == 1 (the only case this signal is used) the single
     # fusion token equals coverage token 0, so dam2[:, 0, :] is its Damerau.
     sim = _single_term_lexical_sim(
-        fq_chars[0], fq_chars_rev[0], fq_lens[0], dam2_q0,
+        fq_chars[:, 0, :], fq_chars_rev[:, 0, :], fq_lens[:, 0], dam2_q0,
         chars_t, chars_rev_t, lens, all_valid, C, D, L)
     single_sim = jnp.where(
         (fq_count == 1) & have,
@@ -888,7 +928,7 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
 
     # --- 7. SingleCharLastTokenBoost -----------------------------------
     boost = _single_char_last_boost(
-        fq_lens, fq_count, fq_last_is_alpha, fq_chars,
+        fq_lens, fq_count, fq_last_is_alpha, fq_chars, max_fqc,
         chars_t[:, 0, :], lens, adj_ws, all_valid, F_CONT, C, D, FQ, d_iota)
     boost = jnp.where((fq_count >= 2) & have, boost, 0)
 
@@ -906,23 +946,28 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
 
 def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
                              chars_t, chars_rev_t, lens, all_valid, C, D, L):
-    """ComputeSingleTermLexicalSimilarity, batched (D-minor layout)."""
+    """ComputeSingleTermLexicalSimilarity, batched (D-minor layout).
+
+    Per-candidate query: q_chars/q_rev [C,L], q_len [C].
+    """
 
     f32 = jnp.float32
-    qlen_f = jnp.maximum(q_len, 1).astype(f32)
-    ok = q_len >= 3
+    qlen_f = jnp.maximum(q_len, 1).astype(f32)[:, None]       # [C,1]
+    ok = q_len >= 3                                           # [C]
     tok_ok = all_valid & (lens >= 2)
     l3 = jnp.arange(L, dtype=jnp.int32)[None, :, None]       # [1,L,1]
     dl3 = lens[:, None, :]                                    # [C,1,D]
 
     # substring: first position of d token inside the query.
-    # q window at s (static slice of the zero-padded 1-D query).
-    q_padded = jnp.concatenate([q_chars, jnp.zeros((L,), q_chars.dtype)])
+    # q window at s (static slice of the zero-padded [C,2L] query rows).
+    q_padded = jnp.concatenate(
+        [q_chars, jnp.zeros((C, L), q_chars.dtype)], axis=1)  # [C,2L]
 
     def sub_body(sw, found):
-        q_sh = jax.lax.dynamic_slice_in_dim(q_padded, sw, L)[None, :, None]
+        q_sh = jax.lax.dynamic_slice_in_dim(
+            q_padded, sw, L, axis=1)[:, :, None]              # [C,L,1]
         hit = ((q_sh == chars_t) | (l3 >= dl3)).all(axis=1) & \
-            (sw + lens <= q_len)
+            (sw + lens <= q_len[:, None])
         return jnp.where((found < 0) & hit, sw, found)
 
     found_idx = jax.lax.fori_loop(
@@ -933,13 +978,15 @@ def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
     sub_score = jnp.where(sub_hit & tok_ok, len_frac * pos_factor, 0.0)
 
     # prefix-suffix: largest k >= 2 with q[-k:] == t[:k].
-    # q[-k:] reversed == q_rev[:k]; t[:k] is a prefix, so compare
-    # rev(q tail) char-by-char against... simpler: slice q at q_len-k.
+    # slice q at per-candidate q_len-k via gather.
+    col = jnp.arange(L, dtype=jnp.int32)[None, :]             # [1,L]
+
     def ps_body(kk, best_k):
-        start = jnp.maximum(q_len - kk, 0)
-        q_tail = jax.lax.dynamic_slice_in_dim(q_padded, start, L)[None, :, None]
+        start = jnp.maximum(q_len - kk, 0)[:, None]           # [C,1]
+        idx = jnp.minimum(start + col, 2 * L - 1)             # [C,L]
+        q_tail = jnp.take_along_axis(q_padded, idx, axis=1)[:, :, None]
         match = ((q_tail == chars_t) | (l3 >= kk)).all(axis=1) & \
-            (kk <= jnp.minimum(q_len, lens))
+            (kk <= jnp.minimum(q_len[:, None], lens))
         return jnp.maximum(best_k, jnp.where(match, kk, 0))
 
     best_k = jax.lax.fori_loop(
@@ -948,7 +995,7 @@ def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
 
     dist = dam2_q0
     fz_score = jnp.where(tok_ok & (dist <= 2),
-                         (q_len - dist).astype(f32) / qlen_f, 0.0)
+                         (q_len[:, None] - dist).astype(f32) / qlen_f, 0.0)
 
     best = jnp.max(
         jnp.where(sub_hit & tok_ok, sub_score,
@@ -957,16 +1004,17 @@ def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
 
     # two-segment heuristic
     MIN_SEG = 3
-    two_ok = q_len >= 2 * MIN_SEG
-    seg_len = jnp.minimum(2 * MIN_SEG, q_len // 2)
+    two_ok = q_len >= 2 * MIN_SEG                              # [C]
+    seg_len = jnp.minimum(2 * MIN_SEG, q_len // 2)             # [C]
+    seg3 = seg_len[:, None, None]                              # [C,1,1]
     tok3 = all_valid & (lens >= 3)
     # prefix frag vs token: one is a prefix of the other
-    pre_match = tok3 & (((q_chars[None, :, None] == chars_t) |
-                         (l3 >= jnp.minimum(seg_len, dl3))).all(axis=1))
+    pre_match = tok3 & (((q_chars[:, :, None] == chars_t) |
+                         (l3 >= jnp.minimum(seg3, dl3))).all(axis=1))
     # suffix frag: rev(frag) = q_rev[:seg_len]; t-or-frag suffix relation ==
     # prefix relation of the reversed strings over m = min(seg_len, len_t).
-    m3 = jnp.minimum(seg_len, dl3)                             # [C,1,D]
-    suf_match = tok3 & (((q_rev[None, :, None] == chars_rev_t) |
+    m3 = jnp.minimum(seg3, dl3)                                # [C,1,D]
+    suf_match = tok3 & (((q_rev[:, :, None] == chars_rev_t) |
                          (l3 >= m3)).all(axis=1))
 
     any_pre = pre_match.any(axis=1)
@@ -974,18 +1022,24 @@ def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
     any_suf = suf_match.any(axis=1)
     suf_i = jnp.argmax(suf_match, axis=1)
     two_seg_hit = two_ok & any_pre & any_suf & (pre_i != suf_i)
-    two_seg_score = jnp.minimum(1.0, (2 * seg_len).astype(f32) / qlen_f)
+    two_seg_score = jnp.minimum(
+        1.0, (2 * seg_len).astype(f32) / qlen_f[:, 0])
     best = jnp.where(two_seg_hit & (two_seg_score > best), two_seg_score, best)
     return jnp.where(ok, best, 0.0)
 
 
 def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
-                            first_char, lens, adj_ws, all_valid, F_CONT,
-                            C, D, FQ, d_iota):
-    """ComputeSingleCharLastTokenMatch, batched sequential walk."""
-    last_idx = jnp.maximum(fq_count - 1, 0)
-    last_len_is_1 = fq_lens[last_idx] == 1
-    target = fq_chars[last_idx, 0]
+                            max_fqc, first_char, lens, adj_ws, all_valid,
+                            F_CONT, C, D, FQ, d_iota):
+    """ComputeSingleCharLastTokenMatch, batched sequential walk.
+
+    fq_lens [C,FQ], fq_count [C], fq_chars [C,FQ,L].
+    """
+    last_idx = jnp.maximum(fq_count - 1, 0)                    # [C]
+    last_len_is_1 = jnp.take_along_axis(
+        fq_lens, last_idx[:, None], 1)[:, 0] == 1
+    target = jnp.take_along_axis(
+        fq_chars[:, :, 0], last_idx[:, None], 1)[:, 0]         # [C]
     enabled = last_len_is_1 & fq_last_is_alpha
 
     def walk_body(i, st):
@@ -1003,7 +1057,7 @@ def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
         return d_index, first_match, alive
 
     d_index, first_match, alive = jax.lax.fori_loop(
-        0, jnp.clip(fq_count - 1, 0, FQ), walk_body,
+        0, jnp.clip(max_fqc - 1, 0, FQ), walk_body,
         (jnp.zeros((C,), jnp.int32), jnp.full((C,), -1, jnp.int32),
          jnp.full((C,), True)))
 
@@ -1029,6 +1083,8 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
                        preceding_strict, last_token_has_prefix,
                        type_ahead, idf_coverage, total_idf, missing_idf,
                        q_word_idf, ci, has_term, sig, base_scores):
+    # Per-candidate shapes: q_count/query_len/text_len [C],
+    # q_word_idf [C,Q] (gathered by the caller via qsel).
     fq_count = sig["_fq_count"]
     n = jnp.where(fq_count > 0, fq_count, q_count)
     is_single = n <= 1
@@ -1065,15 +1121,15 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
 
     avg_idf = jnp.where((total_idf > 0) & (tc > 0),
                         total_idf / jnp.maximum(tc, 1).astype(f32), 0.0)
-    power = q_word_idf[None, :] * ci
+    power = q_word_idf * ci
     total_power = jnp.where(has_term, power, 0.0).sum(axis=1)
-    cand_ok = has_term & (ci > 0.1) & (q_word_idf[None, :] > 0.0) & \
-        (q_word_idf[None, :] >= avg_idf[:, None])
+    cand_ok = has_term & (ci > 0.1) & (q_word_idf > 0.0) & \
+        (q_word_idf >= avg_idf[:, None])
     others = total_power[:, None] - power
     dominance_on = ~is_single & (tc >= 2)
     dominant = (cand_ok & (power >= others)).any(axis=1) & dominance_on
-    strong_anchor = sig["has_anchor_stem"] & (q_word_idf[0] >= avg_idf) & \
-        dominance_on
+    strong_anchor = sig["has_anchor_stem"] & \
+        (q_word_idf[:, 0] >= avg_idf) & dominance_on
     precedence = precedence | jnp.where(dominant | strong_anchor, 1 << 13, 0)
     unmatched_terms = tc - terms_with_any
     precedence = precedence | jnp.where(

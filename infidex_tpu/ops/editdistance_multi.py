@@ -36,14 +36,20 @@ def _cummin_plus_axis0(row: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "l_max"))
-def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
-                      q_lens: jax.Array,    # int32 [Q]
+def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L] or [C, Q, L]
+                      q_lens: jax.Array,    # int32 [Q] or [C, Q]
                       d_chars: jax.Array,   # int32 [C, D, L]
                       d_lens: jax.Array,    # int32 [C, D] or [C, Q, D]
                       *, budget: int, l_max: int) -> jax.Array:
-    """min(lev(q_i, d_cd), budget+1) for every (c, i, d). Shape [C, Q, D]."""
+    """min(lev(q_i, d_cd), budget+1) for every (c, i, d). Shape [C, Q, D].
+
+    Query tensors may carry a per-candidate leading axis (multi-query
+    batches: each candidate belongs to a different query).
+    """
     C, D, L = d_chars.shape
-    Q = q_chars.shape[0]
+    q3 = q_chars if q_chars.ndim == 3 else q_chars[None]       # [1|C,Q,L]
+    ql2 = q_lens if q_lens.ndim == 2 else q_lens[None]         # [1|C,Q]
+    Q = q3.shape[1]
     B = budget
     W = 2 * B + 1
     big = jnp.int32(budget + 1)
@@ -63,9 +69,9 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
         row, j = carry
         d_char = inp                                   # [C, D]
         qi = j + off                                   # [W]
-        qi_clip = jnp.clip(qi, 0, q_chars.shape[1] - 1)
-        q_at = q_chars[:, qi_clip]                     # [Q, W]
-        q_at_w = jnp.transpose(q_at)[:, None, :, None]  # [W,1,Q,1]
+        qi_clip = jnp.clip(qi, 0, q3.shape[2] - 1)
+        q_at = q3[:, :, qi_clip]                       # [1|C, Q, W]
+        q_at_w = jnp.transpose(q_at, (2, 0, 1))[:, :, :, None]  # [W,1|C,Q,1]
 
         sub = jnp.where(q_at_w == d_char[None, :, None, :], 0, 1)
         diag = row + sub
@@ -76,8 +82,9 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
         base = jnp.where((i_here == 0)[:, None, None, None],
                          jnp.minimum(base, j + 1), base)
         new_row = _cummin_plus_axis0(base)
-        iv = (i_here[:, None] >= 0) & (i_here[:, None] <= q_lens[None, :])
-        new_row = jnp.where(iv[:, None, :, None], new_row, big + 1)
+        iv = (i_here[:, None, None] >= 0) & \
+            (i_here[:, None, None] <= ql2[None, :, :])   # [W,1|C,Q]
+        new_row = jnp.where(iv[:, :, :, None], new_row, big + 1)
         new_row = jnp.minimum(new_row, big + 1)
         d_valid = (j < d_len3)[None, ...]              # [1,C,1|Q,D]
         row = jnp.where(d_valid, new_row, row)
@@ -85,12 +92,13 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L]
 
     (row, _), _ = jax.lax.scan(step, (row0, jnp.int32(0)), xs[:steps])
 
-    o_final = q_lens[None, :, None] - d_len3 + B                  # [C,Q,D]
+    o_final = ql2[:, :, None] - d_len3 + B                        # [C,Q,D]
     o_final = jnp.broadcast_to(o_final, (C, Q, D))
     sel = o_iota[:, None, None, None] == o_final[None, ...]
     dist = jnp.min(jnp.where(sel, row, big), axis=0)
-    q_len_b = q_lens[None, :, None]
-    dist = jnp.where(q_len_b == 0, jnp.broadcast_to(d_len3, (C, Q, D)), dist)
+    q_len_b = ql2[:, :, None]
+    dist = jnp.where(jnp.broadcast_to(q_len_b == 0, (C, Q, D)),
+                     jnp.broadcast_to(d_len3, (C, Q, D)), dist)
     dist = jnp.where(jnp.broadcast_to(d_len3 == 0, (C, Q, D)),
                      jnp.broadcast_to(q_len_b, (C, Q, D)), dist)
     return jnp.minimum(dist, big)
@@ -106,22 +114,23 @@ def alignment_tensors(q_chars, d_chars, q_chars_rev=None, d_chars_rev=None):
     """
     C, D, L = d_chars.shape
     d_t = jnp.transpose(d_chars, (0, 2, 1))[:, None, :, :]       # [C,1,L,D]
-    q_t = q_chars[None, :, :, None]                              # [1,Q,L,1]
+    q3 = q_chars if q_chars.ndim == 3 else q_chars[None]         # [1|C,Q,L]
+    q_t = q3[..., None]                                          # [1|C,Q,L,1]
     eq = q_t == d_t
 
     zpad_d = jnp.zeros((C, 1, 1, D), d_chars.dtype)
     d_shift = jnp.concatenate([d_t[:, :, 1:, :], zpad_d], axis=2)
     eq_qd1 = q_t == d_shift
 
-    zpad_q = jnp.zeros((1, q_chars.shape[0], 1, 1), q_chars.dtype)
+    zpad_q = jnp.zeros(q_t.shape[:2] + (1, 1), q_chars.dtype)
     q_shift = jnp.concatenate([q_t[:, :, 1:, :], zpad_q], axis=2)
     eq_q1d = q_shift == d_t
 
     rev_eq = None
     if q_chars_rev is not None and d_chars_rev is not None:
         dr_t = jnp.transpose(d_chars_rev, (0, 2, 1))[:, None, :, :]
-        qr_t = q_chars_rev[None, :, :, None]
-        rev_eq = qr_t == dr_t
+        qr3 = q_chars_rev if q_chars_rev.ndim == 3 else q_chars_rev[None]
+        rev_eq = qr3[..., None] == dr_t
     return eq, eq_qd1, eq_q1d, rev_eq
 
 
@@ -133,16 +142,17 @@ def damerau_rescue(dist, eq, eq_qd1, eq_q1d, q_lens, d_lens,
     d_lens [C,D] or [C,Q,D]. Returns CalculateDamerau-equivalent distances
     (clamped above max_distance).
     """
-    C, Q, L, D = eq.shape
+    C, Q, L, D = eq.shape if eq.shape[0] != 1 else \
+        (d_lens.shape[0], eq.shape[1], eq.shape[2], eq.shape[3])
     no = jnp.int32(max_distance + 1)
-    q_len_b = q_lens[None, :, None]
+    ql2 = q_lens if q_lens.ndim == 2 else q_lens[None]           # [1|C,Q]
+    q_len_b = ql2[:, :, None]                                    # [1|C,Q,1]
     d_len3 = d_lens[:, None, :] if d_lens.ndim == 2 else d_lens
     len_diff_ok = jnp.abs(d_len3 - q_len_b) <= max_distance
 
     l_iota = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]
-    ql4 = q_lens[None, :, None, None]
-    dl4 = d_len3[:, :, None, :] if d_len3.shape[1] != 1 else \
-        d_len3[:, :, None, :]
+    ql4 = q_len_b[..., None, :].swapaxes(-1, -2)                 # [1|C,Q,1,1]
+    dl4 = d_len3[:, :, None, :]
 
     in_scan = (l_iota < (ql4 - 1)) & (l_iota < dl4)
     mism = (~eq) & in_scan
@@ -187,7 +197,8 @@ def damerau_rescue(dist, eq, eq_qd1, eq_q1d, q_lens, d_lens,
         any_rm = rev_mism.any(axis=2)
         suffix_run = jnp.where(
             any_rm, jnp.argmax(rev_mism, axis=2).astype(jnp.int32),
-            jnp.broadcast_to(jnp.minimum(q_len_b, d_len3), (C, Q, D)))
+            jnp.broadcast_to(jnp.minimum(q_len_b, d_len3),
+                             any_rm.shape))
         suffix_run = jnp.minimum(suffix_run, rest_short)
         rest_lev1 = jnp.where(
             rest_diff == 0,

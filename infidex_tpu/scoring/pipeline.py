@@ -44,6 +44,11 @@ DEVICE_COVERAGE_MIN_CANDIDATES = 24
 # independent so chunking is exact).
 DEVICE_COVERAGE_CHUNK = 512
 
+# Fixed query-batch width of the coverage kernel call: qsel routes each
+# candidate row to its query, so B queries cost the same round trips as one.
+# Padded to a constant so a single compiled program serves every batch size.
+COVERAGE_B_PAD = 16
+
 
 def analyze_query(search_text: str, tokenizer) -> Tuple[bool, bool, str]:
     """QueryAnalyzer.Analyze: (can_use_ngrams, has_mixed_terms, long_words_text)."""
@@ -116,13 +121,34 @@ class SearchPipeline:
             search_text, best_segments_map, coverage_depth, max_results)
         stage1_results = consolidate_segments(stage1_entries)
 
+        use_coverage, short_circuit = self._coverage_gate(
+            search_text, coverage_setup, stage1_results, max_results)
+        if not use_coverage:
+            return short_circuit
+
+        coverage_results = self._execute_coverage_stage(
+            search_text, coverage_setup, coverage_depth, max_results,
+            stage1_results, best_segments_map)
+
+        if not coverage_results and stage1_results:
+            return stage1_results
+        return coverage_results
+
+    # ------------------------------------------------------------------
+    def _coverage_gate(self, search_text: str,
+                       coverage_setup: Optional[CoverageSetup],
+                       stage1_results: List[ScoreEntry],
+                       max_results: int):
+        """Decide whether Stage 2/3 runs (SearchPipeline.cs:110-169).
+
+        Returns (use_coverage, short_circuit_results)."""
         delims = (self._model.tokenizer.tokenizer_setup.delimiter_set
                   if self._model.tokenizer.tokenizer_setup else {" "})
         is_short_query = (0 < len(search_text) <= SHORT_QUERY_MAX_LENGTH
                           and not any(d in search_text for d in delims))
 
         if is_short_query and len(stage1_results) >= max_results and max_results < INT_MAX:
-            return stage1_results[:max_results]
+            return False, stage1_results[:max_results]
 
         short_doc_count = 0
         short_count_known = False
@@ -143,15 +169,90 @@ class SearchPipeline:
         if (self._coverage_engine is None or coverage_setup is None
                 or (not can_use_ngrams and not allow_short_coverage)
                 or skip_due_to_cap):
-            return stage1_results
+            return False, stage1_results
+        return True, None
 
-        coverage_results = self._execute_coverage_stage(
-            search_text, coverage_setup, coverage_depth, max_results,
-            stage1_results, best_segments_map)
+    # ------------------------------------------------------------------
+    def execute_batch(self, search_texts: List[str],
+                      coverage_setup: Optional[CoverageSetup],
+                      coverage_depth: int,
+                      max_results: int = INT_MAX) -> List[List[ScoreEntry]]:
+        """Run B searches with batched device work.
 
-        if not coverage_results and stage1_results:
-            return stage1_results
-        return coverage_results
+        Semantics are identical to ``execute`` per query; the device calls
+        are shared: ONE Stage-1 kernel call scores every query's postings
+        ([B, N] scatter + batched top-k), and the coverage kernel scores
+        chunks of candidates drawn from all queries (qsel routing). On
+        high-latency device links this divides the round-trip cost by B.
+        """
+        n = len(search_texts)
+        out: List[Optional[List[ScoreEntry]]] = [None] * n
+        norm = self._model.tokenizer.text_normalizer
+
+        texts = []
+        for text in search_texts:
+            if text and not text.isspace() and norm is not None:
+                text = norm.normalize(text)
+            texts.append(text)
+
+        # ---- Stage 1: host prep per query, ONE batched device call -----
+        bsm: List[Dict] = [dict() for _ in range(n)]
+        stage1: List[List[ScoreEntry]] = [[] for _ in range(n)]
+        batch_items = []   # (query index, stage-1 prep tuple)
+        for i, text in enumerate(texts):
+            if not text or text.isspace():
+                out[i] = []
+                continue
+            can_use_ngrams, has_mixed, long_words_text = analyze_query(
+                text, self._model.tokenizer)
+            if not can_use_ngrams:
+                stage1[i] = self._execute_relevancy_stage(
+                    text, bsm[i], coverage_depth, max_results)
+                continue
+            tfidf_query = long_words_text if has_mixed else text
+            if not tfidf_query or tfidf_query.isspace():
+                tfidf_query = text
+            prep = self._model.prepare_stage1(tfidf_query)
+            if prep is not None:
+                batch_items.append((i, prep))
+
+        if batch_items:
+            if self._model.device is None:
+                self._model.build_inverted_lists()
+            outs = self._model.device.search_batch(
+                [prep for _, prep in batch_items], coverage_depth)
+            for (i, _), (scores, ids) in zip(batch_items, outs):
+                stage1[i] = self._model.finish_stage1(scores, ids, bsm[i])
+
+        # ---- Gate + coverage jobs (batched device coverage) ------------
+        jobs = []
+        job_of: Dict[int, dict] = {}
+        for i, text in enumerate(texts):
+            if out[i] is not None:
+                continue
+            stage1_results = consolidate_segments(stage1[i])
+            stage1[i] = stage1_results
+            use_coverage, short_circuit = self._coverage_gate(
+                text, coverage_setup, stage1_results, max_results)
+            if not use_coverage:
+                out[i] = short_circuit
+                continue
+            job = self._coverage_begin(text, coverage_setup, coverage_depth,
+                                       stage1_results, bsm[i])
+            jobs.append(job)
+            job_of[i] = job
+
+        if jobs:
+            self._coverage_run(jobs, coverage_setup)
+
+        for i, job in job_of.items():
+            coverage_results = self._coverage_finish(
+                job, coverage_setup, coverage_depth, max_results)
+            if not coverage_results and stage1[i]:
+                out[i] = stage1[i]
+            else:
+                out[i] = coverage_results
+        return [r if r is not None else [] for r in out]
 
     # ------------------------------------------------------------------
     def _execute_relevancy_stage(self, search_text: str,
@@ -184,6 +285,80 @@ class SearchPipeline:
                                 coverage_depth: int, max_results: int,
                                 top_candidates: List[ScoreEntry],
                                 best_segments_map) -> List[ScoreEntry]:
+        job = self._coverage_begin(search_text, coverage_setup, coverage_depth,
+                                   top_candidates, best_segments_map)
+        self._coverage_run([job], coverage_setup)
+        return self._coverage_finish(job, coverage_setup, coverage_depth,
+                                     max_results)
+
+    # ------------------------------------------------------------------
+    def _coverage_run(self, jobs: List[dict], coverage_setup: CoverageSetup) -> None:
+        """Score every job's worklist: batched device kernel where eligible
+        (across ALL jobs — one program call scores many queries' candidates),
+        host oracle for the rest."""
+        model = self._model
+
+        # Phase 1 — encode every eligible query (cheap, no candidate work).
+        device_jobs = []
+        for job in jobs:
+            enc = None
+            if (model.coverage_tables is not None
+                    and len(job["worklist"]) >= DEVICE_COVERAGE_MIN_CANDIDATES):
+                enc = self._encode_job_query(job)
+            job["_host_all"] = enc is None
+            if enc is not None:
+                device_jobs.append((job, enc))
+
+        # Phase 2 — resolve candidates per job and dispatch each chunk the
+        # moment it fills (JAX dispatch is async): the device crunches chunk
+        # k while the host resolves candidates for chunk k+1.
+        pending: List[tuple] = []
+        leftover_work: List[tuple] = []
+        if device_jobs:
+            from ..ops.coverage_kernel import CoverageConfig
+            config = CoverageConfig.from_setup(coverage_setup)
+            for ws in range(0, len(device_jobs), COVERAGE_B_PAD):
+                wave = device_jobs[ws : ws + COVERAGE_B_PAD]
+                encs = [enc for _, enc in wave]
+                # Pad the query axis to a fixed B so one compiled program
+                # serves every batch size (pad rows repeat query 0).
+                while len(encs) < COVERAGE_B_PAD:
+                    encs.append(encs[0])
+                wave_args = self._stack_wave(encs)
+                buf: List[tuple] = []
+                for qi, (job, enc) in enumerate(wave):
+                    cands, leftovers = self._resolve_candidates(job)
+                    if leftovers:
+                        leftover_work.append((job, leftovers))
+                    for (tid, b, idx, key, lcs_val) in cands:
+                        buf.append((job, tid, b, lcs_val, qi, idx, key))
+                    while len(buf) >= DEVICE_COVERAGE_CHUNK:
+                        pending.append(self._dispatch_chunk(
+                            buf[:DEVICE_COVERAGE_CHUNK], wave_args, config))
+                        del buf[:DEVICE_COVERAGE_CHUNK]
+                if buf:
+                    pending.append(
+                        self._dispatch_chunk(buf, wave_args, config))
+
+        # Phase 3 — host-oracle work overlaps the in-flight device chunks.
+        for job in jobs:
+            if job["_host_all"]:
+                for internal_id, base_score in job["worklist"]:
+                    job["process"](internal_id, base_score)
+        for job, leftovers in leftover_work:
+            for internal_id, base_score in leftovers:
+                job["process"](internal_id, base_score)
+        self._device_collect(pending)
+
+    # ------------------------------------------------------------------
+    def _coverage_begin(self, search_text: str, coverage_setup: CoverageSetup,
+                        coverage_depth: int,
+                        top_candidates: List[ScoreEntry],
+                        best_segments_map) -> dict:
+        """Host-side setup shared by single and batched coverage execution.
+
+        Returns a job dict with the worklist, memo tables, and the closures
+        that score one candidate on the host oracle."""
         model = self._model
         if len(top_candidates) > coverage_depth:
             top_candidates = top_candidates[:coverage_depth]
@@ -219,8 +394,19 @@ class SearchPipeline:
         wm_limit = max(0, coverage_depth - len(wm_overlapping))
 
         final_scores: List[ScoreEntry] = []
-        max_word_hits = 0
         min_stem = model.tokenizer.min_index_size
+
+        job: dict = dict(
+            search_text=search_text,
+            context=context,
+            best_segments_map=best_segments_map,
+            key_to_index=key_to_index,
+            lcs_memo=lcs_memo,
+            word_hits_memo=word_hits_memo,
+            final_scores=final_scores,
+            max_word_hits=0,
+            wm_count=int(wm_ids.size),
+        )
 
         def best_segment_doc(doc):
             if best_segments_map:
@@ -247,7 +433,6 @@ class SearchPipeline:
             return lcs_memo[idx]
 
         def process(internal_id: int, base_score: float) -> None:
-            nonlocal max_word_hits
             doc = model.documents.get_document(internal_id)
             if doc is None or doc.deleted:
                 return
@@ -273,7 +458,7 @@ class SearchPipeline:
 
             if word_hits_memo.get(idx, 0) == 0:
                 word_hits_memo[idx] = min(features.word_hits, 255)
-            max_word_hits = max(max_word_hits, features.word_hits)
+            job["max_word_hits"] = max(job["max_word_hits"], features.word_hits)
             final_scores.append(ScoreEntry(score, doc.document_key, tiebreaker))
 
         # Build the full candidate worklist (order matters for heap ties)
@@ -288,35 +473,28 @@ class SearchPipeline:
             norm_bm25 = candidate.score / max_tfidf if max_tfidf > 0 else 0.0
             worklist.append((doc.id, norm_bm25))
 
-        handled = False
-        if (model.coverage_tables is not None
-                and len(worklist) >= DEVICE_COVERAGE_MIN_CANDIDATES):
-            device_result = self._device_coverage(
-                worklist, context, coverage_setup, best_segments_map,
-                key_to_index, lcs_memo, word_hits_memo, lcs_for,
-                best_segment_doc, final_scores)
-            if device_result is not None:
-                max_word_hits, leftovers = device_result
-                for internal_id, base_score in leftovers:
-                    process(internal_id, base_score)
-                handled = True
+        job["worklist"] = worklist
+        job["best_segment_doc"] = best_segment_doc
+        job["lcs_for"] = lcs_for
+        job["process"] = process
+        return job
 
-        if not handled:
-            for internal_id, base_score in worklist:
-                process(internal_id, base_score)
-
-        if max_word_hits == 0 and wm_ids.size == 0:
+    # ------------------------------------------------------------------
+    def _coverage_finish(self, job: dict, coverage_setup: CoverageSetup,
+                         coverage_depth: int, max_results: int) -> List[ScoreEntry]:
+        if job["max_word_hits"] == 0 and job["wm_count"] == 0:
             return []
 
         # Keep top coverage_depth (TopKHeap semantics) then consolidate.
+        final_scores = job["final_scores"]
         final_scores.sort(key=lambda e: e.sort_key())
         final_results = consolidate_segments(final_scores[: coverage_depth])
 
         truncation_index = -1
         if coverage_setup.truncate and final_results:
             truncation_index = self._truncation_index(
-                final_results, max_word_hits, lcs_memo, word_hits_memo,
-                key_to_index, coverage_setup)
+                final_results, job["max_word_hits"], job["lcs_memo"],
+                job["word_hits_memo"], job["key_to_index"], coverage_setup)
 
         if truncation_index == -1 or not coverage_setup.truncate:
             result_count = max_results
@@ -325,23 +503,17 @@ class SearchPipeline:
         return final_results[:result_count]
 
     # ------------------------------------------------------------------
-    def _device_coverage(self, worklist, context, coverage_setup,
-                         best_segments_map, key_to_index, lcs_memo,
-                         word_hits_memo, lcs_for, best_segment_doc,
-                         final_scores) -> Optional[Tuple[int, List]]:
-        """Score the candidate worklist with the batched device kernel.
+    def _encode_job_query(self, job: dict) -> Optional[dict]:
+        """Encode the job's query into the kernel's per-query arrays.
 
-        Returns (max_word_hits, leftover_candidates) or None when the query
-        shape is ineligible (too many / too long tokens) and the host oracle
-        should handle everything.
+        Returns None when the query shape is ineligible (too many / too
+        long tokens) and the host oracle should handle everything.
         """
         from ..coverage.engine import tokenize_slices
-        from ..ops.coverage_kernel import (CoverageConfig, FQ_MAX, L_MAX,
-                                           Q_MAX, coverage_fusion_batch,
-                                           encode_query_tokens)
+        from ..ops.coverage_kernel import (FQ_MAX, Q_MAX, encode_query_tokens)
 
         model = self._model
-        tables = model.coverage_tables
+        context = job["context"]
         delims = (model.tokenizer.tokenizer_setup.delimiter_set
                   if model.tokenizer.tokenizer_setup else {" "})
 
@@ -366,11 +538,26 @@ class SearchPipeline:
         last_alpha = bool(fusion_tokens
                           and len(fusion_tokens[-1].lower) == 1
                           and fusion_tokens[-1].lower.isalpha())
+        return dict(q_chars=q_chars, q_rev=q_rev, q_lens=q_lens, q_idf=q_idf,
+                    q_widf=q_widf, q_count=np.int32(q_count), q_sorted=q_sorted,
+                    fq_chars=fq_chars, fq_rev=fq_rev, fq_lens=fq_lens,
+                    fq_count=np.int32(fq_count), last_alpha=last_alpha,
+                    query_len=np.int32(len(context.query)))
 
-        # Resolve candidates -> (text_id, base, idx, key); split off leftovers
-        device_cands = []   # (text_id, base_score, idx, doc_key)
+    # ------------------------------------------------------------------
+    def _resolve_candidates(self, job: dict):
+        """Split the job's worklist into device candidates (with memoized
+        LCS) and host-oracle leftovers (segment mismatch / table overflow)."""
+        model = self._model
+        tables = model.coverage_tables
+        context = job["context"]
+        device_cands = []   # (text_id, base_score, idx, doc_key, lcs)
         leftovers = []
-        for internal_id, base_score in worklist:
+        best_segment_doc = job["best_segment_doc"]
+        best_segments_map = job["best_segments_map"]
+        key_to_index = job["key_to_index"]
+        lcs_for = job["lcs_for"]
+        for internal_id, base_score in job["worklist"]:
             doc = model.documents.get_document(internal_id)
             if doc is None or doc.deleted:
                 continue
@@ -392,44 +579,74 @@ class SearchPipeline:
             lcs_val = lcs_for(idx, context.query, doc_text)
             device_cands.append(
                 (text_doc.id, base_score, idx, doc.document_key, lcs_val))
+        return device_cands, leftovers
 
-        if not device_cands:
-            return 0, leftovers
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _stack_wave(encs: List[dict]) -> tuple:
+        """Stack COVERAGE_B_PAD encoded queries into the kernel's [B, ...]
+        argument arrays (built once per wave, reused by every chunk)."""
+        stk = lambda key: np.stack([e[key] for e in encs])
+        q_args = (
+            stk("q_chars"), stk("q_rev"), stk("q_lens"), stk("q_idf"),
+            stk("q_widf"),
+            np.array([e["q_count"] for e in encs], np.int32),
+            stk("q_sorted"),
+            stk("fq_chars"), stk("fq_rev"), stk("fq_lens"),
+            np.array([e["fq_count"] for e in encs], np.int32),
+            np.array([e["last_alpha"] for e in encs], np.bool_),
+        )
+        qlen_arg = np.array([e["query_len"] for e in encs], np.int32)
+        return q_args, qlen_arg
 
+    # ------------------------------------------------------------------
+    def _dispatch_chunk(self, chunk: List[tuple], wave_args: tuple,
+                        config) -> tuple:
+        """Launch ONE coverage-kernel call for up to DEVICE_COVERAGE_CHUNK
+        candidates (async — returns the (out, chunk) pair for collection)."""
+        from ..ops.coverage_kernel import coverage_fusion_batch
+
+        tables = self._model.coverage_tables
+        q_args, qlen_arg = wave_args
+        c_pad = DEVICE_COVERAGE_CHUNK
+        text_ids = np.zeros(c_pad, np.int32)
+        qsel = np.zeros(c_pad, np.int32)
+        base = np.zeros(c_pad, np.float32)
+        lcs_arr = np.zeros(c_pad, np.float32)
+        for i, (_, tid, b, lcs_val, qi, _, _) in enumerate(chunk):
+            text_ids[i] = tid
+            qsel[i] = qi
+            base[i] = b
+            lcs_arr[i] = lcs_val
+        # Park pad rows on the chunk's own last query so padding never
+        # widens the kernel's dynamic loop bounds.
+        if chunk:
+            qsel[len(chunk):] = qsel[len(chunk) - 1]
+
+        out = coverage_fusion_batch(
+            tables.word_chars, tables.word_chars_rev, tables.word_lens,
+            tables.doc_tokens, tables.doc_tok_offsets,
+            tables.doc_tok_count, tables.doc_adj_ws,
+            tables.doc_text_len, text_ids, qsel, *q_args,
+            lcs_arr, base, qlen_arg, config=config)
+        return out, chunk
+
+    # ------------------------------------------------------------------
+    def _device_collect(self, pending: List[tuple]) -> None:
+        """Read back dispatched coverage chunks (one packed transfer per
+        chunk; transfers overlap still-running later chunks)."""
         import jax
 
-        config = CoverageConfig.from_setup(coverage_setup)
-        max_word_hits = 0
-        for chunk_start in range(0, len(device_cands), DEVICE_COVERAGE_CHUNK):
-            chunk = device_cands[chunk_start : chunk_start + DEVICE_COVERAGE_CHUNK]
-            c_pad = DEVICE_COVERAGE_CHUNK
-            text_ids = np.zeros(c_pad, np.int32)
-            base = np.zeros(c_pad, np.float32)
-            lcs_arr = np.zeros(c_pad, np.float32)
-            for i, (tid, b, idx, key, lcs_val) in enumerate(chunk):
-                text_ids[i] = tid
-                base[i] = b
-                lcs_arr[i] = lcs_val
-
-            out = coverage_fusion_batch(
-                tables.word_chars, tables.word_chars_rev, tables.word_lens,
-                tables.doc_tokens, tables.doc_tok_offsets,
-                tables.doc_tok_count, tables.doc_adj_ws, tables.doc_text_len,
-                text_ids, q_chars, q_rev, q_lens, q_idf, q_widf,
-                np.int32(q_count), q_sorted, fq_chars, fq_rev, fq_lens,
-                np.int32(fq_count), np.bool_(last_alpha), lcs_arr, base,
-                np.int32(len(context.query)), config=config)
-            # Single round-trip readback (high-latency links).
-            score, tie, wh = jax.device_get(out)
-
-            for i, (tid, b, idx, key, lcs_val) in enumerate(chunk):
+        for out, chunk in pending:
+            packed = jax.device_get(out)
+            score, tie, wh = packed[0], packed[1], packed[2]
+            for i, (jb, tid, b, lcs_val, qi, idx, key) in enumerate(chunk):
                 hits = int(wh[i])
-                if word_hits_memo.get(idx, 0) == 0:
-                    word_hits_memo[idx] = min(hits, 255)
-                max_word_hits = max(max_word_hits, hits)
-                final_scores.append(
+                if jb["word_hits_memo"].get(idx, 0) == 0:
+                    jb["word_hits_memo"][idx] = min(hits, 255)
+                jb["max_word_hits"] = max(jb["max_word_hits"], hits)
+                jb["final_scores"].append(
                     ScoreEntry(float(score[i]), key, int(tie[i])))
-        return max_word_hits, leftovers
 
     # ------------------------------------------------------------------
     def _truncation_index(self, results: List[ScoreEntry], max_word_hits: int,

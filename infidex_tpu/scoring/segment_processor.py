@@ -34,10 +34,23 @@ def _compare(a: ScoreEntry, b: ScoreEntry) -> int:
     return 0
 
 
+def _normalized_text(doc, text_normalizer) -> str:
+    """Normalized indexed_text, memoized on the document (immutable text)."""
+    if text_normalizer is None:
+        return doc.indexed_text
+    cache = doc._norm_cache
+    key = id(text_normalizer)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    text = text_normalizer.normalize(doc.indexed_text)
+    doc._norm_cache = (key, text)
+    return text
+
+
 def get_best_segment_text(doc, best_segments_map, documents, text_normalizer) -> str:
     """SegmentProcessor.GetBestSegmentText: pick the best-scoring segment's
     text for a multi-segment document, then normalize."""
-    doc_text = doc.indexed_text
+    text_doc = doc
     if best_segments_map:
         all_segments = documents.get_documents_for_public_key(doc.document_key)
         if all_segments:
@@ -48,10 +61,8 @@ def get_best_segment_text(doc, best_segments_map, documents, text_normalizer) ->
                 _, best_segment_num = entry
                 best_doc = documents.get_document_of_segment(doc.document_key, best_segment_num)
                 if best_doc is not None:
-                    doc_text = best_doc.indexed_text
-    if text_normalizer is not None:
-        doc_text = text_normalizer.normalize(doc_text)
-    return doc_text
+                    text_doc = best_doc
+    return _normalized_text(text_doc, text_normalizer)
 
 
 def calculate_lcs(q: str, r: str, error_tolerance: int) -> int:

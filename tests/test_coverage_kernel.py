@@ -145,19 +145,18 @@ def test_kernel_matches_oracle(seed):
         last_alpha = bool(fusion_tokens and len(fusion_tokens[-1].lower) == 1
                           and fusion_tokens[-1].lower.isalpha())
 
-        score, tie, wh = coverage_fusion_batch(
+        packed = np.asarray(coverage_fusion_batch(
             tables.word_chars, tables.word_chars_rev, tables.word_lens,
             tables.doc_tokens, tables.doc_tok_offsets, tables.doc_tok_count,
             tables.doc_adj_ws, tables.doc_text_len,
-            np.arange(C, dtype=np.int32),
-            q_chars, q_rev, q_lens, q_idf, q_widf, np.int32(q_count),
-            q_sorted, fq_chars, fq_rev, fq_lens, np.int32(fq_count),
-            np.bool_(last_alpha),
-            lcs_vals, base, np.int32(len(query)),
-            config=config)
-        score = np.asarray(score)
-        tie = np.asarray(tie)
-        wh = np.asarray(wh)
+            np.arange(C, dtype=np.int32), np.zeros(C, np.int32),
+            q_chars[None], q_rev[None], q_lens[None], q_idf[None],
+            q_widf[None], np.array([q_count], np.int32), q_sorted[None],
+            fq_chars[None], fq_rev[None], fq_lens[None],
+            np.array([fq_count], np.int32), np.array([last_alpha], np.bool_),
+            lcs_vals, base, np.array([len(query)], np.int32),
+            config=config))
+        score, tie, wh = packed[0], packed[1], packed[2]
 
         for i in range(C):
             if tables.overflow[i]:
@@ -185,3 +184,109 @@ def _split(text, delims):
     if cur:
         out.append("".join(cur))
     return out
+
+
+def _encode_query(engine, query, delims):
+    """Encode one query into the kernel's per-query arrays, or None."""
+    from infidex_tpu.coverage.engine import tokenize_slices
+
+    context = engine.prepare_query(query)
+    if context.q_count == 0 or context.q_count > Q_MAX:
+        return None
+    q_chars, q_rev, q_lens, _, q_count, q_ovf = encode_query_tokens(
+        context.query_tokens, Q_MAX)
+    fusion_tokens = tokenize_slices(query, 0, delims)
+    fq_chars, fq_rev, fq_lens, _, fq_count, fq_ovf = encode_query_tokens(
+        fusion_tokens, FQ_MAX)
+    if q_ovf or fq_ovf:
+        return None
+    order = sorted(range(q_count), key=lambda i: -q_lens[i])
+    q_sorted = np.full(Q_MAX, q_count, dtype=np.int32)
+    q_sorted[: len(order)] = order
+    q_idf = np.zeros(Q_MAX, np.float32)
+    q_idf[:q_count] = context.term_idf[:q_count]
+    q_widf = np.zeros(Q_MAX, np.float32)
+    q_widf[:q_count] = (context.word_level_idf or [0.0] * q_count)[:q_count]
+    last_alpha = bool(fusion_tokens and len(fusion_tokens[-1].lower) == 1
+                      and fusion_tokens[-1].lower.isalpha())
+    return dict(q_chars=q_chars, q_rev=q_rev, q_lens=q_lens, q_idf=q_idf,
+                q_widf=q_widf, q_count=q_count, q_sorted=q_sorted,
+                fq_chars=fq_chars, fq_rev=fq_rev, fq_lens=fq_lens,
+                fq_count=fq_count, last_alpha=last_alpha,
+                query_len=len(query))
+
+
+def _run_kernel(tables, config, text_ids, qsel, encs, lcs_vals, base):
+    """Stack B encoded queries and run one kernel call."""
+    stk = lambda k: np.stack([e[k] for e in encs])
+    vec = lambda k, dt: np.array([e[k] for e in encs], dt)
+    return coverage_fusion_batch(
+        tables.word_chars, tables.word_chars_rev, tables.word_lens,
+        tables.doc_tokens, tables.doc_tok_offsets, tables.doc_tok_count,
+        tables.doc_adj_ws, tables.doc_text_len,
+        text_ids.astype(np.int32), qsel.astype(np.int32),
+        stk("q_chars"), stk("q_rev"), stk("q_lens"), stk("q_idf"),
+        stk("q_widf"), vec("q_count", np.int32), stk("q_sorted"),
+        stk("fq_chars"), stk("fq_rev"), stk("fq_lens"),
+        vec("fq_count", np.int32), vec("last_alpha", np.bool_),
+        lcs_vals.astype(np.float32), base.astype(np.float32),
+        vec("query_len", np.int32), config=config)
+
+
+def test_multi_query_batch_matches_per_query():
+    """Candidates of B different queries scored in ONE kernel call must
+    equal B separate single-query calls (the search_batch contract)."""
+    rng = random.Random(7)
+    tokenizer = make_tokenizer()
+    setup = CoverageSetup.create_default()
+    engine = CoverageEngine(tokenizer, setup)
+
+    texts = make_corpus(rng, 24)
+    lower_texts = [t.lower() for t in texts]
+    word_idf = {w: round(rng.uniform(0.1, 3.0), 3) for w in WORDS}
+    engine.set_word_idf_cache(word_idf)
+    delims = tokenizer.tokenizer_setup.delimiter_set
+    metadata = []
+    for t in lower_texts:
+        toks = [w for w in _split(t, delims)]
+        metadata.append(DocumentMetadata(toks[0] if toks else "", len(toks)))
+    engine.set_document_metadata_cache(metadata)
+
+    tables = CoverageTables.build(lower_texts, delims)
+    config = CoverageConfig.from_setup(setup)
+    C = len(texts)
+
+    queries = ["shawshank redemption", "teh godfther", "star a",
+               "new york", "alpha brvo charlie"]
+    encs = [_encode_query(engine, q, delims) for q in queries]
+    encs = [e for e in encs if e is not None]
+    assert len(encs) >= 3
+    B = len(encs)
+
+    lcs_vals = np.zeros(C, np.float32)
+    base = np.array([rng.random() for _ in range(C)], np.float32)
+
+    # Per-query calls (B=1, qsel=0)
+    singles = []
+    ids = np.arange(C, dtype=np.int32)
+    for e in encs:
+        out = np.asarray(_run_kernel(tables, config, ids, np.zeros(C), [e],
+                                     lcs_vals, base))
+        singles.append([out[0], out[1], out[2]])
+
+    # One batched call: candidates of all queries interleaved (stress qsel)
+    text_ids = np.concatenate([ids] * B)
+    qsel = np.repeat(np.arange(B), C)
+    perm = np.random.RandomState(0).permutation(B * C)
+    out = np.asarray(_run_kernel(tables, config, text_ids[perm], qsel[perm],
+                                 encs, np.tile(lcs_vals, B)[perm],
+                                 np.tile(base, B)[perm]))
+    score, tie, wh = out[0], out[1], out[2]
+
+    for pos, orig in enumerate(perm):
+        b, i = orig // C, orig % C
+        s1, t1, w1 = (singles[b][0][i], singles[b][1][i], singles[b][2][i])
+        assert abs(float(score[pos]) - float(s1)) <= 1e-5, \
+            (queries[b], texts[i], float(score[pos]), float(s1))
+        assert int(tie[pos]) == int(t1)
+        assert int(wh[pos]) == int(w1)

@@ -1,0 +1,103 @@
+"""search_batch == per-query search (records, scores, facets).
+
+The batched path shares device calls across queries (batched Stage-1
+scatter + qsel-routed coverage chunks) but must be semantically identical
+to B independent ``search`` calls.
+"""
+
+import numpy as np
+import pytest
+
+from infidex_tpu import Document, Query, SearchEngine
+from infidex_tpu.scoring import pipeline as pl
+
+TITLES = [
+    "The Shawshank Redemption", "The Godfather", "The Dark Knight",
+    "Star Wars: A New Hope", "Star Trek Into Darkness", "Batman Begins",
+    "Inception", "Interstellar", "The Matrix", "Blade Runner",
+    "Blade Runner 2049", "Alien", "Aliens", "The Terminator",
+    "Terminator 2: Judgment Day", "Jurassic Park", "Back to the Future",
+    "The Empire Strikes Back", "Return of the Jedi", "Gladiator",
+    "New York Stories", "Gangs of New York", "Escape from New York",
+]
+
+QUERIES = [
+    "shawshank", "teh godfather", "star", "star wars", "blade runnr",
+    "termnator", "new york", "redemption sh", "batman begin", "a",
+    "jurasic park", "the", "interstellar", "alien", "",
+]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = SearchEngine.create_default()
+    eng.index_documents([Document(i, t) for i, t in enumerate(TITLES)])
+    return eng
+
+
+def _records(result):
+    return [(r.document_id, round(r.score, 4), r.tiebreaker)
+            for r in result.records]
+
+
+def test_batch_matches_sequential(engine):
+    singles = [engine.search(Query(q, 10)) for q in QUERIES]
+    batch = engine.search_batch([Query(q, 10) for q in QUERIES])
+    assert len(batch) == len(singles)
+    for q, s, b in zip(QUERIES, singles, batch):
+        assert _records(s) == _records(b), q
+
+
+def test_batch_matches_sequential_device_path(engine, monkeypatch):
+    # Force every eligible worklist through the device kernel.
+    monkeypatch.setattr(pl, "DEVICE_COVERAGE_MIN_CANDIDATES", 1)
+    queries = ["shawshank", "star wars", "blade runnr", "new york",
+               "teh godfather", "terminator 2"]
+    singles = [engine.search(Query(q, 10)) for q in queries]
+    batch = engine.search_batch([Query(q, 10) for q in queries])
+    for q, s, b in zip(queries, singles, batch):
+        assert _records(s) == _records(b), q
+
+
+def test_batch_mixed_params(engine):
+    qs = [Query("star", 3), Query("blade", 10), Query("alien", 1)]
+    singles = [engine.search(q) for q in qs]
+    batch = engine.search_batch(qs)
+    for s, b in zip(singles, batch):
+        assert _records(s) == _records(b)
+
+
+def test_batch_with_facets_and_filter(engine):
+    q1 = Query("star wars", 10)
+    q1.enable_facets = True
+    q2 = Query("new york", 10)
+    singles = [engine.search(q1), engine.search(q2)]
+    batch = engine.search_batch([q1, q2])
+    for s, b in zip(singles, batch):
+        assert _records(s) == _records(b)
+        assert (s.facets is None) == (b.facets is None)
+
+
+def test_batch_empty_and_single(engine):
+    assert engine.search_batch([]) == []
+    b = engine.search_batch([Query("inception", 5)])
+    s = engine.search(Query("inception", 5))
+    assert _records(s) == _records(b[0])
+
+
+def test_stage1_device_batch_matches_single(engine):
+    """DeviceIndex.search_batch == per-query DeviceIndex.search."""
+    model = engine.vector_model
+    device = model.device
+    preps = []
+    for q in ["shawshank", "star wars", "godfather", "terminator"]:
+        p = model.prepare_stage1(q)
+        assert p is not None
+        preps.append(p)
+    singles = [device.search(t, i, 16, ed, ei) for (t, i, ed, ei) in preps]
+    batch = device.search_batch(preps, 16)
+    for (s_sc, s_id), (b_sc, b_id) in zip(singles, batch):
+        np.testing.assert_allclose(s_sc, b_sc, rtol=1e-6)
+        # ids may tie-break differently only where scores tie; require
+        # exact equality where scores are distinct
+        np.testing.assert_array_equal(s_id, b_id)
