@@ -1,0 +1,181 @@
+"""Native (C++) data-plane kernels with transparent Python fallback.
+
+The reference implements its hot host-side loops in C# with SIMD
+intrinsics (Metrics/LevenshteinDistance.cs, Compression/GroupVarInt.cs);
+here the equivalents live in ``_lib.cpp``, compiled on first import with
+``g++ -O3`` and bound through ctypes (no pybind11 in this environment).
+
+Public surface (all return None-able module-level callables; ``available``
+tells you whether the native library loaded):
+
+* ``levenshtein(a, b, max_errors)`` -> int
+* ``damerau(a, b, max_distance)`` -> int
+* ``prefix_distance(prefix, word, max_errors)`` -> int
+* ``lcs(q, r, tolerance)`` -> int
+* ``lcs_batch(q, docs, tolerance)`` -> np.ndarray[int32]
+* ``gvi_encode/gvi_decode`` (+ ``_delta`` variants) — GroupVarInt codec
+
+Set ``INFIDEX_TPU_NO_NATIVE=1`` to force the pure-Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "_lib.cpp")
+_SO = os.path.join(_HERE, "_infidex_native.so")
+
+_lib = None
+_lock = threading.Lock()
+available = False
+
+
+def _compile() -> bool:
+    """Build the shared library next to the source (atomic rename)."""
+    try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+        os.close(fd)
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               "-o", tmp, _SRC]
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        if res.returncode != 0:
+            os.unlink(tmp)
+            return False
+        os.replace(tmp, _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global available
+    if os.environ.get("INFIDEX_TPU_NO_NATIVE"):
+        return None
+    try:
+        need_build = (not os.path.exists(_SO)
+                      or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if need_build and not _compile():
+            return None
+        lib = ctypes.CDLL(_SO)
+        c_u32p = ctypes.POINTER(ctypes.c_uint32)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        for name, args, res in (
+            ("infidex_levenshtein",
+             [c_u32p, ctypes.c_int, c_u32p, ctypes.c_int, ctypes.c_int],
+             ctypes.c_int),
+            ("infidex_damerau",
+             [c_u32p, ctypes.c_int, c_u32p, ctypes.c_int, ctypes.c_int],
+             ctypes.c_int),
+            ("infidex_prefix_distance",
+             [c_u32p, ctypes.c_int, c_u32p, ctypes.c_int, ctypes.c_int],
+             ctypes.c_int),
+            ("infidex_lcs",
+             [c_u32p, ctypes.c_int, c_u32p, ctypes.c_int, ctypes.c_int],
+             ctypes.c_int),
+            ("infidex_lcs_batch",
+             [c_u32p, ctypes.c_int, c_u32p, c_i64p, ctypes.c_int,
+              ctypes.c_int, c_i32p],
+             None),
+            ("infidex_gvi_encode", [c_u32p, ctypes.c_int64, c_u8p],
+             ctypes.c_int64),
+            ("infidex_gvi_decode", [c_u8p, ctypes.c_int64, c_u32p],
+             ctypes.c_int64),
+            ("infidex_gvi_encode_delta", [c_u32p, ctypes.c_int64, c_u8p],
+             ctypes.c_int64),
+            ("infidex_gvi_decode_delta", [c_u8p, ctypes.c_int64, c_u32p],
+             ctypes.c_int64),
+        ):
+            fn = getattr(lib, name)
+            fn.argtypes = args
+            fn.restype = res
+        available = True
+        return lib
+    except Exception:
+        return None
+
+
+with _lock:
+    _lib = _load()
+
+_MAX_CLAMP = 1 << 20  # keep max_dist + 1 arithmetic safely in int range
+
+
+def _u32(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def levenshtein(a: str, b: str, max_errors: int = _MAX_CLAMP) -> int:
+    ab, bb = _u32(a), _u32(b)
+    return _lib.infidex_levenshtein(
+        _ptr(ab), len(ab), _ptr(bb), len(bb), min(max_errors, _MAX_CLAMP))
+
+
+def damerau(a: str, b: str, max_distance: int) -> int:
+    ab, bb = _u32(a), _u32(b)
+    return _lib.infidex_damerau(
+        _ptr(ab), len(ab), _ptr(bb), len(bb), min(max_distance, _MAX_CLAMP))
+
+
+def prefix_distance(prefix: str, word: str, max_errors: int) -> int:
+    ab, bb = _u32(prefix), _u32(word)
+    return _lib.infidex_prefix_distance(
+        _ptr(ab), len(ab), _ptr(bb), len(bb), min(max_errors, _MAX_CLAMP))
+
+
+def lcs(q: str, r: str, tolerance: int) -> int:
+    qb, rb = _u32(q), _u32(r)
+    return _lib.infidex_lcs(_ptr(qb), len(qb), _ptr(rb), len(rb), tolerance)
+
+
+def lcs_batch(q: str, docs: List[str], tolerance: int) -> np.ndarray:
+    """LCS of one query against many docs in a single native call."""
+    qb = _u32(q)
+    joined = "".join(docs)
+    db = _u32(joined) if joined else np.zeros(0, np.uint32)
+    offsets = np.zeros(len(docs) + 1, np.int64)
+    pos = 0
+    for i, d in enumerate(docs):
+        pos += len(d)
+        offsets[i + 1] = pos
+    out = np.zeros(len(docs), np.int32)
+    _lib.infidex_lcs_batch(
+        _ptr(qb), len(qb), _ptr(db),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(docs), tolerance,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def gvi_encode(values: np.ndarray, delta: bool = False) -> bytes:
+    vals = np.ascontiguousarray(values, dtype=np.uint32)
+    out = np.zeros(len(vals) * 5 + 8, np.uint8)
+    fn = (_lib.infidex_gvi_encode_delta if delta
+          else _lib.infidex_gvi_encode)
+    n = fn(_ptr(vals), len(vals),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:n].tobytes()
+
+
+def gvi_decode(data: bytes, count: int, delta: bool = False):
+    """Returns (values uint32[count], bytes_consumed)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(count, np.uint32)
+    fn = (_lib.infidex_gvi_decode_delta if delta
+          else _lib.infidex_gvi_decode)
+    consumed = fn(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                  count, _ptr(out))
+    return out, int(consumed)

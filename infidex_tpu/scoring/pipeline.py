@@ -50,6 +50,24 @@ DEVICE_COVERAGE_CHUNK = 512
 COVERAGE_B_PAD = 16
 
 
+def _native_lcs_batch():
+    """Returns a (query, texts, tol) -> int32[n] callable or None.
+
+    Case-folds both sides to match calculate_lcs (SegmentProcessor.cs)."""
+    try:
+        from .. import native as _nat
+        if not _nat.available:
+            return None
+    except Exception:  # pragma: no cover
+        return None
+
+    def run(query: str, texts: List[str], tolerance: int):
+        return _nat.lcs_batch(query.lower(), [t.lower() for t in texts],
+                              tolerance)
+
+    return run
+
+
 def analyze_query(search_text: str, tokenizer) -> Tuple[bool, bool, str]:
     """QueryAnalyzer.Analyze: (can_use_ngrams, has_mixed_terms, long_words_text)."""
     min_size = tokenizer.min_index_size
@@ -396,6 +414,12 @@ class SearchPipeline:
         final_scores: List[ScoreEntry] = []
         min_stem = model.tokenizer.min_index_size
 
+        lcs_tolerance = 0
+        if len(context.query) >= coverage_setup.coverage_q_limit_for_error_tolerance:
+            lcs_tolerance = int(
+                len(context.query)
+                * coverage_setup.coverage_lcs_error_tolerance_relative_q)
+
         job: dict = dict(
             search_text=search_text,
             context=context,
@@ -406,6 +430,7 @@ class SearchPipeline:
             final_scores=final_scores,
             max_word_hits=0,
             wm_count=int(wm_ids.size),
+            lcs_tolerance=lcs_tolerance,
         )
 
         def best_segment_doc(doc):
@@ -547,7 +572,10 @@ class SearchPipeline:
     # ------------------------------------------------------------------
     def _resolve_candidates(self, job: dict):
         """Split the job's worklist into device candidates (with memoized
-        LCS) and host-oracle leftovers (segment mismatch / table overflow)."""
+        LCS) and host-oracle leftovers (segment mismatch / table overflow).
+
+        LCS values for un-memoized candidates are computed in ONE native
+        batch call when the C++ library is available (native/_lib.cpp)."""
         model = self._model
         tables = model.coverage_tables
         context = job["context"]
@@ -557,6 +585,12 @@ class SearchPipeline:
         best_segments_map = job["best_segments_map"]
         key_to_index = job["key_to_index"]
         lcs_for = job["lcs_for"]
+        lcs_memo = job["lcs_memo"]
+        batch_lcs = _native_lcs_batch()
+        need_slots: List[int] = []
+        need_idx: List[int] = []
+        need_texts: List[str] = []
+        seen_idx: Set[int] = set()
         for internal_id, base_score in job["worklist"]:
             doc = model.documents.get_document(internal_id)
             if doc is None or doc.deleted:
@@ -576,9 +610,27 @@ class SearchPipeline:
                     and model.tokenizer.tokenizer_setup is not None):
                 doc_text = self._synonym_map.canonicalize_text(
                     doc_text, model.tokenizer.tokenizer_setup.delimiters)
-            lcs_val = lcs_for(idx, context.query, doc_text)
+            if batch_lcs is None:
+                lcs_val = lcs_for(idx, context.query, doc_text)
+            else:
+                lcs_val = lcs_memo.get(idx, 0)
+                if lcs_val == 0 and idx not in seen_idx:
+                    seen_idx.add(idx)
+                    need_slots.append(len(device_cands))
+                    need_idx.append(idx)
+                    need_texts.append(doc_text)
             device_cands.append(
                 (text_doc.id, base_score, idx, doc.document_key, lcs_val))
+        if batch_lcs is not None and need_texts:
+            vals = batch_lcs(context.query, need_texts,
+                             job["lcs_tolerance"])
+            for slot, idx, v in zip(need_slots, need_idx, vals.tolist()):
+                lcs_memo[idx] = min(int(v), 255)
+            # patch candidates that used the placeholder 0
+            device_cands = [
+                (tid, b, idx, key,
+                 lv if lv else lcs_memo.get(idx, 0))
+                for (tid, b, idx, key, lv) in device_cands]
         return device_cands, leftovers
 
     # ------------------------------------------------------------------

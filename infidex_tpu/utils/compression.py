@@ -27,6 +27,13 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+try:  # C++ GroupVarInt codec (native/_lib.cpp), same byte format
+    from .. import native as _native
+    if not _native.available:
+        _native = None
+except Exception:  # pragma: no cover
+    _native = None
+
 
 class BitSet:
     def __init__(self, length: int, words: Optional[np.ndarray] = None):
@@ -292,6 +299,8 @@ class EliasFano:
 
 def group_varint_encode(data: Sequence[int]) -> bytes:
     """4 ints per 1-byte tag; final partial group writes only `count` ints."""
+    if _native is not None:
+        return _native.gvi_encode(np.asarray(data, dtype=np.uint32))
     out = bytearray()
     data = list(data)
     i = 0
@@ -321,6 +330,9 @@ for _tag in range(256):
 
 def group_varint_decode(buf: bytes, count: int) -> Tuple[np.ndarray, int]:
     """Decode `count` ints; returns (values, bytes_read)."""
+    if _native is not None and count > 0:
+        vals, consumed = _native.gvi_decode(bytes(buf), count)
+        return vals.astype(np.int64), consumed
     out = np.zeros(count, dtype=np.int64)
     data = np.frombuffer(buf, dtype=np.uint8)
     pos = 0

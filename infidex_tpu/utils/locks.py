@@ -13,11 +13,23 @@ from contextlib import contextmanager
 
 
 class ReadWriteLock:
+    """Many readers / one writer, WITH writer preference.
+
+    A waiting writer blocks NEW readers (matching ReaderWriterLockSlim's
+    queueing) — without this, a continuous stream of readers starves the
+    writer forever (observed as a live-lock in search-during-index
+    workloads: the indexer never acquires the write lock, so reader loops
+    gated on its completion never terminate). Reads are re-entrant per
+    thread so a reader is never blocked by a writer it would deadlock with.
+    """
+
     def __init__(self) -> None:
         self._cond = threading.Condition()
         self._readers = 0
         self._writer = False
         self._writer_thread = None
+        self._writers_waiting = 0
+        self._local = threading.local()
 
     @contextmanager
     def read_lock(self):
@@ -36,18 +48,28 @@ class ReadWriteLock:
             self.release_write()
 
     def acquire_read(self) -> None:
+        held = getattr(self._local, "count", 0)
         with self._cond:
             # Re-entrant for the writer thread (mirrors RW-lock recursion).
             if self._writer and self._writer_thread == threading.current_thread():
                 self._readers += 1
+                self._local.count = held + 1
                 return
-            while self._writer:
+            if held > 0:
+                # Re-entrant read: never wait (a queued writer would
+                # deadlock against our own outer read hold).
+                self._readers += 1
+                self._local.count = held + 1
+                return
+            while self._writer or self._writers_waiting > 0:
                 self._cond.wait()
             self._readers += 1
+            self._local.count = 1
 
     def release_read(self) -> None:
         with self._cond:
             self._readers -= 1
+            self._local.count = getattr(self._local, "count", 1) - 1
             if self._readers == 0:
                 self._cond.notify_all()
 
@@ -55,8 +77,12 @@ class ReadWriteLock:
         with self._cond:
             if self._writer and self._writer_thread == threading.current_thread():
                 raise RuntimeError("write lock is not re-entrant")
-            while self._writer or self._readers > 0:
-                self._cond.wait()
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers > 0:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
             self._writer = True
             self._writer_thread = threading.current_thread()
 

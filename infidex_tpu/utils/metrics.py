@@ -20,6 +20,13 @@ from __future__ import annotations
 
 from typing import Optional
 
+try:  # C++ fast paths (native/_lib.cpp); bit-identical to the code below.
+    from .. import native as _native
+    if not _native.available:
+        _native = None
+except Exception:  # pragma: no cover - fallback when toolchain missing
+    _native = None
+
 
 def levenshtein(pattern: str, text: str, max_errors: int = 2**31 - 1,
                 ignore_case: bool = False) -> int:
@@ -62,6 +69,11 @@ def levenshtein(pattern: str, text: str, max_errors: int = 2**31 - 1,
 def calculate_damerau(source: str, target: str, max_distance: int,
                       ignore_case: bool = False) -> int:
     """Levenshtein + single-transposition rescue (LevenshteinDistance.cs:281-341)."""
+    if _native is not None:
+        if ignore_case:
+            source = source.lower()
+            target = target.lower()
+        return _native.damerau(source, target, max_distance)
     if abs(len(source) - len(target)) > max_distance:
         return max_distance + 1
 
@@ -117,6 +129,8 @@ def calculate_prefix_distance(prefix: str, word: str,
     m, n = len(prefix), len(word)
     if max_errors is None:
         max_errors = get_dynamic_threshold(m)
+    if _native is not None:
+        return _native.prefix_distance(prefix, word, max_errors)
     if m - n > max_errors:
         return max_errors + 1
 
@@ -136,6 +150,8 @@ def calculate_prefix_distance(prefix: str, word: str,
 
 def lcs(q: str, r: str, error_tolerance: int) -> int:
     """Containment-or-common-prefix + tolerance (StringMetrics.cs:12-36)."""
+    if _native is not None:
+        return _native.lcs(q, r, error_tolerance)
     if not q or not r:
         return 0
     if q == r:
