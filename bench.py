@@ -20,9 +20,12 @@ import random
 import sys
 import time
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-N_QUERIES = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+# argv: [mode-name | n_docs] [n_queries] [batch]; mode names select the
+# BASELINE.md workload configs (see MODES at the bottom).
+_argv_nums = [a for a in sys.argv[1:] if a.lstrip("-").isdigit()]
+N_DOCS = int(_argv_nums[0]) if len(_argv_nums) > 0 else 10_000
+N_QUERIES = int(_argv_nums[1]) if len(_argv_nums) > 1 else 200
+BATCH = int(_argv_nums[2]) if len(_argv_nums) > 2 else 16
 BASELINE_QPS = 1000.0  # provisional C#-engine estimate; see module docstring
 
 ADJECTIVES = [
@@ -75,11 +78,160 @@ def make_queries(titles, n):
     return queries
 
 
-def main():
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _measure(engine, queries, Query, max_results=10, make_query=None):
+    """Warm every shape bucket with one full pass, then measure batched
+    serving throughput. Returns (qps, p50_ms)."""
+    import time as _t
+
+    if make_query is None:
+        make_query = lambda q: Query(q, max_results)
+    t0 = _t.perf_counter()
+    n_batches = (len(queries) + BATCH - 1) // BATCH
+    for i in range(0, len(queries), BATCH):
+        engine.search_batch([make_query(q) for q in queries[i : i + BATCH]])
+        if (i // BATCH) % 4 == 0:
+            log(f"[bench] warmup batch {i // BATCH + 1}/{n_batches} "
+                f"({_t.perf_counter() - t0:.0f}s)")
+    log(f"[bench] warmup done in {_t.perf_counter() - t0:.0f}s")
+
+    latencies = []
+    t0 = _t.perf_counter()
+    for i in range(0, len(queries), BATCH):
+        chunk = queries[i : i + BATCH]
+        t1 = _t.perf_counter()
+        engine.search_batch([make_query(q) for q in chunk])
+        latencies.extend([_t.perf_counter() - t1] * len(chunk))
+    wall = _t.perf_counter() - t0
+    latencies.sort()
+    return len(queries) / wall, latencies[len(latencies) // 2] * 1000.0
+
+
+def _emit(metric, qps, extra=""):
+    print(json.dumps({
+        "metric": metric + extra,
+        "value": round(qps, 2),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 4),
+    }))
+
+
+# ----------------------------------------------------------------------
+# BASELINE.md workload configs 1-5 (select by mode name in argv[1]).
+
+
+def bench_exact(n_docs=10_000, n_queries=200):
+    """Config 1: single-field exact-term top-10 on short docs."""
     from infidex_tpu import Document, Query, SearchEngine
 
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
+    titles = make_corpus(n_docs)
+    engine = SearchEngine.create_default()
+    engine.index_documents([Document(i, t) for i, t in enumerate(titles)])
+    rng = random.Random(5)
+    queries = [rng.choice(rng.choice(titles).lower().split())
+               for _ in range(n_queries)]
+    qps, p50 = _measure(engine, queries, Query)
+    _emit(f"exact-term QPS ({n_docs} docs, batch={BATCH}, p50={p50:.1f}ms)",
+          qps)
+
+
+def bench_multifield(n_docs=10_000, n_queries=200):
+    """Config 3: multi-field weighted (title High / body Low) + coverage."""
+    from infidex_tpu import (Document, DocumentFields, Field, Query,
+                             SearchEngine, Weight)
+
+    titles = make_corpus(n_docs)
+    rng = random.Random(11)
+    engine = SearchEngine.create_default()
+    docs = []
+    for i, t in enumerate(titles):
+        fields = DocumentFields()
+        fields.add_field("title", t, weight=Weight.HIGH)
+        body = " ".join(rng.choice(NOUNS) for _ in range(12))
+        fields.add_field("body", body, weight=Weight.LOW)
+        docs.append(Document(i, fields))
+    engine.index_documents(docs)
+    queries = make_queries(titles, n_queries)
+    qps, p50 = _measure(engine, queries, Query)
+    _emit(f"multi-field QPS ({n_docs} docs, batch={BATCH}, p50={p50:.1f}ms)",
+          qps)
+
+
+def bench_filters(n_docs=100_000, n_queries=200):
+    """Config 4: compiled-bytecode filters + facets over attributed docs."""
+    from infidex_tpu import (Document, DocumentFields, Field, Filter, Query,
+                             SearchEngine, Weight)
+
+    titles = make_corpus(n_docs)
+    genres = ["drama", "comedy", "action", "scifi", "horror"]
+    rng = random.Random(21)
+    engine = SearchEngine.create_default()
+    docs = []
+    for i, t in enumerate(titles):
+        fields = DocumentFields()
+        fields.add_field("title", t, weight=Weight.HIGH)
+        fields.add_field("genre", rng.choice(genres), indexable=False,
+                         filterable=True, facetable=True)
+        fields.add_field("year", 1950 + rng.randrange(75), indexable=False,
+                         filterable=True)
+        docs.append(Document(i, fields))
+    engine.index_documents(docs)
+    filt = Filter.parse("genre = 'drama' && year >= 1990")
+
+    def make_query(q):
+        query = Query(q, 10)
+        query.filter = filt
+        query.enable_facets = True
+        return query
+
+    queries = make_queries(titles, n_queries)
+    qps, p50 = _measure(engine, queries, Query, make_query=make_query)
+    _emit(f"filtered+faceted QPS ({n_docs} docs, batch={BATCH}, "
+          f"p50={p50:.1f}ms)", qps)
+
+
+def bench_incremental(n_docs=10_000, n_queries=200):
+    """Config 5: autocomplete/prefix queries while documents stream in."""
+    import threading
+
+    from infidex_tpu import Document, Query, SearchEngine
+
+    titles = make_corpus(n_docs)
+    engine = SearchEngine.create_default()
+    engine.index_documents([Document(i, t) for i, t in enumerate(titles)])
+    rng = random.Random(31)
+    queries = []
+    for _ in range(n_queries):
+        w = rng.choice(rng.choice(titles).lower().split())
+        queries.append(w[: max(2, len(w) - rng.randrange(1, 4))])
+
+    stop = threading.Event()
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            engine.index_document(
+                Document(10**6 + i, f"streamed doc {i % 50}"))
+            engine.calculate_weights()
+            i += 1
+            time.sleep(0.05)
+
+    w = threading.Thread(target=writer)
+    w.start()
+    try:
+        qps, p50 = _measure(engine, queries, Query)
+    finally:
+        stop.set()
+        w.join()
+    _emit(f"autocomplete-under-writes QPS ({n_docs} docs, batch={BATCH}, "
+          f"p50={p50:.1f}ms)", qps)
+
+
+def main():
+    from infidex_tpu import Document, Query, SearchEngine
 
     titles = make_corpus(N_DOCS)
     engine = SearchEngine.create_default()
@@ -91,43 +243,30 @@ def main():
 
     queries = make_queries(titles, N_QUERIES)
 
-    # Warmup: one full unmeasured pass (JIT compile of every shape bucket
-    # the workload hits; compiles are slow on tunneled TPUs).
-    t0 = time.perf_counter()
-    n_batches = (len(queries) + BATCH - 1) // BATCH
-    for i in range(0, len(queries), BATCH):
-        engine.search_batch([Query(q, 10) for q in queries[i : i + BATCH]])
-        if (i // BATCH) % 4 == 0:
-            log(f"[bench] warmup batch {i // BATCH + 1}/{n_batches} "
-                f"({time.perf_counter() - t0:.0f}s)")
-    log(f"[bench] warmup done in {time.perf_counter() - t0:.0f}s")
-
     # Serving-style throughput: requests arrive continuously and are served
     # in device batches of BATCH (the device serializes work, so batching —
     # not thread concurrency — is what scales QPS). Per-query latency is the
     # wall time of the batch that served it.
-    latencies = []
-    t0 = time.perf_counter()
-    for i in range(0, len(queries), BATCH):
-        chunk = queries[i : i + BATCH]
-        t1 = time.perf_counter()
-        engine.search_batch([Query(q, 10) for q in chunk])
-        dt = time.perf_counter() - t1
-        latencies.extend([dt] * len(chunk))
-    wall = time.perf_counter() - t0
+    qps, p50 = _measure(engine, queries, Query)
+    _emit(f"fuzzy-query QPS ({N_DOCS} docs, batch={BATCH}, "
+          f"p50={p50:.1f}ms, index={index_secs:.1f}s)", qps)
 
-    qps = len(queries) / wall
-    latencies.sort()
-    p50 = latencies[len(latencies) // 2] * 1000.0
 
-    print(json.dumps({
-        "metric": f"fuzzy-query QPS ({N_DOCS} docs, batch={BATCH}, "
-                  f"p50={p50:.1f}ms, index={index_secs:.1f}s)",
-        "value": round(qps, 2),
-        "unit": "qps",
-        "vs_baseline": round(qps / BASELINE_QPS, 4),
-    }))
-
+MODES = {
+    "exact": bench_exact,            # BASELINE config 1
+    "fuzzy": None,                   # config 2 = default main()
+    "multifield": bench_multifield,  # config 3
+    "filters": bench_filters,        # config 4
+    "incremental": bench_incremental,  # config 5
+}
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] in MODES and MODES[sys.argv[1]]:
+        kwargs = {}
+        if len(_argv_nums) > 0:
+            kwargs["n_docs"] = N_DOCS
+        if len(_argv_nums) > 1:
+            kwargs["n_queries"] = N_QUERIES
+        MODES[sys.argv[1]](**kwargs)
+    else:
+        main()

@@ -50,6 +50,7 @@ D_MAX = 64    # doc tokens per candidate
 L_MAX = 24    # chars per token
 Q_MAX = 16    # coverage query tokens
 FQ_MAX = 16   # fusion (unfiltered) query tokens
+D_CAP_NARROW = 16  # narrow doc-token program width (see CoverageConfig.d_cap)
 
 INTENT_BONUS_PER_SIGNAL = 0.15
 ANCHOR_STEM_LENGTH = 3
@@ -69,6 +70,11 @@ class CoverageConfig(NamedTuple):
     cover_fuzzy_words: bool = True
     cover_joined_words: bool = True
     cover_prefix_suffix: bool = True
+    # Doc-token axis cap: 0 = full table width. The caller routes
+    # candidates whose tok_count <= d_cap to a program compiled with the
+    # smaller D — most tensors are O(D) or O(D^2), so a 16-wide program
+    # does ~4-16x less work than the 64-wide one on short documents.
+    d_cap: int = 0
 
     @staticmethod
     def from_setup(s) -> "CoverageConfig":
@@ -99,6 +105,7 @@ class CoverageTables:
     doc_adj_ws: jax.Array
     doc_text_len: jax.Array
     overflow: np.ndarray  # bool [N]: doc exceeds D_MAX/L_MAX -> host path
+    tok_count_host: np.ndarray = None  # int32 [N] host copy for D routing
 
     @staticmethod
     def build(doc_texts, delimiters) -> "CoverageTables":
@@ -165,6 +172,7 @@ class CoverageTables:
             doc_adj_ws=jnp.asarray(doc_adj),
             doc_text_len=jnp.asarray(doc_text_len),
             overflow=overflow,
+            tok_count_host=doc_count,
         )
 
 
@@ -293,7 +301,7 @@ def coverage_fusion_batch(
     Q = q_chars.shape[1]
     FQ = fq_chars.shape[1]
     L = q_chars.shape[2]
-    D = doc_tokens.shape[1]
+    D = config.d_cap if config.d_cap else doc_tokens.shape[1]
     f32 = jnp.float32
 
     # Per-candidate query views (multi-query batches: candidates of many
@@ -319,10 +327,12 @@ def coverage_fusion_batch(
     max_fqc = jnp.max(fqcount)
 
     # ---------------- gather doc data ---------------------------------
-    codes = doc_tokens[text_ids]                    # [C,D]
+    # The [:, :D] slices fuse into the gathers; with d_cap set the whole
+    # kernel runs at the narrow width (callers route short docs here).
+    codes = doc_tokens[text_ids][:, :D]             # [C,D]
     tok_count = doc_tok_count[text_ids]             # [C]
-    offsets = doc_tok_offsets[text_ids]             # [C,D]
-    adj_ws = doc_adj_ws[text_ids]                   # [C,D]
+    offsets = doc_tok_offsets[text_ids][:, :D]      # [C,D]
+    adj_ws = doc_adj_ws[text_ids][:, :D]            # [C,D]
     text_len = doc_text_len[text_ids]               # [C]
     safe_codes = jnp.maximum(codes, 0)
     chars = word_chars[safe_codes]                  # [C,D,L]

@@ -39,14 +39,16 @@ INT_MAX = 2**31 - 1
 DEVICE_COVERAGE_MIN_CANDIDATES = 24
 
 
-# Fixed device-coverage batch size: one compiled program regardless of the
-# candidate count (larger worklists run in chunks; each candidate is
-# independent so chunking is exact). 1024 amortizes per-call overhead ~30%
-# better than 512 on TPU; override with INFIDEX_TPU_COVERAGE_CHUNK.
+# Device-coverage chunk capacity. Each kernel call pays a ~40ms floor on
+# tunneled TPUs regardless of size, so big chunks win: measured per-candidate
+# cost is 44us at C=1024, 16us at C=4096, 13us at C=8192 (diminishing).
+# Partial chunks pad to the next quadrupling bucket (1024 or 4096) so small
+# calls stay cheap; override with INFIDEX_TPU_COVERAGE_CHUNK.
 import os as _os
 
 DEVICE_COVERAGE_CHUNK = int(_os.environ.get("INFIDEX_TPU_COVERAGE_CHUNK",
-                                            "1024"))
+                                            "4096"))
+DEVICE_COVERAGE_CHUNK_MIN = 1024
 
 # Fixed query-batch width of the coverage kernel call: qsel routes each
 # candidate row to its query, so B queries cost the same round trips as one.
@@ -337,8 +339,13 @@ class SearchPipeline:
         pending: List[tuple] = []
         leftover_work: List[tuple] = []
         if device_jobs:
-            from ..ops.coverage_kernel import CoverageConfig
+            from ..ops.coverage_kernel import CoverageConfig, D_CAP_NARROW
             config = CoverageConfig.from_setup(coverage_setup)
+            # Two chunk streams: docs with <= D_CAP_NARROW tokens run a
+            # program compiled at the narrow doc-token width (most tensors
+            # are O(D) or O(D^2) — short docs do a fraction of the work).
+            config_narrow = config._replace(d_cap=D_CAP_NARROW)
+            tok_counts = model.coverage_tables.tok_count_host
             for ws in range(0, len(device_jobs), COVERAGE_B_PAD):
                 wave = device_jobs[ws : ws + COVERAGE_B_PAD]
                 encs = [enc for _, enc in wave]
@@ -347,20 +354,25 @@ class SearchPipeline:
                 while len(encs) < COVERAGE_B_PAD:
                     encs.append(encs[0])
                 wave_args = self._stack_wave(encs)
-                buf: List[tuple] = []
+                bufs = {True: [], False: []}   # narrow? -> buffer
                 for qi, (job, enc) in enumerate(wave):
                     cands, leftovers = self._resolve_candidates(job)
                     if leftovers:
                         leftover_work.append((job, leftovers))
                     for (tid, b, idx, key, lcs_val) in cands:
+                        narrow = tok_counts[tid] <= D_CAP_NARROW
+                        buf = bufs[bool(narrow)]
                         buf.append((job, tid, b, lcs_val, qi, idx, key))
-                    while len(buf) >= DEVICE_COVERAGE_CHUNK:
+                        if len(buf) >= DEVICE_COVERAGE_CHUNK:
+                            pending.append(self._dispatch_chunk(
+                                buf, wave_args,
+                                config_narrow if narrow else config))
+                            bufs[bool(narrow)] = []
+                for narrow, buf in bufs.items():
+                    if buf:
                         pending.append(self._dispatch_chunk(
-                            buf[:DEVICE_COVERAGE_CHUNK], wave_args, config))
-                        del buf[:DEVICE_COVERAGE_CHUNK]
-                if buf:
-                    pending.append(
-                        self._dispatch_chunk(buf, wave_args, config))
+                            buf, wave_args,
+                            config_narrow if narrow else config))
 
         # Phase 3 — host-oracle work overlaps the in-flight device chunks.
         for job in jobs:
@@ -641,14 +653,29 @@ class SearchPipeline:
     @staticmethod
     def _stack_wave(encs: List[dict]) -> tuple:
         """Stack COVERAGE_B_PAD encoded queries into the kernel's [B, ...]
-        argument arrays (built once per wave, reused by every chunk)."""
+        argument arrays (built once per wave, reused by every chunk).
+
+        The query-token axes are bucketed to {4, Q_MAX}: almost every
+        tensor in the kernel carries a Q (or FQ) dimension, so a wave of
+        short queries compiles to a program with 4x less work on that
+        axis. Two buckets keep the compiled-program count tiny.
+        """
+        from ..ops.coverage_kernel import FQ_MAX, Q_MAX
+
+        max_q = max(int(e["q_count"]) for e in encs)
+        max_fq = max(int(e["fq_count"]) for e in encs)
+        q_pad = 4 if max_q <= 4 else Q_MAX
+        fq_pad = 4 if max_fq <= 4 else FQ_MAX
+
         stk = lambda key: np.stack([e[key] for e in encs])
+        stk_q = lambda key: np.stack([e[key][:q_pad] for e in encs])
+        stk_fq = lambda key: np.stack([e[key][:fq_pad] for e in encs])
         q_args = (
-            stk("q_chars"), stk("q_rev"), stk("q_lens"), stk("q_idf"),
-            stk("q_widf"),
+            stk_q("q_chars"), stk_q("q_rev"), stk_q("q_lens"),
+            stk_q("q_idf"), stk_q("q_widf"),
             np.array([e["q_count"] for e in encs], np.int32),
-            stk("q_sorted"),
-            stk("fq_chars"), stk("fq_rev"), stk("fq_lens"),
+            stk_q("q_sorted"),
+            stk_fq("fq_chars"), stk_fq("fq_rev"), stk_fq("fq_lens"),
             np.array([e["fq_count"] for e in encs], np.int32),
             np.array([e["last_alpha"] for e in encs], np.bool_),
         )
@@ -664,7 +691,11 @@ class SearchPipeline:
 
         tables = self._model.coverage_tables
         q_args, qlen_arg = wave_args
-        c_pad = DEVICE_COVERAGE_CHUNK
+        # quadrupling sub-buckets keep partial chunks cheap
+        c_pad = DEVICE_COVERAGE_CHUNK_MIN
+        while c_pad < len(chunk):
+            c_pad *= 4
+        c_pad = min(c_pad, DEVICE_COVERAGE_CHUNK)
         text_ids = np.zeros(c_pad, np.int32)
         qsel = np.zeros(c_pad, np.int32)
         base = np.zeros(c_pad, np.float32)
