@@ -231,7 +231,11 @@ def bench_incremental(n_docs=10_000, n_queries=200):
 
 
 def main():
+    import jax
+
     from infidex_tpu import Document, Query, SearchEngine
+
+    jax.devices()  # backend init (~10s on tunneled TPUs) outside the timer
 
     titles = make_corpus(N_DOCS)
     engine = SearchEngine.create_default()

@@ -109,7 +109,12 @@ class ShortQueryResolver:
         self._prefix_index = prefix_index
         self._documents = documents
         self._delims = set(delimiters)
-        self._champion_lists = self._build_champion_lists()
+        # Champion lists build lazily per prefix on first use: the
+        # reference builds them eagerly in parallel at finalize
+        # (ShortQueryResolver.cs:113-120); computing only touched prefixes
+        # gives the same answers and keeps indexing latency flat.
+        self._champion_lists: Dict[str, List[ScoreEntry]] = {}
+        self._champion_built: set = set()
 
     def _split(self, text: str) -> List[str]:
         out, cur = [], []
@@ -186,15 +191,19 @@ class ShortQueryResolver:
         entries.sort(key=lambda e: -e.score)
         return entries
 
-    def _build_champion_lists(self) -> Dict[str, List[ScoreEntry]]:
-        result: Dict[str, List[ScoreEntry]] = {}
-        for prefix, postings in self._prefix_index.all_prefixes():
-            if not prefix or not postings:
-                continue
-            entries = self._resolve_postings(prefix, postings)
-            if entries:
-                result[prefix] = entries[:CHAMPION_LIST_SIZE]
-        return result
+    def _champions_for(self, prefix: str) -> Optional[List[ScoreEntry]]:
+        """Champion list for one prefix, built and cached on first access."""
+        if prefix in self._champion_built:
+            return self._champion_lists.get(prefix)
+        self._champion_built.add(prefix)
+        postings = self._prefix_index.get_posting_list(prefix)
+        if not postings:
+            return None
+        entries = self._resolve_postings(prefix, postings)
+        if entries:
+            self._champion_lists[prefix] = entries[:CHAMPION_LIST_SIZE]
+            return self._champion_lists[prefix]
+        return None
 
     def resolve(self, query: str, max_results: int = 2**31) -> List[ScoreEntry]:
         if not query or len(query) > self._prefix_index.max_prefix_length:
@@ -212,7 +221,7 @@ class ShortQueryResolver:
         if max_results <= 0 or not prefix or \
                 len(prefix) > self._prefix_index.max_prefix_length:
             return False, []
-        champions = self._champion_lists.get(prefix)
+        champions = self._champions_for(prefix)
         if not champions or len(champions) < max_results:
             return False, []
         return True, champions[:max_results]
