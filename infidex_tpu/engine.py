@@ -128,19 +128,26 @@ class SearchEngine:
     # Indexing
 
     def index_documents(self, documents: Iterable[Document],
-                        progress: Optional[Callable[[int], None]] = None) -> None:
+                        progress: Optional[Callable[[int], None]] = None,
+                        monitor=None) -> None:
+        """Index a batch; ``monitor`` (api.ProcessMonitor) is polled for
+        cancellation every 100 documents (SearchEngine.cs:136)."""
         with self._rw_lock.write_lock():
             self.status = SearchEngineStatus.INDEXING
             try:
-                self._index_documents_internal(list(documents), progress)
+                self._index_documents_internal(list(documents), progress,
+                                               monitor)
             finally:
                 self.status = SearchEngineStatus.READY
 
     def _index_documents_internal(self, doc_list: List[Document],
-                                  progress: Optional[Callable[[int], None]]) -> None:
+                                  progress: Optional[Callable[[int], None]],
+                                  monitor=None) -> None:
         total = len(doc_list)
         self._is_indexed = False
         for i, doc in enumerate(doc_list):
+            if monitor is not None and i % 100 == 0 and monitor.is_cancelled:
+                raise InterruptedError("indexing cancelled")
             if self._document_field_schema is None and doc.fields is not None:
                 self._document_field_schema = doc.fields
             stored = self._vector_model.index_document(doc)
@@ -229,6 +236,9 @@ class SearchEngine:
     # Search
 
     def search(self, query: Query) -> Result:
+        import time as _time
+
+        t_start = _time.perf_counter()
         with self._rw_lock.read_lock():
             if not self._is_indexed:
                 return Result.make_empty()
@@ -272,7 +282,63 @@ class SearchEngine:
                 truncation_score=top[-1].score if top else 0.0,
                 did_time_out=False,
                 total_candidates=len(results),
+                execution_time_ms=int(
+                    (_time.perf_counter() - t_start) * 1000),
             )
+
+    def explain(self, query_text: str, document_key: int) -> dict:
+        """Per-document ranking explanation (FusionScorer.LogExplanation,
+        Scoring/FusionScorer.cs:238-261): coverage features + fusion
+        precedence/semantic components for one (query, document) pair,
+        computed on the host oracle."""
+        from .scoring.fusion import fusion_calculate
+        from .scoring.segment_processor import calculate_lcs
+
+        with self._rw_lock.read_lock():
+            if not self._is_indexed or self._coverage_engine is None:
+                return {}
+            doc = self._vector_model.documents.get_document_by_public_key(
+                document_key)
+            if doc is None:
+                return {}
+            norm = self._vector_model.tokenizer.text_normalizer
+            q_text = query_text.strip().lower()
+            if norm is not None:
+                q_text = norm.normalize(q_text)
+            doc_text = doc.indexed_text
+            if norm is not None:
+                doc_text = norm.normalize(doc_text)
+            self._pipeline.invalidate_caches()
+            context = self._coverage_engine.prepare_query(q_text)
+            setup = self._coverage_setup
+            tolerance = 0
+            if len(q_text) >= setup.coverage_q_limit_for_error_tolerance:
+                tolerance = int(len(q_text) *
+                                setup.coverage_lcs_error_tolerance_relative_q)
+            lcs_val = calculate_lcs(q_text, doc_text, tolerance)
+            features = self._coverage_engine.calculate_features(
+                context, doc_text, lcs_val, doc.id)
+            score, tiebreaker = fusion_calculate(
+                q_text, doc_text, features, 0.0,
+                self._vector_model.tokenizer.min_index_size)
+            return {
+                "query": q_text,
+                "document": doc_text,
+                "score": float(score),
+                "precedence": int(score),
+                "semantic": float(score) - int(score),
+                "tiebreaker": int(tiebreaker),
+                "lcs": int(lcs_val),
+                "word_hits": features.word_hits,
+                "terms_with_any_match": features.terms_with_any_match,
+                "terms_fully_matched": features.terms_fully_matched,
+                "coverage_score": features.coverage_score,
+                "is_complete": features.terms_with_any_match ==
+                features.terms_count,
+                "lexical_prefix_last": features.fusion.lexical_prefix_last,
+                "is_perfect_doc": features.fusion.is_perfect_doc_lexical,
+                "has_anchor_stem": features.fusion.has_anchor_stem,
+            }
 
     def search_batch(self, queries: List[Query]) -> List[Result]:
         """Execute B searches with shared device work.

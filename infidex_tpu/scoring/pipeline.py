@@ -209,6 +209,20 @@ class SearchPipeline:
         chunks of candidates drawn from all queries (qsel routing). On
         high-latency device links this divides the round-trip cost by B.
         """
+        import time as _time
+
+        trace = _os.environ.get("INFIDEX_TPU_TRACE")
+        t_trace = _time.perf_counter() if trace else 0.0
+
+        def _mark(stage):
+            # [PIPE]-style per-stage timing (SearchPipeline.cs:51-203)
+            nonlocal t_trace
+            if trace:
+                now = _time.perf_counter()
+                print(f"[PIPE] {stage}: {(now - t_trace) * 1000:.1f}ms",
+                      flush=True)
+                t_trace = now
+
         n = len(search_texts)
         out: List[Optional[List[ScoreEntry]]] = [None] * n
         norm = self._model.tokenizer.text_normalizer
@@ -248,6 +262,8 @@ class SearchPipeline:
             for (i, _), (scores, ids) in zip(batch_items, outs):
                 stage1[i] = self._model.finish_stage1(scores, ids, bsm[i])
 
+        _mark("stage1")
+
         # ---- Gate + coverage jobs (batched device coverage) ------------
         jobs = []
         job_of: Dict[int, dict] = {}
@@ -266,8 +282,10 @@ class SearchPipeline:
             jobs.append(job)
             job_of[i] = job
 
+        _mark("gate+begin")
         if jobs:
             self._coverage_run(jobs, coverage_setup)
+        _mark("coverage")
 
         for i, job in job_of.items():
             coverage_results = self._coverage_finish(

@@ -147,3 +147,46 @@ class TestFuzzyAutocomplete:
         for i in range(50):
             dfs.add(f"term{i}")
         assert len(dfs.search("term", k=5)) == 5
+
+
+class TestObservability:
+    """Aux subsystems (SURVEY §5): execution time, cancellation, explain."""
+
+    def _engine(self):
+        from infidex_tpu import Document, SearchEngine
+        eng = SearchEngine.create_default()
+        eng.index_documents([Document(0, "The Shawshank Redemption"),
+                             Document(1, "Star Wars")])
+        return eng
+
+    def test_execution_time_recorded(self):
+        from infidex_tpu import Query
+        eng = self._engine()
+        r = eng.search(Query("shawshank", 5))
+        assert r.execution_time_ms >= 0 and r.records
+
+    def test_cancellation_via_monitor(self):
+        import pytest
+        from infidex_tpu import Document
+        from infidex_tpu.api.process_monitor import ProcessMonitor
+        eng = self._engine()
+        mon = ProcessMonitor()
+        mon.start()
+        mon.cancel()
+        with pytest.raises(InterruptedError):
+            eng.index_documents([Document(2, "x")], monitor=mon)
+
+    def test_explain(self):
+        eng = self._engine()
+        e = eng.explain("shawshenk", 0)
+        assert e["word_hits"] >= 1 and e["is_complete"]
+        assert e["score"] > 0 and "precedence" in e and "semantic" in e
+        assert eng.explain("shawshenk", 999) == {}
+
+    def test_progress_events(self):
+        from infidex_tpu import Document, SearchEngine
+        eng = SearchEngine.create_default()
+        seen = []
+        eng.index_documents([Document(i, f"doc {i}") for i in range(10)],
+                            progress=lambda p: seen.append(p))
+        assert seen and seen[-1] == 100
