@@ -176,3 +176,117 @@ class ShardedDeviceIndex:
             jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idfs),
             self.avgdl, l_pad=l_pad, k=k, mesh=self.mesh, n_pad=self.n_pad)
         return np.asarray(scores), np.asarray(ids)
+
+
+# ======================================================================
+# Sharded Stage-2/3: coverage+fusion over document-sharded token tables.
+#
+# Candidates are routed to the device owning their document's table rows
+# (host-side bucketing by shard), every shard scores its residents with the
+# SAME coverage kernel (ops/coverage_kernel.py) over its local table slice,
+# and the packed [3, C/n] outputs ride out of the shard_map sharded — the
+# host stitches the original order back. Queries are replicated (tiny).
+
+
+class ShardedCoverageTables:
+    """Document-sharded image of ops.coverage_kernel.CoverageTables."""
+
+    def __init__(self, tables, mesh: Mesh):
+        self.mesh = mesh
+        n_dev = mesh.shape[DOC_AXIS]
+        n = int(tables.doc_tokens.shape[0])
+        self.n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+        self.shard_size = self.n_pad // n_dev
+
+        repl = NamedSharding(mesh, P())
+        doc_sharded = NamedSharding(mesh, P(DOC_AXIS))
+
+        def pad_docs(arr):
+            arr = np.asarray(arr)
+            out = np.zeros((self.n_pad,) + arr.shape[1:], arr.dtype)
+            out[:n] = arr
+            return out
+
+        self.word_chars = jax.device_put(tables.word_chars, repl)
+        self.word_chars_rev = jax.device_put(tables.word_chars_rev, repl)
+        self.word_lens = jax.device_put(tables.word_lens, repl)
+        self.doc_tokens = jax.device_put(
+            jnp.asarray(pad_docs(tables.doc_tokens)), doc_sharded)
+        self.doc_tok_offsets = jax.device_put(
+            jnp.asarray(pad_docs(tables.doc_tok_offsets)), doc_sharded)
+        self.doc_tok_count = jax.device_put(
+            jnp.asarray(pad_docs(tables.doc_tok_count)), doc_sharded)
+        self.doc_adj_ws = jax.device_put(
+            jnp.asarray(pad_docs(tables.doc_adj_ws)), doc_sharded)
+        self.doc_text_len = jax.device_put(
+            jnp.asarray(pad_docs(tables.doc_text_len)), doc_sharded)
+
+
+def sharded_coverage_batch(sharded_tables: ShardedCoverageTables,
+                           text_ids: np.ndarray, qsel: np.ndarray,
+                           q_args: tuple, lcs_vals: np.ndarray,
+                           base_scores: np.ndarray, query_len: np.ndarray,
+                           config) -> np.ndarray:
+    """Score candidates of B queries across the mesh; returns packed
+    [3, C] (score, tiebreaker, word_hits) in the input candidate order.
+
+    Each device runs the single-chip coverage kernel over the candidates
+    whose documents live in its table shard — compute scales 1/n_dev with
+    zero inter-chip traffic during scoring (only the output gather).
+    """
+    from ..ops.coverage_kernel import coverage_fusion_batch
+
+    mesh = sharded_tables.mesh
+    n_dev = mesh.shape[DOC_AXIS]
+    shard_size = sharded_tables.shard_size
+    C = int(text_ids.shape[0])
+
+    # Host routing: bucket candidates by owning shard, equal-pad buckets.
+    shard_of = np.asarray(text_ids) // shard_size
+    order = np.argsort(shard_of, kind="stable")
+    counts = np.bincount(shard_of, minlength=n_dev)
+    per = max(int(counts.max()), 1)
+
+    r_text = np.zeros((n_dev, per), np.int32)
+    r_qsel = np.zeros((n_dev, per), np.int32)
+    r_lcs = np.zeros((n_dev, per), np.float32)
+    r_base = np.zeros((n_dev, per), np.float32)
+    slot_of = np.zeros(C, np.int64)   # candidate -> (shard, slot)
+    fill = np.zeros(n_dev, np.int64)
+    for pos in order:
+        s = int(shard_of[pos])
+        j = int(fill[s]); fill[s] += 1
+        r_text[s, j] = int(text_ids[pos]) - s * shard_size   # LOCAL id
+        r_qsel[s, j] = qsel[pos]
+        r_lcs[s, j] = lcs_vals[pos]
+        r_base[s, j] = base_scores[pos]
+        slot_of[pos] = s * per + j
+
+    def per_shard(tok, off, cnt, adj, tlen, wch, wrev, wlen,
+                  tids, qs, lc, bs, *q_and_len):
+        qa = q_and_len[:-1]
+        qlen = q_and_len[-1]
+        return coverage_fusion_batch(
+            wch, wrev, wlen, tok, off, cnt, adj, tlen,
+            tids[0], qs[0], *qa, lc[0], bs[0], qlen, config=config)
+
+    st = sharded_tables
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS),
+                  P(DOC_AXIS),                      # doc tables
+                  P(), P(), P(),                    # word tables (replicated)
+                  P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS),
+                  *([P()] * (len(q_args) + 1))),    # queries + query_len
+        out_specs=P(None, DOC_AXIS),
+        check_vma=False,
+    )
+    out = fn(st.doc_tokens, st.doc_tok_offsets, st.doc_tok_count,
+             st.doc_adj_ws, st.doc_text_len,
+             st.word_chars, st.word_chars_rev, st.word_lens,
+             jnp.asarray(r_text), jnp.asarray(r_qsel),
+             jnp.asarray(r_lcs), jnp.asarray(r_base),
+             *[jnp.asarray(a) for a in q_args], jnp.asarray(query_len))
+    packed = np.asarray(jax.device_get(out))        # [3, n_dev * per]
+    return packed[:, slot_of]
