@@ -166,6 +166,28 @@ class SearchEngine:
         self._pipeline.invalidate_caches()
         self._report_progress(100, progress)
 
+    def index_documents_async(self, documents: Iterable[Document],
+                              progress: Optional[Callable[[int], None]] = None,
+                              monitor=None):
+        """Async wrapper (SearchEngine.cs:108-122 Task.Run parity);
+        returns a concurrent.futures.Future."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(self.index_documents, list(documents), progress,
+                          monitor)
+        fut.add_done_callback(lambda _: pool.shutdown(wait=False))
+        return fut
+
+    def search_async(self, query: Query):
+        """Async wrapper; returns a concurrent.futures.Future[Result]."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(self.search, query)
+        fut.add_done_callback(lambda _: pool.shutdown(wait=False))
+        return fut
+
     def _rebuild_short_query_resolver(self) -> None:
         m = self._vector_model
         if m.short_query_index is not None:

@@ -190,3 +190,11 @@ class TestObservability:
         eng.index_documents([Document(i, f"doc {i}") for i in range(10)],
                             progress=lambda p: seen.append(p))
         assert seen and seen[-1] == 100
+
+    def test_async_wrappers(self):
+        from infidex_tpu import Document, Query, SearchEngine
+        eng = SearchEngine.create_default()
+        fut = eng.index_documents_async([Document(0, "async doc alpha")])
+        fut.result(timeout=60)
+        r = eng.search_async(Query("alpha", 5)).result(timeout=60)
+        assert r.records
