@@ -902,3 +902,59 @@ class CoverageEngine:
             context.query, doc_text, fusion_q, fusion_d,
             s.min_word_size, metadata)
         return features
+
+
+def calculate_ranked_score(features: CoverageFeatures, doc_token_count: int,
+                           base_tfidf_score: int) -> int:
+    """Legacy packed (precedence << 8) | quality ushort scorer
+    (CoverageScorer.CalculateRankedScore, CoverageScorer.cs:200-251).
+
+    Kept for capability parity: the README's bit table documents this
+    layout; the live pipeline uses fusion_calculate instead.
+    """
+    terms_count = features.terms_count
+    coverage_score = features.coverage_score & 0xFF
+    first_match_index = features.first_match_index
+    sum_ci = features.sum_ci
+    word_hits = features.word_hits
+    terms_with_any = features.terms_with_any_match
+    terms_fully = features.terms_fully_matched
+    terms_strict = features.terms_strict_matched
+    terms_prefix = features.terms_prefix_matched
+
+    coord_coverage = sum_ci / terms_count if terms_count > 0 else 0.0
+    term_completeness = (terms_fully / terms_count) if terms_count > 0 else 0.0
+    combined = 0.5 * coord_coverage + 0.5 * term_completeness
+    coverage_tier = int(min(max(combined * 63.0, 0.0), 63.0))
+    base_score = base_tfidf_score if coverage_score <= base_tfidf_score \
+        else coverage_score
+    final_q = base_score / 255.0
+    final_quality_tier = int(min(max(final_q * 3.0, 0.0), 3.0))
+    base_final = ((coverage_tier << 2) | final_quality_tier) & 0xFF
+
+    precedence = 0
+    all_found = terms_with_any == terms_count
+    fully = terms_fully == terms_count
+    strict_whole = terms_strict == terms_count
+    prefix_matched = terms_prefix == terms_count
+    if all_found:
+        precedence |= 128
+    if fully:
+        precedence |= 64
+    perfect = (doc_token_count > 0 and word_hits == doc_token_count
+               and all_found)
+    if terms_count == 1:
+        if strict_whole:
+            precedence |= 32
+        if perfect:
+            precedence |= 16
+    else:
+        if perfect:
+            precedence |= 32
+        if strict_whole:
+            precedence |= 16
+    if first_match_index == 0:
+        precedence |= 8
+    if prefix_matched:
+        precedence |= 4
+    return ((precedence << 8) | base_final) & 0xFFFF

@@ -198,3 +198,34 @@ class TestObservability:
         fut.result(timeout=60)
         r = eng.search_async(Query("alpha", 5)).result(timeout=60)
         assert r.records
+
+    def test_legacy_ranked_score(self):
+        """CalculateRankedScore bit layout (CoverageScorer.cs:200-251)."""
+        from infidex_tpu.coverage.engine import (CoverageFeatures,
+                                                 calculate_ranked_score)
+        f = CoverageFeatures()
+        f.terms_count = 2
+        f.terms_with_any_match = 2
+        f.terms_fully_matched = 2
+        f.terms_strict_matched = 2
+        f.terms_prefix_matched = 2
+        f.first_match_index = 0
+        f.sum_ci = 2.0
+        f.word_hits = 2
+        f.coverage_score = 255
+        packed = calculate_ranked_score(f, doc_token_count=2,
+                                        base_tfidf_score=0)
+        prec, base = packed >> 8, packed & 0xFF
+        # all-found|fully|perfect|strict|first|prefix = 128+64+32+16+8+4
+        assert prec == 252, prec
+        assert base == (63 << 2 | 3)
+        # single-term swaps strict/perfect bit positions
+        f.terms_count = 1
+        f.terms_with_any_match = 1
+        f.terms_fully_matched = 1
+        f.terms_strict_matched = 1
+        f.terms_prefix_matched = 1
+        f.sum_ci = 1.0
+        f.word_hits = 2
+        packed1 = calculate_ranked_score(f, 2, 0)
+        assert (packed1 >> 8) & 32  # strict-whole in bit 5 for single term
