@@ -98,13 +98,23 @@ def _measure(engine, queries, Query, max_results=10, make_query=None):
                 f"({_t.perf_counter() - t0:.0f}s)")
     log(f"[bench] warmup done in {_t.perf_counter() - t0:.0f}s")
 
-    latencies = []
-    t0 = _t.perf_counter()
-    for i in range(0, len(queries), BATCH):
-        chunk = queries[i : i + BATCH]
+    # Two batches in flight: one thread's host work (tokenize, candidate
+    # resolution, post-processing) overlaps the other's device wait —
+    # the engine's RW lock admits concurrent readers and JAX releases the
+    # GIL during device execution.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_batch(chunk):
         t1 = _t.perf_counter()
         engine.search_batch([make_query(q) for q in chunk])
-        latencies.extend([_t.perf_counter() - t1] * len(chunk))
+        return _t.perf_counter() - t1, len(chunk)
+
+    chunks = [queries[i : i + BATCH] for i in range(0, len(queries), BATCH)]
+    latencies = []
+    t0 = _t.perf_counter()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for dt, n in pool.map(run_batch, chunks):
+            latencies.extend([dt] * n)
     wall = _t.perf_counter() - t0
     latencies.sort()
     return len(queries) / wall, latencies[len(latencies) // 2] * 1000.0

@@ -103,6 +103,8 @@ class VectorModel:
         self.device: Optional[DeviceIndex] = None
         self.word_idf_cache: Dict[str, float] = {}
         self.doc_metadata: List[DocumentMetadata] = []
+        self.deleted_arr = np.zeros(0, bool)
+        self.doc_keys_arr = np.zeros(0, np.int64)
 
         # LD1 expansion structures (built lazily at finalize)
         self._ld1_index: Optional[Dict[str, List[int]]] = None
@@ -187,6 +189,12 @@ class VectorModel:
         deleted = np.array(
             [self.documents.get_document(i).deleted for i in range(n)], dtype=bool
         ) if n else np.zeros(0, bool)
+        # Dense per-internal-id arrays for vectorized candidate handling
+        # (Python loops over WordMatcher hit lists scale with df otherwise).
+        self.deleted_arr = deleted
+        self.doc_keys_arr = np.array(
+            [self.documents.get_document(i).document_key for i in range(n)],
+            dtype=np.int64) if n else np.zeros(0, np.int64)
         self.device = DeviceIndex(self.built, deleted)
         self._build_word_idf_cache()
         self._ld1_index = None  # rebuilt lazily

@@ -423,16 +423,6 @@ class SearchPipeline:
             wm_ids = self._word_matcher.lookup_query(
                 search_text, coverage_setup.cover_prefix_suffix)
 
-        # Key index for LCS/word-hit memoization
-        unique_keys: Set[int] = {c.document_id for c in top_candidates}
-        for internal_id in wm_ids.tolist():
-            doc = model.documents.get_document(internal_id)
-            if doc is not None and not doc.deleted:
-                unique_keys.add(doc.document_key)
-        key_to_index = {k: i for i, k in enumerate(unique_keys)}
-        lcs_memo: Dict[int, int] = {}
-        word_hits_memo: Dict[int, int] = {}
-
         context = self._coverage_engine.prepare_query(search_text)
 
         tfidf_internal: Set[int] = set()
@@ -441,9 +431,36 @@ class SearchPipeline:
             if doc is not None:
                 tfidf_internal.add(doc.id)
 
-        wm_overlapping = [i for i in wm_ids.tolist() if i in tfidf_internal]
-        wm_unique = [i for i in wm_ids.tolist() if i not in tfidf_internal]
+        # WordMatcher hit lists scale with document frequency (a common
+        # word matches 10^5 docs on large corpora): partitioning and the
+        # key index stay vectorized / worklist-bounded — Python loops over
+        # wm_ids dominated whole-query latency at 1M docs.
+        wm_arr = np.asarray(wm_ids, dtype=np.int64)
+        if wm_arr.size:
+            overlap_mask = np.isin(
+                wm_arr, np.fromiter(tfidf_internal, np.int64,
+                                    len(tfidf_internal)))
+            wm_overlapping = wm_arr[overlap_mask].tolist()
+            wm_unique_arr = wm_arr[~overlap_mask]
+        else:
+            wm_overlapping = []
+            wm_unique_arr = wm_arr
         wm_limit = max(0, coverage_depth - len(wm_overlapping))
+        wm_unique = wm_unique_arr[:wm_limit].tolist()
+
+        # Key index for LCS/word-hit memoization, over the docs that can
+        # actually be scored (worklist members + Stage-1 candidates).
+        unique_keys: Set[int] = {c.document_id for c in top_candidates}
+        work_ids = np.asarray(wm_overlapping + wm_unique, dtype=np.int64)
+        if work_ids.size:
+            n_ids = model.doc_keys_arr.size
+            valid = work_ids[(work_ids >= 0) & (work_ids < n_ids)]
+            live = ~model.deleted_arr[valid]
+            unique_keys.update(
+                np.unique(model.doc_keys_arr[valid[live]]).tolist())
+        key_to_index = {k: i for i, k in enumerate(unique_keys)}
+        lcs_memo: Dict[int, int] = {}
+        word_hits_memo: Dict[int, int] = {}
 
         final_scores: List[ScoreEntry] = []
         min_stem = model.tokenizer.min_index_size
