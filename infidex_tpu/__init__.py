@@ -25,7 +25,13 @@ from .core.documents import Document, DocumentCollection
 from .coverage.setup import CoverageSetup
 from .engine import IndexStatistics, SearchEngine, SearchEngineStatus
 from .index.vector_model import ScoreEntry, VectorModel
+from .api.process_monitor import ProcessMonitor
+from .core.shingle import Shingle, SystemStatus
+from .core.topk import TopKHeap
+from .filtering.mask import FilterCache, FilterMask
+from .index.trie import TrieIndex
 from .synonyms import SynonymMap
+from .utils.roaring import RoaringBitmap
 from .tokenization.normalizer import TextNormalizer
 from .tokenization.tokenizer import Tokenizer, TokenizerSetup
 
@@ -34,6 +40,14 @@ __version__ = "0.1.0"
 __all__ = [
     "AutoSegmentationSetup",
     "Boost",
+    "FilterCache",
+    "FilterMask",
+    "ProcessMonitor",
+    "RoaringBitmap",
+    "Shingle",
+    "SystemStatus",
+    "TopKHeap",
+    "TrieIndex",
     "BoostStrength",
     "CompositeFilter",
     "ConfigurationParameters",
