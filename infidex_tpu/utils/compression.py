@@ -365,3 +365,24 @@ def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
 
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(deltas)
+
+
+# ----------------------------------------------------------------------
+# Byte<->float weight quantization (Utilities/ByteAsFloat.cs): posting
+# weights live as uint8 (4x memory saving); floats recovered on demand.
+# The device path keeps weights as uint8 tensors and casts on the VPU.
+
+
+def float_to_byte(value: float) -> int:
+    """[0,1]-ish weight -> byte with banker's rounding (ByteAsFloat.cs)."""
+    import math
+    v = value * 255.0
+    f = math.floor(v)
+    frac = v - f
+    if frac > 0.5 or (frac == 0.5 and f % 2 == 1):
+        f += 1
+    return max(0, min(int(f), 255))
+
+
+def byte_to_float(b: int) -> float:
+    return (b & 0xFF) / 255.0
