@@ -327,7 +327,10 @@ class DeviceIndex:
         n_q_pad = _bucket(n_q, 4)
 
         starts_l, lens_l, idfs_l, tq_l = [], [], [], []
-        ed_l, ei_l, eq_l = [], [], []
+        # Fuzzy virtual-term postings can be 10^5-10^6 ids per batch on
+        # large corpora — keep them as arrays (Python list conversion here
+        # dominated Stage-1 latency at 300k+ docs).
+        ed_parts, ei_parts, eq_parts = [], [], []
         for qi, (term_ids, term_idf, extra_docs, extra_idf) in enumerate(queries):
             for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
                 s, e = built.term_offsets[tid], built.term_offsets[tid + 1]
@@ -336,9 +339,9 @@ class DeviceIndex:
                 idfs_l.append(term_idf[i])
                 tq_l.append(qi)
             if extra_docs is not None and len(extra_docs) > 0:
-                ed_l.extend(np.asarray(extra_docs, dtype=np.int64).tolist())
-                ei_l.extend(np.asarray(extra_idf, dtype=np.float64).tolist())
-                eq_l.extend([qi] * len(extra_docs))
+                ed_parts.append(np.asarray(extra_docs, dtype=np.int32))
+                ei_parts.append(np.asarray(extra_idf, dtype=np.float32))
+                eq_parts.append(np.full(len(extra_docs), qi, np.int32))
 
         qt = max(len(starts_l), 1)
         qt_pad = _bucket(qt, 8)
@@ -354,15 +357,16 @@ class DeviceIndex:
         total = int(lens.sum())
         l_pad = _bucket(max(total, 1), _MIN_L)
 
-        if ed_l:
-            e = len(ed_l)
+        if ed_parts:
+            ed_all = np.concatenate(ed_parts)
+            e = int(ed_all.size)
             e_pad = _bucket(e, _MIN_E)
             ed = np.full(e_pad, self.n_pad - 1, dtype=np.int32)
             ei = np.zeros(e_pad, dtype=np.float32)
             eq = np.zeros(e_pad, dtype=np.int32)
-            ed[:e] = ed_l
-            ei[:e] = ei_l
-            eq[:e] = eq_l
+            ed[:e] = ed_all
+            ei[:e] = np.concatenate(ei_parts)
+            eq[:e] = np.concatenate(eq_parts)
             extra = (jnp.asarray(ed), jnp.asarray(ei), jnp.asarray(eq))
         else:
             e_pad = 0

@@ -112,28 +112,24 @@ class WordMatcher:
             self.finalize_index()
         normalized = self._normalize(query)
         length = len(normalized)
-        acc: Set[int] = set()
+        parts: List[np.ndarray] = []
 
-        docs = self._exact.get(normalized)
-        if docs:
-            acc.update(docs)
+        def take(docs):
+            if docs:
+                parts.append(np.asarray(docs, dtype=np.int32))
+
+        take(self._exact.get(normalized))
 
         s = self._setup
         if (s.support_ld1 and s.minimum_word_size_ld1 <= length <= s.maximum_word_size_ld1):
-            docs = self._ld1.get(normalized)
-            if docs:
-                acc.update(docs)
+            take(self._ld1.get(normalized))
             for deletion in _deletions(normalized):
-                docs = self._ld1.get(deletion)
-                if docs:
-                    acc.update(docs)
-                docs = self._exact.get(deletion)
-                if docs:
-                    acc.update(docs)
+                take(self._ld1.get(deletion))
+                take(self._exact.get(deletion))
 
-        if not acc:
+        if not parts:
             return None
-        return np.array(sorted(acc), dtype=np.int32)
+        return np.unique(np.concatenate(parts)).astype(np.int32)
 
     def lookup_affix(self, query: str) -> Optional[np.ndarray]:
         """Prefix/suffix doc union with a 4096-term budget (LookupAffix)."""
@@ -167,33 +163,33 @@ class WordMatcher:
                 matched_words.append(self._rev_to_word[r])
             budget -= take
 
-        acc: Set[int] = set()
-        for w in matched_words:
-            docs = self._affix_words.get(w)
-            if docs:
-                acc.update(docs)
-        if not acc:
+        parts = [np.asarray(docs, dtype=np.int32)
+                 for docs in (self._affix_words.get(w) for w in matched_words)
+                 if docs]
+        if not parts:
             return None
-        return np.array(sorted(acc), dtype=np.int32)
+        return np.unique(np.concatenate(parts)).astype(np.int32)
 
     # ------------------------------------------------------------------
     def lookup_query(self, query_text: str, cover_prefix_suffix: bool) -> np.ndarray:
         """Per-word exact+LD1 (+ affix) union over a whole query
         (Scoring/WordMatcherLookup.cs)."""
-        acc: Set[int] = set()
+        # Unions stay vectorized: a common word matches 10^5 docs on large
+        # corpora and Python-set accumulation dominated query latency.
+        parts: List[np.ndarray] = []
         for word in self._split(query_text):
             if len(word) < 2 or word.isspace():
                 continue
             ids = self.lookup(word)
-            if ids is not None:
-                acc.update(ids.tolist())
+            if ids is not None and len(ids):
+                parts.append(np.asarray(ids))
             if cover_prefix_suffix:
                 ids = self.lookup_affix(word)
-                if ids is not None:
-                    acc.update(ids.tolist())
-        if not acc:
+                if ids is not None and len(ids):
+                    parts.append(np.asarray(ids))
+        if not parts:
             return np.zeros(0, dtype=np.int32)
-        return np.array(sorted(acc), dtype=np.int32)
+        return np.unique(np.concatenate(parts)).astype(np.int32)
 
     # ------------------------------------------------------------------
     # Persistence (engine-level save/load serializes these tables)
