@@ -1,0 +1,90 @@
+"""In-memory vs saved/loaded engines must be ranking-IDENTICAL.
+
+Behavioral reference: Infidex ``MovieSearchPersistenceTests.cs`` (the
+persisted twin of the parity suite — same assertions through a save/load
+cycle) and ``PersistenceTests.cs`` (stats equality, unicode surrogate
+round-trip, index-size report). The reference recomputes derived stats on
+load (SearchEngine.cs:422-426) precisely so this equivalence holds.
+"""
+
+import os
+
+import pytest
+
+from infidex_tpu import Document, Query, SearchEngine
+
+TITLES = [
+    "The Shawshank Redemption", "The Godfather", "The Dark Knight",
+    "Star Wars: A New Hope", "Star Trek Into Darkness", "Batman Begins",
+    "Inception", "Interstellar", "The Matrix", "Blade Runner",
+    "Blade Runner 2049", "Alien", "Aliens", "The Terminator",
+    "Terminator 2: Judgment Day", "Jurassic Park", "Back to the Future",
+    "Gangs of New York", "Escape from New York", "Zelená škola",
+    "Měsíční údolí", "\U0001F600 emoji doc \U0001F680 rocket",
+]
+
+QUERIES = ["shawshank", "teh godfather", "star wars", "blade runnr",
+           "termnator", "new york", "redemption sh", "a", "zelena skola",
+           "mesicni", "batman begin", "alien", "emoji"]
+
+
+@pytest.fixture(scope="module")
+def engines(tmp_path_factory):
+    mem = SearchEngine.create_default()
+    mem.index_documents([Document(i, t) for i, t in enumerate(TITLES)])
+    path = str(tmp_path_factory.mktemp("persist") / "idx.bin")
+    mem.save(path)
+    loaded = SearchEngine.load(path)
+    return mem, loaded, path
+
+
+def _records(engine, q):
+    result = engine.search(Query(q, 10))
+    return [(r.document_id, round(r.score, 4), r.tiebreaker)
+            for r in result.records]
+
+
+class TestPersistenceParity:
+    def test_ranking_identical(self, engines):
+        mem, loaded, _ = engines
+        for q in QUERIES:
+            assert _records(mem, q) == _records(loaded, q), q
+
+    def test_batch_ranking_identical(self, engines):
+        mem, loaded, _ = engines
+        mem_out = mem.search_batch([Query(q, 10) for q in QUERIES])
+        ld_out = loaded.search_batch([Query(q, 10) for q in QUERIES])
+        for q, m, l in zip(QUERIES, mem_out, ld_out):
+            assert [(r.document_id, round(r.score, 4)) for r in m.records] \
+                == [(r.document_id, round(r.score, 4)) for r in l.records], q
+
+    def test_statistics_equal(self, engines):
+        mem, loaded, _ = engines
+        sm, sl = mem.get_statistics(), loaded.get_statistics()
+        assert sm.document_count == sl.document_count
+        assert sm.vocabulary_size == sl.vocabulary_size
+
+    def test_unicode_roundtrip(self, engines):
+        _, loaded, _ = engines
+        doc = loaded.get_document(21)
+        assert "\U0001F600" in doc.indexed_text
+        assert "\U0001F680" in doc.indexed_text
+        assert loaded.get_document(19).indexed_text == "Zelená škola"
+
+    def test_index_size_report(self, engines):
+        """PersistenceTests.cs:100-150 prints bytes/doc; assert sanity."""
+        _, _, path = engines
+        size = os.path.getsize(path)
+        per_doc = size / len(TITLES)
+        print(f"index size: {size} bytes, {per_doc:.0f} bytes/doc")
+        assert 0 < size < 50 * 1024 * 1024
+
+    def test_reload_after_incremental_add(self, engines, tmp_path):
+        mem, _, _ = engines
+        mem.index_document(Document(100, "Freshly Added Document"))
+        mem.calculate_weights()
+        p2 = str(tmp_path / "idx2.bin")
+        mem.save(p2)
+        again = SearchEngine.load(p2)
+        for q in ["freshly added", "shawshank"]:
+            assert _records(mem, q) == _records(again, q), q
