@@ -133,10 +133,17 @@ class WordMatcher:
 
     def lookup_affix(self, query: str) -> Optional[np.ndarray]:
         """Prefix/suffix doc union with a 4096-term budget (LookupAffix)."""
+        parts = self._affix_parts(query)
+        if not parts:
+            return None
+        return np.unique(np.concatenate(parts)).astype(np.int32)
+
+    def _affix_parts(self, query: str) -> List[np.ndarray]:
+        """Budgeted affix matches as un-merged sorted doc lists."""
         if not self._finalized:
             self.finalize_index()
         if not self._setup.support_affix or not self._sorted_words:
-            return None
+            return []
         normalized = self._normalize(query)
 
         matched_words: List[str] = []
@@ -151,7 +158,7 @@ class WordMatcher:
         suffix_count = rhi - rlo
 
         if prefix_count == 0 and suffix_count == 0:
-            return None
+            return []
 
         if prefix_count > 0 and budget > 0:
             take = min(prefix_count, budget)
@@ -163,12 +170,9 @@ class WordMatcher:
                 matched_words.append(self._rev_to_word[r])
             budget -= take
 
-        parts = [np.asarray(docs, dtype=np.int32)
-                 for docs in (self._affix_words.get(w) for w in matched_words)
-                 if docs]
-        if not parts:
-            return None
-        return np.unique(np.concatenate(parts)).astype(np.int32)
+        return [np.asarray(docs, dtype=np.int32)
+                for docs in (self._affix_words.get(w) for w in matched_words)
+                if docs]
 
     # ------------------------------------------------------------------
     def lookup_query(self, query_text: str, cover_prefix_suffix: bool) -> np.ndarray:
@@ -176,6 +180,20 @@ class WordMatcher:
         (Scoring/WordMatcherLookup.cs)."""
         # Unions stay vectorized: a common word matches 10^5 docs on large
         # corpora and Python-set accumulation dominated query latency.
+        parts = self.lookup_parts(query_text, cover_prefix_suffix)
+        if not parts:
+            return np.zeros(0, dtype=np.int32)
+        return np.unique(np.concatenate(parts)).astype(np.int32)
+
+    def lookup_parts(self, query_text: str,
+                     cover_prefix_suffix: bool) -> List[np.ndarray]:
+        """The union's constituent SORTED doc-id lists, un-merged.
+
+        Callers that only need membership tests or the union's smallest K
+        ids (the search pipeline) work directly on the parts — at 1M docs
+        the materialized union reaches 10^7 ids and its sort dominated
+        whole-query latency; the parts keep every consumer O(needed).
+        """
         parts: List[np.ndarray] = []
         for word in self._split(query_text):
             if len(word) < 2 or word.isspace():
@@ -184,12 +202,8 @@ class WordMatcher:
             if ids is not None and len(ids):
                 parts.append(np.asarray(ids))
             if cover_prefix_suffix:
-                ids = self.lookup_affix(word)
-                if ids is not None and len(ids):
-                    parts.append(np.asarray(ids))
-        if not parts:
-            return np.zeros(0, dtype=np.int32)
-        return np.unique(np.concatenate(parts)).astype(np.int32)
+                parts.extend(self._affix_parts(word))
+        return parts
 
     # ------------------------------------------------------------------
     # Persistence (engine-level save/load serializes these tables)

@@ -418,10 +418,11 @@ class SearchPipeline:
         if coverage_setup.enable_lexical_prescreen and top_candidates:
             top_candidates = self._lexical_prescreen(search_text, top_candidates, coverage_setup)
 
-        wm_ids = np.zeros(0, dtype=np.int32)
+        wm_parts: List[np.ndarray] = []
         if self._word_matcher is not None:
-            wm_ids = self._word_matcher.lookup_query(
+            wm_parts = self._word_matcher.lookup_parts(
                 search_text, coverage_setup.cover_prefix_suffix)
+        has_wm = any(p.size for p in wm_parts)
 
         context = self._coverage_engine.prepare_query(search_text)
 
@@ -432,21 +433,38 @@ class SearchPipeline:
                 tfidf_internal.add(doc.id)
 
         # WordMatcher hit lists scale with document frequency (a common
-        # word matches 10^5 docs on large corpora): partitioning and the
-        # key index stay vectorized / worklist-bounded — Python loops over
-        # wm_ids dominated whole-query latency at 1M docs.
-        wm_arr = np.asarray(wm_ids, dtype=np.int64)
-        if wm_arr.size:
-            overlap_mask = np.isin(
-                wm_arr, np.fromiter(tfidf_internal, np.int64,
-                                    len(tfidf_internal)))
-            wm_overlapping = wm_arr[overlap_mask].tolist()
-            wm_unique_arr = wm_arr[~overlap_mask]
-        else:
-            wm_overlapping = []
-            wm_unique_arr = wm_arr
+        # word matches 10^5 docs on large corpora, affix lookups union up
+        # to 4096 term lists). The pipeline only consumes (a) which Stage-1
+        # candidates the union contains, (b) the union's smallest wm_limit
+        # ids outside those, and (c) union non-emptiness — all computable
+        # from the SORTED constituent lists without materializing the
+        # union (whose sort dominated 1M-doc query latency):
+        #   overlap     = sorted(tfidf ∩ union)      [membership probes]
+        #   wm_unique   = first wm_limit non-overlap union ids; the
+        #                 smallest (wm_limit + |overlap|) union ids are a
+        #                 superset and each lies in some part's first
+        #                 (wm_limit + |overlap|) elements, so clipped
+        #                 heads suffice — exact, not approximate.
+        tfidf_arr = np.fromiter(tfidf_internal, np.int64,
+                                len(tfidf_internal))
+        tfidf_arr.sort()
+        member = np.zeros(tfidf_arr.size, bool)
+        for p in wm_parts:
+            if not p.size:
+                continue
+            j = np.searchsorted(p, tfidf_arr)
+            jc = np.minimum(j, p.size - 1)
+            member |= (j < p.size) & (p[jc] == tfidf_arr)
+        wm_overlapping = tfidf_arr[member].tolist()
         wm_limit = max(0, coverage_depth - len(wm_overlapping))
-        wm_unique = wm_unique_arr[:wm_limit].tolist()
+        if has_wm and wm_limit > 0:
+            k_head = wm_limit + len(wm_overlapping)
+            heads = np.unique(np.concatenate(
+                [p[:k_head] for p in wm_parts if p.size]))
+            outside = heads[~np.isin(heads, tfidf_arr)]
+            wm_unique = outside[:wm_limit].tolist()
+        else:
+            wm_unique = []
 
         # Key index for LCS/word-hit memoization, over the docs that can
         # actually be scored (worklist members + Stage-1 candidates).
@@ -480,7 +498,9 @@ class SearchPipeline:
             word_hits_memo=word_hits_memo,
             final_scores=final_scores,
             max_word_hits=0,
-            wm_count=int(wm_ids.size),
+            # Only the zero/nonzero distinction is consumed downstream
+            # (the zero-hit guard in _coverage_finish).
+            wm_count=int(has_wm),
             lcs_tolerance=lcs_tolerance,
         )
 
