@@ -330,7 +330,6 @@ class SearchEngine:
             doc_text = doc.indexed_text
             if norm is not None:
                 doc_text = norm.normalize(doc_text)
-            self._pipeline.invalidate_caches()
             context = self._coverage_engine.prepare_query(q_text)
             setup = self._coverage_setup
             tolerance = 0

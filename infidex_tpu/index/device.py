@@ -219,6 +219,12 @@ class DeviceIndex:
         # Pad the doc axis so scatter targets and top-k are aligned; the last
         # slot doubles as the parking spot for invalid lanes.
         self.n_pad = max(_bucket(n + 1, 8), 128)
+        # Doc ids ride back packed into the f32 output row; f32 represents
+        # integers exactly only up to 2^24 — fail loudly, never corrupt.
+        if self.n_pad >= (1 << 24):
+            raise ValueError(
+                f"corpus too large for the packed f32 id path: n_pad="
+                f"{self.n_pad} >= 2^24; shard the index across devices")
 
         self.postings_docs = jnp.asarray(
             built.postings_docs if built.postings_docs.size else np.zeros(1, np.int32)

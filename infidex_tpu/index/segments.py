@@ -45,6 +45,11 @@ class SegmentWriter:
         terms = sorted(terms_postings.keys())
         T = len(terms)
 
+        for t in terms:
+            if "\n" in t:
+                raise ValueError(
+                    f"segment term contains newline (would corrupt the "
+                    f"vocabulary table): {t!r}")
         term_blob = "\n".join(terms).encode("utf-8")
         dfs = np.zeros(T, dtype=np.int32)
         offsets = np.zeros(T + 1, dtype=np.int64)
@@ -102,6 +107,10 @@ class SegmentReader:
         off += term_blob_len
         self.terms: List[str] = (
             term_blob.decode("utf-8").split("\n") if term_blob else [])
+        if len(self.terms) != term_count:
+            raise ValueError(
+                f"segment vocabulary misaligned in {path}: "
+                f"{len(self.terms)} terms decoded, header says {term_count}")
         self.dfs = np.frombuffer(self._mm, np.int32, term_count, off).copy()
         off += term_count * 4
         self.offsets = np.frombuffer(
