@@ -25,7 +25,7 @@ import time
 _argv_nums = [a for a in sys.argv[1:] if a.lstrip("-").isdigit()]
 N_DOCS = int(_argv_nums[0]) if len(_argv_nums) > 0 else 10_000
 N_QUERIES = int(_argv_nums[1]) if len(_argv_nums) > 1 else 200
-BATCH = int(_argv_nums[2]) if len(_argv_nums) > 2 else 16
+BATCH = int(_argv_nums[2]) if len(_argv_nums) > 2 else 64
 BASELINE_QPS = 1000.0  # provisional C#-engine estimate; see module docstring
 
 ADJECTIVES = [

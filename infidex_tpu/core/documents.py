@@ -60,6 +60,9 @@ class DocumentCollection:
         self._documents: List[Document] = []
         self._key_to_ids: Dict[int, List[int]] = {}
         self.count: int = 0  # non-deleted count
+        # True once any key maps to >1 internal doc (long-doc segmentation)
+        # — the vectorized pipeline fast path requires the 1:1 id<->key case.
+        self.multi_segment: bool = False
 
     def add_document(self, document: Document) -> Document:
         doc_id = len(self._documents)
@@ -67,7 +70,10 @@ class DocumentCollection:
         self._documents.append(document)
         if not document.deleted:
             self.count += 1
-        self._key_to_ids.setdefault(document.document_key, []).append(doc_id)
+        ids = self._key_to_ids.setdefault(document.document_key, [])
+        ids.append(doc_id)
+        if len(ids) > 1 or document.segment_number > 0:
+            self.multi_segment = True
         return document
 
     def get_document(self, doc_id: int) -> Optional[Document]:

@@ -48,6 +48,36 @@ class ScoreEntry:
         return (-self.score, -self.tiebreaker, self.document_id)
 
 
+class Stage1Arrays:
+    """Array-form Stage-1 results for the vectorized batch pipeline.
+
+    Valid only on the 1:1 id<->key fast path (no multi-segment docs):
+    rows are score-descending, keys unique, all docs live.
+    """
+
+    __slots__ = ("scores", "iids", "keys")
+
+    def __init__(self, scores: np.ndarray, iids: np.ndarray,
+                 keys: np.ndarray):
+        self.scores = scores
+        self.iids = iids
+        self.keys = keys
+
+    def __len__(self) -> int:
+        return int(self.scores.size)
+
+    def truncated(self, n: int) -> "Stage1Arrays":
+        if len(self) <= n:
+            return self
+        return Stage1Arrays(self.scores[:n], self.iids[:n], self.keys[:n])
+
+    def to_entries(self, limit: Optional[int] = None) -> List["ScoreEntry"]:
+        n = len(self) if limit is None else min(limit, len(self))
+        return [ScoreEntry(float(s), int(k))
+                for s, k in zip(self.scores[:n].tolist(),
+                                self.keys[:n].tolist())]
+
+
 @dataclass
 class DocumentMetadata:
     first_token: str = ""
@@ -116,6 +146,8 @@ class VectorModel:
 
         # Device coverage tables (ops/coverage_kernel.CoverageTables)
         self.coverage_tables = None
+        # object-dtype array of normalized doc texts (set with the tables)
+        self.norm_texts: Optional[np.ndarray] = None
 
         # On-disk segments created by flush() (index/segments.py)
         self._segments = []           # List[SegmentReader]
@@ -333,6 +365,10 @@ class VectorModel:
                 text = self.synonym_map.canonicalize_text(text, delims)
             texts.append(text.lower())
         self.coverage_tables = CoverageTables.build(texts, delims)
+        # Normalized lowercase texts by internal id, for vectorized
+        # candidate-text fetch (LCS inputs) without per-doc Python.
+        self.norm_texts = np.empty(len(texts), dtype=object)
+        self.norm_texts[:] = texts
 
     def _build_document_metadata_cache(self) -> None:
         delims = (
@@ -501,6 +537,25 @@ class VectorModel:
         return (np.asarray(term_ids, dtype=np.int64),
                 np.asarray(idfs, dtype=np.float32),
                 extra_docs, extra_idf)
+
+    def finish_stage1_arrays(self, scores: np.ndarray,
+                             ids: np.ndarray) -> Stage1Arrays:
+        """Vectorized ``finish_stage1`` for the 1:1 id<->key fast path.
+
+        Equivalent to the entry-building loop: cut at the first
+        non-positive score (top-k rows are score-descending), drop deleted
+        docs, map internal ids to public keys. Skips the best-segments map
+        (no segments exist on this path, so it would never be consulted).
+        """
+        nonpos = scores <= 0.0
+        n = int(np.argmax(nonpos)) if nonpos.any() else int(scores.size)
+        scores = scores[:n]
+        iids = ids[:n].astype(np.int64)
+        live = ~self.deleted_arr[iids]
+        if not live.all():
+            scores, iids = scores[live], iids[live]
+        return Stage1Arrays(np.asarray(scores, np.float32), iids,
+                            self.doc_keys_arr[iids])
 
     def finish_stage1(
         self,

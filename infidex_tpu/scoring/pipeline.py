@@ -23,7 +23,7 @@ import numpy as np
 
 from ..coverage.engine import CoverageEngine
 from ..coverage.setup import CoverageSetup
-from ..index.vector_model import ScoreEntry, VectorModel
+from ..index.vector_model import ScoreEntry, Stage1Arrays, VectorModel
 from ..index.word_matcher import WordMatcher
 from . import short_query as sq
 from .fusion import fusion_calculate
@@ -39,21 +39,23 @@ INT_MAX = 2**31 - 1
 DEVICE_COVERAGE_MIN_CANDIDATES = 24
 
 
-# Device-coverage chunk capacity. Each kernel call pays a ~40ms floor on
-# tunneled TPUs regardless of size, so big chunks win: measured per-candidate
-# cost is 44us at C=1024, 16us at C=4096, 13us at C=8192 (diminishing).
-# Partial chunks pad to the next quadrupling bucket (1024 or 4096) so small
-# calls stay cheap; override with INFIDEX_TPU_COVERAGE_CHUNK.
+# Device-coverage chunk capacity. Each kernel call pays a ~35ms round-trip
+# floor on tunneled TPUs and transfers move at ~40MB/s, while the actual
+# kernel compute is essentially free (measured: 8 chained edit-distance
+# sweeps at C=4096 cost the same as x+1). Cost model per chunk call:
+#   35ms + 16B/candidate / 40MB/s  ->  big chunks amortize the floor.
+# Partial chunks pad to the next quadrupling bucket so small calls stay
+# cheap; override with INFIDEX_TPU_COVERAGE_CHUNK.
 import os as _os
 
 DEVICE_COVERAGE_CHUNK = int(_os.environ.get("INFIDEX_TPU_COVERAGE_CHUNK",
-                                            "4096"))
-DEVICE_COVERAGE_CHUNK_MIN = 1024
+                                            "32768"))
+DEVICE_COVERAGE_CHUNK_MIN = 2048
 
 # Fixed query-batch width of the coverage kernel call: qsel routes each
 # candidate row to its query, so B queries cost the same round trips as one.
 # Padded to a constant so a single compiled program serves every batch size.
-COVERAGE_B_PAD = 16
+COVERAGE_B_PAD = int(_os.environ.get("INFIDEX_TPU_COVERAGE_B", "64"))
 
 
 def _native_lcs_batch():
@@ -72,6 +74,23 @@ def _native_lcs_batch():
                               tolerance)
 
     return run
+
+
+def _tuples_to_arrays(tuples: List[tuple]) -> Dict[str, np.ndarray]:
+    """(text_id, base, idx, key, lcs) tuples -> the chunk array bundle."""
+    n = len(tuples)
+    ids = np.zeros(n, np.int64)
+    base = np.zeros(n, np.float32)
+    idx = np.zeros(n, np.int64)
+    keys = np.zeros(n, np.int64)
+    lcs_v = np.zeros(n, np.float32)
+    for i, (tid, b, ix, key, lv) in enumerate(tuples):
+        ids[i] = tid
+        base[i] = b
+        idx[i] = ix
+        keys[i] = key
+        lcs_v[i] = lv
+    return dict(ids=ids, base=base, idx=idx, keys=keys, lcs=lcs_v)
 
 
 def analyze_query(search_text: str, tokenizer) -> Tuple[bool, bool, str]:
@@ -172,6 +191,8 @@ class SearchPipeline:
                           and not any(d in search_text for d in delims))
 
         if is_short_query and len(stage1_results) >= max_results and max_results < INT_MAX:
+            if isinstance(stage1_results, Stage1Arrays):
+                return False, stage1_results.to_entries(max_results)
             return False, stage1_results[:max_results]
 
         short_doc_count = 0
@@ -193,6 +214,8 @@ class SearchPipeline:
         if (self._coverage_engine is None or coverage_setup is None
                 or (not can_use_ngrams and not allow_short_coverage)
                 or skip_due_to_cap):
+            if isinstance(stage1_results, Stage1Arrays):
+                return False, stage1_results.to_entries()
             return False, stage1_results
         return True, None
 
@@ -226,6 +249,7 @@ class SearchPipeline:
         n = len(search_texts)
         out: List[Optional[List[ScoreEntry]]] = [None] * n
         norm = self._model.tokenizer.text_normalizer
+        fast_ok = self._fast_path_ok(coverage_setup)
 
         texts = []
         for text in search_texts:
@@ -235,7 +259,7 @@ class SearchPipeline:
 
         # ---- Stage 1: host prep per query, ONE batched device call -----
         bsm: List[Dict] = [dict() for _ in range(n)]
-        stage1: List[List[ScoreEntry]] = [[] for _ in range(n)]
+        stage1: List = [[] for _ in range(n)]   # entries or Stage1Arrays
         batch_items = []   # (query index, stage-1 prep tuple)
         for i, text in enumerate(texts):
             if not text or text.isspace():
@@ -260,7 +284,10 @@ class SearchPipeline:
             outs = self._model.device.search_batch(
                 [prep for _, prep in batch_items], coverage_depth)
             for (i, _), (scores, ids) in zip(batch_items, outs):
-                stage1[i] = self._model.finish_stage1(scores, ids, bsm[i])
+                if fast_ok:
+                    stage1[i] = self._model.finish_stage1_arrays(scores, ids)
+                else:
+                    stage1[i] = self._model.finish_stage1(scores, ids, bsm[i])
 
         _mark("stage1")
 
@@ -270,15 +297,30 @@ class SearchPipeline:
         for i, text in enumerate(texts):
             if out[i] is not None:
                 continue
-            stage1_results = consolidate_segments(stage1[i])
+            stage1_results = stage1[i]
+            if isinstance(stage1_results, Stage1Arrays):
+                # 1:1 id<->key: ids are unique, so consolidation reduces to
+                # the (score desc, tie desc, key asc) sort.
+                order = np.lexsort((stage1_results.keys,
+                                    -stage1_results.scores))
+                stage1_results = Stage1Arrays(
+                    stage1_results.scores[order], stage1_results.iids[order],
+                    stage1_results.keys[order])
+            else:
+                stage1_results = consolidate_segments(stage1_results)
             stage1[i] = stage1_results
             use_coverage, short_circuit = self._coverage_gate(
                 text, coverage_setup, stage1_results, max_results)
             if not use_coverage:
                 out[i] = short_circuit
                 continue
-            job = self._coverage_begin(text, coverage_setup, coverage_depth,
-                                       stage1_results, bsm[i])
+            if isinstance(stage1_results, Stage1Arrays):
+                job = self._coverage_begin_fast(
+                    text, coverage_setup, coverage_depth, stage1_results)
+            else:
+                job = self._coverage_begin(
+                    text, coverage_setup, coverage_depth, stage1_results,
+                    bsm[i])
             jobs.append(job)
             job_of[i] = job
 
@@ -288,13 +330,41 @@ class SearchPipeline:
         _mark("coverage")
 
         for i, job in job_of.items():
-            coverage_results = self._coverage_finish(
-                job, coverage_setup, coverage_depth, max_results)
+            if job.get("fast"):
+                coverage_results = self._coverage_finish_fast(
+                    job, coverage_setup, coverage_depth, max_results)
+            else:
+                coverage_results = self._coverage_finish(
+                    job, coverage_setup, coverage_depth, max_results)
             if not coverage_results and stage1[i]:
-                out[i] = stage1[i]
+                s1 = stage1[i]
+                out[i] = (s1.to_entries() if isinstance(s1, Stage1Arrays)
+                          else s1)
             else:
                 out[i] = coverage_results
         return [r if r is not None else [] for r in out]
+
+    # ------------------------------------------------------------------
+    def _fast_path_ok(self, coverage_setup) -> bool:
+        """True when the vectorized (array) pipeline applies: every doc is
+        its own single segment (1:1 internal id <-> public key), no synonym
+        canonicalization rewrites candidate texts, the device coverage
+        tables exist, and lexical prescreen (an entry-list transform) is
+        off. Semantics on this path are identical to the entry-based path —
+        asserted by tests/test_fast_path_parity.py."""
+        model = self._model
+        if model.documents.multi_segment:
+            return False
+        if (self._synonym_map is not None
+                and self._synonym_map.has_canonical_mappings):
+            return False
+        if model.coverage_tables is None or model.norm_texts is None:
+            return False
+        if model.norm_texts.size < len(model.documents):
+            return False
+        if coverage_setup is not None and coverage_setup.enable_lexical_prescreen:
+            return False
+        return True
 
     # ------------------------------------------------------------------
     def _execute_relevancy_stage(self, search_text: str,
@@ -343,9 +413,11 @@ class SearchPipeline:
         # Phase 1 — encode every eligible query (cheap, no candidate work).
         device_jobs = []
         for job in jobs:
+            n_work = (job["worklist_ids"].size if job.get("fast")
+                      else len(job["worklist"]))
             enc = None
             if (model.coverage_tables is not None
-                    and len(job["worklist"]) >= DEVICE_COVERAGE_MIN_CANDIDATES):
+                    and n_work >= DEVICE_COVERAGE_MIN_CANDIDATES):
                 enc = self._encode_job_query(job)
             job["_host_all"] = enc is None
             if enc is not None:
@@ -354,6 +426,10 @@ class SearchPipeline:
         # Phase 2 — resolve candidates per job and dispatch each chunk the
         # moment it fills (JAX dispatch is async): the device crunches chunk
         # k while the host resolves candidates for chunk k+1.
+        import time as _time
+        trace = _os.environ.get("INFIDEX_TPU_TRACE")
+        t_resolve = t_dispatch = 0.0
+        n_chunks = n_cands = 0
         pending: List[tuple] = []
         leftover_work: List[tuple] = []
         if device_jobs:
@@ -372,35 +448,80 @@ class SearchPipeline:
                 while len(encs) < COVERAGE_B_PAD:
                     encs.append(encs[0])
                 wave_args = self._stack_wave(encs)
-                bufs = {True: [], False: []}   # narrow? -> buffer
+                wave_jobs = [job for job, _ in wave]
+                # Per narrow-class accumulators of per-job candidate arrays.
+                acc = {True: [], False: []}
+                t0 = _time.perf_counter() if trace else 0.0
                 for qi, (job, enc) in enumerate(wave):
-                    cands, leftovers = self._resolve_candidates(job)
-                    if leftovers:
-                        leftover_work.append((job, leftovers))
-                    for (tid, b, idx, key, lcs_val) in cands:
-                        narrow = tok_counts[tid] <= D_CAP_NARROW
-                        buf = bufs[bool(narrow)]
-                        buf.append((job, tid, b, lcs_val, qi, idx, key))
-                        if len(buf) >= DEVICE_COVERAGE_CHUNK:
-                            pending.append(self._dispatch_chunk(
-                                buf, wave_args,
-                                config_narrow if narrow else config))
-                            bufs[bool(narrow)] = []
-                for narrow, buf in bufs.items():
-                    if buf:
-                        pending.append(self._dispatch_chunk(
-                            buf, wave_args,
-                            config_narrow if narrow else config))
+                    if job.get("fast"):
+                        cand, leftover = self._resolve_candidates_fast(job)
+                        if leftover[0].size:
+                            leftover_work.append((job, leftover))
+                    else:
+                        tuples, leftovers = self._resolve_candidates(job)
+                        if leftovers:
+                            leftover_work.append((job, leftovers))
+                        cand = _tuples_to_arrays(tuples)
+                    if trace:
+                        n_cands += cand["ids"].size
+                    narrow = tok_counts[cand["ids"]] <= D_CAP_NARROW
+                    for cls in (True, False):
+                        m = narrow if cls else ~narrow
+                        if m.any():
+                            acc[cls].append((qi, {k: v[m]
+                                                  for k, v in cand.items()}))
+                if trace:
+                    t_resolve += _time.perf_counter() - t0
+
+                t0 = _time.perf_counter() if trace else 0.0
+                for cls in (True, False):
+                    if not acc[cls]:
+                        continue
+                    ids = np.concatenate([c["ids"] for _, c in acc[cls]])
+                    base = np.concatenate([c["base"] for _, c in acc[cls]])
+                    lcs_v = np.concatenate([c["lcs"] for _, c in acc[cls]])
+                    idx = np.concatenate([c["idx"] for _, c in acc[cls]])
+                    keys = np.concatenate([c["keys"] for _, c in acc[cls]])
+                    qsel = np.concatenate(
+                        [np.full(c["ids"].size, qi, np.int32)
+                         for qi, c in acc[cls]])
+                    for s in range(0, ids.size, DEVICE_COVERAGE_CHUNK):
+                        e = min(s + DEVICE_COVERAGE_CHUNK, ids.size)
+                        out = self._dispatch_chunk(
+                            ids[s:e], qsel[s:e], base[s:e], lcs_v[s:e],
+                            wave_args,
+                            config_narrow if cls else config)
+                        pending.append((out, qsel[s:e], idx[s:e], keys[s:e],
+                                        e - s, wave_jobs))
+                        n_chunks += 1
+                if trace:
+                    t_dispatch += _time.perf_counter() - t0
 
         # Phase 3 — host-oracle work overlaps the in-flight device chunks.
+        t0 = _time.perf_counter() if trace else 0.0
         for job in jobs:
             if job["_host_all"]:
-                for internal_id, base_score in job["worklist"]:
-                    job["process"](internal_id, base_score)
+                if job.get("fast"):
+                    self._host_score_fast(job, job["worklist_ids"],
+                                          job["worklist_base"])
+                else:
+                    for internal_id, base_score in job["worklist"]:
+                        job["process"](internal_id, base_score)
         for job, leftovers in leftover_work:
-            for internal_id, base_score in leftovers:
-                job["process"](internal_id, base_score)
+            if job.get("fast"):
+                self._host_score_fast(job, leftovers[0], leftovers[1])
+            else:
+                for internal_id, base_score in leftovers:
+                    job["process"](internal_id, base_score)
+        t_host = (_time.perf_counter() - t0) if trace else 0.0
+        t0 = _time.perf_counter() if trace else 0.0
         self._device_collect(pending)
+        if trace:
+            t_collect = _time.perf_counter() - t0
+            print(f"[PIPE]   cov-detail: resolve={t_resolve*1000:.1f}ms "
+                  f"dispatch={t_dispatch*1000:.1f}ms host={t_host*1000:.1f}ms "
+                  f"collect={t_collect*1000:.1f}ms "
+                  f"chunks={n_chunks} cands={n_cands}", flush=True)
 
     # ------------------------------------------------------------------
     def _coverage_begin(self, search_text: str, coverage_setup: CoverageSetup,
@@ -576,6 +697,232 @@ class SearchPipeline:
         return job
 
     # ------------------------------------------------------------------
+    # Vectorized (array) coverage path — semantics identical to the
+    # entry-based methods above, minus per-candidate Python. Valid only
+    # under _fast_path_ok() (1:1 id<->key, no synonym canonicalization).
+
+    def _coverage_begin_fast(self, search_text: str,
+                             coverage_setup: CoverageSetup,
+                             coverage_depth: int,
+                             s1: Stage1Arrays) -> dict:
+        model = self._model
+        s1 = s1.truncated(coverage_depth)
+
+        wm_parts: List[np.ndarray] = []
+        if self._word_matcher is not None:
+            wm_parts = self._word_matcher.lookup_parts(
+                search_text, coverage_setup.cover_prefix_suffix)
+        has_wm = any(p.size for p in wm_parts)
+
+        context = self._coverage_engine.prepare_query(search_text)
+
+        # Overlap/unique partition from the sorted constituent lists —
+        # see _coverage_begin for the equivalence argument.
+        tfidf_arr = np.sort(s1.iids)
+        member = np.zeros(tfidf_arr.size, bool)
+        for p in wm_parts:
+            if not p.size:
+                continue
+            j = np.searchsorted(p, tfidf_arr)
+            jc = np.minimum(j, p.size - 1)
+            member |= (j < p.size) & (p[jc] == tfidf_arr)
+        wm_overlapping = tfidf_arr[member]
+        wm_limit = max(0, coverage_depth - int(wm_overlapping.size))
+        if has_wm and wm_limit > 0:
+            k_head = wm_limit + int(wm_overlapping.size)
+            heads = np.unique(np.concatenate(
+                [p[:k_head] for p in wm_parts if p.size]))
+            outside = heads[~np.isin(heads, tfidf_arr)]
+            wm_unique = outside[:wm_limit]
+        else:
+            wm_unique = np.zeros(0, np.int64)
+
+        # Memo index space: one slot per distinct reachable document key.
+        wm_ids = np.concatenate([wm_overlapping, wm_unique]).astype(np.int64)
+        n_ids = model.doc_keys_arr.size
+        v = wm_ids[(wm_ids >= 0) & (wm_ids < n_ids)]
+        if v.size:
+            v = v[~model.deleted_arr[v]]
+        sorted_keys = np.unique(np.concatenate(
+            [s1.keys, model.doc_keys_arr[v]]))
+        U = int(sorted_keys.size)
+
+        max_tfidf = float(s1.scores[0]) if len(s1) else 1.0
+        norm = (s1.scores / max_tfidf if max_tfidf > 0
+                else np.zeros_like(s1.scores))
+        worklist_ids = np.concatenate([wm_ids, s1.iids]).astype(np.int64)
+        worklist_base = np.concatenate(
+            [np.zeros(wm_ids.size, np.float32),
+             norm.astype(np.float32)])
+
+        lcs_tolerance = 0
+        if len(context.query) >= coverage_setup.coverage_q_limit_for_error_tolerance:
+            lcs_tolerance = int(
+                len(context.query)
+                * coverage_setup.coverage_lcs_error_tolerance_relative_q)
+
+        return dict(
+            fast=True,
+            search_text=search_text,
+            context=context,
+            sorted_keys=sorted_keys,
+            lcs_memo_arr=np.zeros(U, np.int64),
+            wh_memo_arr=np.zeros(U, np.int64),
+            worklist_ids=worklist_ids,
+            worklist_base=worklist_base,
+            res_scores=[], res_ties=[], res_keys=[], res_idx=[],
+            max_word_hits=0,
+            wm_count=int(has_wm),
+            lcs_tolerance=lcs_tolerance,
+        )
+
+    # ------------------------------------------------------------------
+    def _resolve_candidates_fast(self, job: dict):
+        """Vectorized _resolve_candidates: returns (chunk-array bundle,
+        (leftover_ids, leftover_base)) — leftovers are table-overflow docs
+        that the host oracle scores."""
+        model = self._model
+        tables = model.coverage_tables
+        ids = job["worklist_ids"]
+        base = job["worklist_base"]
+        n_ids = model.doc_keys_arr.size
+
+        ok = (ids >= 0) & (ids < n_ids)
+        idc = np.where(ok, ids, 0)
+        ok &= ~model.deleted_arr[idc]
+        ovf = ok & tables.overflow[idc]
+        dev = ok & ~ovf
+
+        d_ids = ids[dev]
+        d_base = base[dev]
+        keys = model.doc_keys_arr[d_ids]
+        idx = np.searchsorted(job["sorted_keys"], keys).astype(np.int64)
+
+        # LCS per candidate, memoized per key slot; un-memoized slots get
+        # ONE native batch call over first-occurrence texts.
+        lcs_memo = job["lcs_memo_arr"]
+        vals = lcs_memo[idx]
+        unmem = vals == 0
+        if unmem.any():
+            u_idx, first = np.unique(idx[unmem], return_index=True)
+            u_texts = model.norm_texts[d_ids[unmem][first]].tolist()
+            q = job["context"].query
+            tol = job["lcs_tolerance"]
+            batch_lcs = _native_lcs_batch()
+            if batch_lcs is not None:
+                lv = np.asarray(batch_lcs(q, u_texts, tol), np.int64)
+            else:
+                lv = np.fromiter(
+                    (calculate_lcs(q, t, tol) for t in u_texts),
+                    np.int64, len(u_texts))
+            lcs_memo[u_idx] = np.minimum(lv, 255)
+            vals = lcs_memo[idx]
+
+        bundle = dict(ids=d_ids, base=d_base, idx=idx, keys=keys,
+                      lcs=vals.astype(np.float32))
+        return bundle, (ids[ovf], base[ovf])
+
+    # ------------------------------------------------------------------
+    def _host_score_fast(self, job: dict, ids: np.ndarray,
+                         bases: np.ndarray) -> None:
+        """Host-oracle scoring of fast-job candidates (overflow leftovers
+        or whole ineligible worklists); mirrors the slow path's process()."""
+        from .segment_processor import _normalized_text
+
+        model = self._model
+        context = job["context"]
+        sorted_keys = job["sorted_keys"]
+        lcs_memo = job["lcs_memo_arr"]
+        wh_memo = job["wh_memo_arr"]
+        min_stem = model.tokenizer.min_index_size
+        normalizer = model.tokenizer.text_normalizer
+        s_l: List[float] = []
+        t_l: List[int] = []
+        k_l: List[int] = []
+        i_l: List[int] = []
+        for iid, base in zip(ids.tolist(), bases.tolist()):
+            doc = model.documents.get_document(int(iid))
+            if doc is None or doc.deleted:
+                continue
+            key = doc.document_key
+            pos = int(np.searchsorted(sorted_keys, key))
+            if pos >= sorted_keys.size or sorted_keys[pos] != key:
+                continue
+            doc_text = _normalized_text(doc, normalizer)
+            lcs_val = int(lcs_memo[pos])
+            if lcs_val == 0:
+                lcs_val = min(calculate_lcs(context.query, doc_text,
+                                            job["lcs_tolerance"]), 255)
+                lcs_memo[pos] = lcs_val
+            features = self._coverage_engine.calculate_features(
+                context, doc_text, lcs_val, int(iid))
+            score, tiebreaker = fusion_calculate(
+                context.query, doc_text, features, float(base), min_stem)
+            if wh_memo[pos] == 0:
+                wh_memo[pos] = min(features.word_hits, 255)
+            job["max_word_hits"] = max(job["max_word_hits"],
+                                       features.word_hits)
+            s_l.append(score)
+            t_l.append(tiebreaker)
+            k_l.append(key)
+            i_l.append(pos)
+        if s_l:
+            job["res_scores"].append(np.asarray(s_l, np.float32))
+            job["res_ties"].append(np.asarray(t_l, np.int64))
+            job["res_keys"].append(np.asarray(k_l, np.int64))
+            job["res_idx"].append(np.asarray(i_l, np.int64))
+
+    # ------------------------------------------------------------------
+    def _coverage_finish_fast(self, job: dict,
+                              coverage_setup: CoverageSetup,
+                              coverage_depth: int,
+                              max_results: int) -> List[ScoreEntry]:
+        if job["max_word_hits"] == 0 and job["wm_count"] == 0:
+            return []
+        if not job["res_scores"]:
+            return []
+        scores = np.concatenate(job["res_scores"])
+        ties = np.concatenate(job["res_ties"])
+        keys = np.concatenate(job["res_keys"])
+        idx = np.concatenate(job["res_idx"])
+
+        # TopKHeap order: score desc, tiebreaker desc, key asc.
+        order = np.lexsort((keys, -ties, -scores))[:coverage_depth]
+        k_sorted = keys[order]
+        # consolidate_segments: best entry per key = first occurrence in
+        # sorted order; keep sorted order among survivors.
+        _, first = np.unique(k_sorted, return_index=True)
+        first.sort()
+        sel = order[first]
+
+        f_scores = scores[sel]
+        f_idx = idx[sel]
+
+        truncation_index = -1
+        if coverage_setup.truncate and sel.size:
+            min_wh = max(
+                coverage_setup.coverage_min_word_hits_abs,
+                job["max_word_hits"]
+                - coverage_setup.coverage_min_word_hits_relative)
+            cond = ((job["wh_memo_arr"][f_idx] >= min_wh)
+                    | (job["lcs_memo_arr"][f_idx] > 0)
+                    | (f_scores >= coverage_setup.truncation_score))
+            if cond.any():
+                truncation_index = int(cond.size - 1
+                                       - np.argmax(cond[::-1]))
+
+        if truncation_index == -1 or not coverage_setup.truncate:
+            result_count = max_results
+        else:
+            result_count = min(max(0, truncation_index) + 1, max_results)
+        n_out = min(result_count, int(sel.size))
+        out_sel = sel[:n_out]
+        return [ScoreEntry(float(s), int(k), int(t))
+                for s, k, t in zip(scores[out_sel].tolist(),
+                                   keys[out_sel].tolist(),
+                                   ties[out_sel].tolist())]
+
+    # ------------------------------------------------------------------
     def _coverage_finish(self, job: dict, coverage_setup: CoverageSetup,
                          coverage_depth: int, max_results: int) -> List[ScoreEntry]:
         if job["max_word_hits"] == 0 and job["wm_count"] == 0:
@@ -738,57 +1085,85 @@ class SearchPipeline:
         return q_args, qlen_arg
 
     # ------------------------------------------------------------------
-    def _dispatch_chunk(self, chunk: List[tuple], wave_args: tuple,
-                        config) -> tuple:
+    def _dispatch_chunk(self, ids: np.ndarray, qsel: np.ndarray,
+                        base: np.ndarray, lcs_v: np.ndarray,
+                        wave_args: tuple, config):
         """Launch ONE coverage-kernel call for up to DEVICE_COVERAGE_CHUNK
-        candidates (async — returns the (out, chunk) pair for collection)."""
+        candidates (async — returns the device output for collection)."""
         from ..ops.coverage_kernel import coverage_fusion_batch
 
         tables = self._model.coverage_tables
         q_args, qlen_arg = wave_args
+        n = int(ids.size)
         # quadrupling sub-buckets keep partial chunks cheap
         c_pad = DEVICE_COVERAGE_CHUNK_MIN
-        while c_pad < len(chunk):
+        while c_pad < n:
             c_pad *= 4
         c_pad = min(c_pad, DEVICE_COVERAGE_CHUNK)
         text_ids = np.zeros(c_pad, np.int32)
-        qsel = np.zeros(c_pad, np.int32)
-        base = np.zeros(c_pad, np.float32)
-        lcs_arr = np.zeros(c_pad, np.float32)
-        for i, (_, tid, b, lcs_val, qi, _, _) in enumerate(chunk):
-            text_ids[i] = tid
-            qsel[i] = qi
-            base[i] = b
-            lcs_arr[i] = lcs_val
+        text_ids[:n] = ids
         # Park pad rows on the chunk's own last query so padding never
         # widens the kernel's dynamic loop bounds.
-        if chunk:
-            qsel[len(chunk):] = qsel[len(chunk) - 1]
+        qs = np.full(c_pad, qsel[n - 1] if n else 0, np.int32)
+        qs[:n] = qsel
+        b_arr = np.zeros(c_pad, np.float32)
+        b_arr[:n] = base
+        lcs_arr = np.zeros(c_pad, np.float32)
+        lcs_arr[:n] = lcs_v
 
-        out = coverage_fusion_batch(
+        return coverage_fusion_batch(
             tables.word_chars, tables.word_chars_rev, tables.word_lens,
             tables.doc_tokens, tables.doc_tok_offsets,
             tables.doc_tok_count, tables.doc_adj_ws,
-            tables.doc_text_len, text_ids, qsel, *q_args,
-            lcs_arr, base, qlen_arg, config=config)
-        return out, chunk
+            tables.doc_text_len, text_ids, qs, *q_args,
+            lcs_arr, b_arr, qlen_arg, config=config)
 
     # ------------------------------------------------------------------
     def _device_collect(self, pending: List[tuple]) -> None:
         """Read back dispatched coverage chunks (one packed transfer per
-        chunk; transfers overlap still-running later chunks)."""
+        chunk; transfers overlap still-running later chunks) and route each
+        row group to its owning job."""
         import jax
 
-        for out, chunk in pending:
+        for out, qsel, idx, keys, n, wave_jobs in pending:
             packed = jax.device_get(out)
-            score, tie, wh = packed[0], packed[1], packed[2]
-            for i, (jb, tid, b, lcs_val, qi, idx, key) in enumerate(chunk):
-                hits = int(wh[i])
-                if jb["word_hits_memo"].get(idx, 0) == 0:
-                    jb["word_hits_memo"][idx] = min(hits, 255)
-                jb["max_word_hits"] = max(jb["max_word_hits"], hits)
-                jb["final_scores"].append(
-                    ScoreEntry(float(score[i]), key, int(tie[i])))
+            score = packed[0][:n]
+            tie = packed[1][:n]
+            wh = packed[2][:n]
+            order = np.argsort(qsel, kind="stable")
+            sq = qsel[order]
+            uq, starts = np.unique(sq, return_index=True)
+            bounds = np.append(starts, n)
+            for g, qi in enumerate(uq.tolist()):
+                rows = order[bounds[g]:bounds[g + 1]]
+                job = wave_jobs[qi]
+                g_wh = wh[rows]
+                g_idx = idx[rows]
+                if job.get("fast"):
+                    job["max_word_hits"] = max(
+                        job["max_word_hits"], int(g_wh.max()))
+                    memo = job["wh_memo_arr"]
+                    zero = memo[g_idx] == 0
+                    memo[g_idx[zero]] = np.minimum(
+                        g_wh[zero].astype(np.int64), 255)
+                    job["res_scores"].append(score[rows].astype(np.float32))
+                    job["res_ties"].append(tie[rows].astype(np.int64))
+                    job["res_keys"].append(keys[rows])
+                    job["res_idx"].append(g_idx)
+                else:
+                    whm = job["word_hits_memo"]
+                    fs = job["final_scores"]
+                    mwh = job["max_word_hits"]
+                    for r in rows.tolist():
+                        hits = int(wh[r])
+                        ix = int(idx[r])
+                        if whm.get(ix, 0) == 0:
+                            whm[ix] = min(hits, 255)
+                        if hits > mwh:
+                            mwh = hits
+                        fs.append(ScoreEntry(float(score[r]), int(keys[r]),
+                                             int(tie[r])))
+                    job["max_word_hits"] = mwh
 
     # ------------------------------------------------------------------
     def _truncation_index(self, results: List[ScoreEntry], max_word_hits: int,
