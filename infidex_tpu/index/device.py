@@ -134,7 +134,7 @@ def _stage1_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_pad", "e_pad", "k", "n_q"),
+    static_argnames=("l_pad", "f_pad", "k", "n_q", "n_grp"),
 )
 def _stage1_kernel_batch(
     postings_docs: jax.Array,     # int32 [P]
@@ -145,15 +145,19 @@ def _stage1_kernel_batch(
     term_lens: jax.Array,         # int32 [QT]
     term_idf: jax.Array,          # f32 [QT]
     term_query: jax.Array,        # int32 [QT] owning query per term
-    extra_docs: jax.Array,        # int32 [e_pad]
-    extra_idf: jax.Array,         # f32 [e_pad]
-    extra_query: jax.Array,       # int32 [e_pad]
+    fz_starts: jax.Array,         # int32 [FT] fuzzy-matched vocab terms
+    fz_lens: jax.Array,           # int32 [FT]
+    fz_group: jax.Array,          # int32 [FT] owning fuzzy token (group)
+    grp_query: jax.Array,         # int32 [n_grp] owning query per group
+    total_docs: jax.Array,        # f32 scalar (live doc count, for idf)
+    stop_limit: jax.Array,        # f32 scalar (stop-term df cap)
     avgdl: jax.Array,             # f32 scalar
     *,
     l_pad: int,
-    e_pad: int,
+    f_pad: int,
     k: int,
     n_q: int,
+    n_grp: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Multi-query Stage-1: B queries' postings in ONE flat lane space.
 
@@ -162,6 +166,16 @@ def _stage1_kernel_batch(
     searchsorted-free gather: term_query[term_of]). One device round trip
     amortizes the host<->device link latency across the whole batch, and
     top-k runs batched on [B, N_pad].
+
+    Fuzzy expansion (VectorModel.ExpandMissingTerm, :643-743) runs ON
+    DEVICE from matched vocab-term ids: each fuzzy query token is a
+    "group"; its matched terms' postings expand into a second lane space,
+    scatter-MAX into a [n_grp, N] presence matrix (deduping the doc union
+    exactly — contributions of one group are identical per doc), df =
+    per-group presence count, idf = BM25 idf(df) with the 0<df<=stop_limit
+    gate, and the per-query score update is ONE [n_q,n_grp]x[n_grp,N]
+    matmul on the MXU. This replaces shipping materialized doc-id unions
+    (10^5-10^6 ids/query at 1M docs) over the host link.
     """
     n_pad = doc_lengths.shape[0]
     avgdl = jnp.maximum(avgdl, 1e-9)
@@ -193,16 +207,42 @@ def _stage1_kernel_batch(
 
     scores = jnp.zeros((n_q * n_pad,), dtype=jnp.float32)
     scores = scores.at[flat].add(contrib, mode="drop")
+    scores = scores.reshape(n_q, n_pad)
 
-    if e_pad > 0:
-        edl = doc_lengths[extra_docs]
-        edl = jnp.where(edl <= 0.0, 1.0, edl)
-        enorm = K1 * (1.0 - B + B * (edl / avgdl))
-        econtrib = extra_idf * ((K1 + 1.0) / (1.0 + enorm) + DELTA)
-        eflat = extra_query * n_pad + extra_docs
-        scores = scores.at[eflat].add(econtrib, mode="drop")
+    if f_pad > 0 and n_grp > 0:
+        fcum = jnp.cumsum(fz_lens)
+        ftotal = fcum[-1]
+        flane = jnp.arange(f_pad, dtype=jnp.int32)
+        fboundary = jnp.zeros((f_pad,), jnp.int32).at[fcum].add(1, mode="drop")
+        f_of = jnp.cumsum(fboundary)
+        ft = fz_lens.shape[0]
+        f_of_c = jnp.minimum(f_of, ft - 1)
+        fprev = jnp.where(f_of_c > 0, fcum[jnp.maximum(f_of_c - 1, 0)], 0)
+        fidx = fz_starts[f_of_c] + (flane - fprev)
+        fvalid = flane < ftotal
+        fidx = jnp.where(fvalid, fidx, 0)
+        fdoc = postings_docs[fidx]
+        fgrp = fz_group[f_of_c]
+        gflat = fgrp * n_pad + fdoc
+        # scatter-max of {0,1}: invalid lanes contribute 0, so the parking
+        # position never inflates a group's df.
+        presence = jnp.zeros((n_grp * n_pad,), jnp.float32).at[gflat].max(
+            jnp.where(fvalid, 1.0, 0.0), mode="drop")
+        presence = presence.reshape(n_grp, n_pad)
+        # virtual-term df = distinct posting docs (deleted included, like
+        # the host union over raw postings); exact in f32 below 2^24.
+        df = presence.sum(axis=1)
+        ratio = (total_docs - df + jnp.float32(0.5)) / (df + jnp.float32(0.5))
+        fidf = jnp.where((df > 0) & (df <= stop_limit) & (ratio > 0),
+                         jnp.log1p(jnp.maximum(ratio, 0.0)), 0.0)
+        dl_all = jnp.where(doc_lengths <= 0.0, 1.0, doc_lengths)
+        fnorm = K1 * (1.0 - B + B * (dl_all / avgdl))
+        doc_fac = (K1 + 1.0) / (1.0 + fnorm) + DELTA          # tf = 1.0
+        own = grp_query[None, :] == jnp.arange(n_q, dtype=jnp.int32)[:, None]
+        wsum = jnp.where(own, fidf[None, :], 0.0)             # [n_q, n_grp]
+        scores = scores + wsum @ (presence * doc_fac[None, :])
 
-    scores = scores.reshape(n_q, n_pad) * live_mask[None, :]
+    scores = scores * live_mask[None, :]
     top_scores, top_ids = jax.lax.top_k(scores, k)
     # One packed output = one host transfer (tunneled links pay a full
     # round trip per array). Doc ids are exact in f32 up to 2^24.
@@ -321,15 +361,18 @@ class DeviceIndex:
 
     def search_batch(
         self,
-        queries,          # list of (term_ids, term_idf, extra_docs, extra_idf)
+        queries,          # list of (term_ids, term_idf, fuzzy_groups)
         top_k: int,
+        total_docs: Optional[int] = None,
+        stop_term_limit: int = 1_250_000,
     ) -> list:
         """Score B queries in ONE kernel call; returns [(scores, ids)] * B.
 
-        Each query is (term_ids, term_idf, extra_docs|None, extra_idf|None).
-        The flat-lane trick from ``search`` extends naturally: terms of all
-        queries share one lane space, each lane scatter-adds into its owning
-        query's row of the [B, N_pad] score matrix.
+        Each query is (term_ids, term_idf, fuzzy_groups) where fuzzy_groups
+        is a list of int arrays — the LD1-matched vocab term ids of each
+        unknown query token. The union/df/idf of every fuzzy token is
+        computed ON DEVICE from the CSR postings (see _stage1_kernel_batch),
+        so only the matched term ids (<=1024/token) cross the host link.
         """
         built = self.built
         n_q = len(queries)
@@ -340,21 +383,26 @@ class DeviceIndex:
         n_q_pad = _bucket(n_q, 4)
 
         starts_l, lens_l, idfs_l, tq_l = [], [], [], []
-        # Fuzzy virtual-term postings can be 10^5-10^6 ids per batch on
-        # large corpora — keep them as arrays (Python list conversion here
-        # dominated Stage-1 latency at 300k+ docs).
-        ed_parts, ei_parts, eq_parts = [], [], []
-        for qi, (term_ids, term_idf, extra_docs, extra_idf) in enumerate(queries):
+        fz_starts_p, fz_lens_p, fz_group_p = [], [], []
+        grp_query_l: list = []
+        offsets = built.term_offsets
+        for qi, (term_ids, term_idf, fuzzy_groups) in enumerate(queries):
             for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
-                s, e = built.term_offsets[tid], built.term_offsets[tid + 1]
+                s, e = offsets[tid], offsets[tid + 1]
                 starts_l.append(s)
                 lens_l.append(e - s)
                 idfs_l.append(term_idf[i])
                 tq_l.append(qi)
-            if extra_docs is not None and len(extra_docs) > 0:
-                ed_parts.append(np.asarray(extra_docs, dtype=np.int32))
-                ei_parts.append(np.asarray(extra_idf, dtype=np.float32))
-                eq_parts.append(np.full(len(extra_docs), qi, np.int32))
+            for grp in (fuzzy_groups or ()):
+                grp = np.asarray(grp, dtype=np.int64)
+                if grp.size == 0:
+                    continue
+                g = len(grp_query_l)
+                grp_query_l.append(qi)
+                s = offsets[grp]
+                fz_starts_p.append(s.astype(np.int32))
+                fz_lens_p.append((offsets[grp + 1] - s).astype(np.int32))
+                fz_group_p.append(np.full(grp.size, g, np.int32))
 
         qt = max(len(starts_l), 1)
         qt_pad = _bucket(qt, 8)
@@ -370,22 +418,31 @@ class DeviceIndex:
         total = int(lens.sum())
         l_pad = _bucket(max(total, 1), _MIN_L)
 
-        if ed_parts:
-            ed_all = np.concatenate(ed_parts)
-            e = int(ed_all.size)
-            e_pad = _bucket(e, _MIN_E)
-            ed = np.full(e_pad, self.n_pad - 1, dtype=np.int32)
-            ei = np.zeros(e_pad, dtype=np.float32)
-            eq = np.zeros(e_pad, dtype=np.int32)
-            ed[:e] = ed_all
-            ei[:e] = np.concatenate(ei_parts)
-            eq[:e] = np.concatenate(eq_parts)
-            extra = (jnp.asarray(ed), jnp.asarray(ei), jnp.asarray(eq))
+        n_groups = len(grp_query_l)
+        if n_groups:
+            fz_starts_all = np.concatenate(fz_starts_p)
+            fz_lens_all = np.concatenate(fz_lens_p)
+            fz_group_all = np.concatenate(fz_group_p)
+            ft_pad = _bucket(int(fz_starts_all.size), 64)
+            fz_starts = np.zeros(ft_pad, np.int32)
+            fz_lens = np.zeros(ft_pad, np.int32)
+            fz_group = np.zeros(ft_pad, np.int32)
+            fz_starts[: fz_starts_all.size] = fz_starts_all
+            fz_lens[: fz_lens_all.size] = fz_lens_all
+            fz_group[: fz_group_all.size] = fz_group_all
+            f_total = int(fz_lens_all.sum())
+            f_pad = _bucket(max(f_total, 1), _MIN_E)
+            n_grp = _bucket(n_groups, 4)
+            grp_query = np.zeros(n_grp, np.int32)
+            grp_query[:n_groups] = grp_query_l
         else:
-            e_pad = 0
-            extra = (self._zero_extra[0], self._zero_extra[1],
-                     jnp.zeros((0,), jnp.int32))
+            f_pad = 0
+            n_grp = 0
+            fz_starts = fz_lens = fz_group = np.zeros(0, np.int32)
+            grp_query = np.zeros(0, np.int32)
 
+        td = np.float32(total_docs if total_docs is not None
+                        else self.num_docs)
         k = min(int(top_k), self.n_pad)
         out = _stage1_kernel_batch(
             self.postings_docs,
@@ -396,14 +453,18 @@ class DeviceIndex:
             jnp.asarray(lens),
             jnp.asarray(idfs),
             jnp.asarray(tq),
-            extra[0],
-            extra[1],
-            extra[2],
+            jnp.asarray(fz_starts),
+            jnp.asarray(fz_lens),
+            jnp.asarray(fz_group),
+            jnp.asarray(grp_query),
+            jnp.float32(td),
+            jnp.float32(stop_term_limit),
             self.avgdl,
             l_pad=l_pad,
-            e_pad=e_pad,
+            f_pad=f_pad,
             k=k,
             n_q=n_q_pad,
+            n_grp=n_grp,
         )
         packed = jax.device_get(out)
         scores = packed[0]

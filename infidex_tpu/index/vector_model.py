@@ -438,12 +438,13 @@ class VectorModel:
             self._ld1_index = idx
         return self._ld1_index
 
-    def expand_missing_term(self, text: str) -> Optional[Tuple[np.ndarray, int]]:
-        """LD1 union over the vocabulary -> (doc_ids, df) virtual term.
+    def expand_missing_term_ids(self, text: str) -> np.ndarray:
+        """LD1-matched vocab term ids for an unknown query token.
 
         Mirrors FstIndex.MatchWithinEditDistance1 (plain Levenshtein<=1, no
-        transposition) + RoaringBitmap union (VectorModel.cs:643-743).
-        """
+        transposition), capped at 1024 matched ordinals like the reference
+        FST traversal. The posting union/df/idf of the virtual term is
+        computed downstream (on device for the batch path)."""
         cached = self._fuzzy_cache.get(text)
         if cached is not None:
             return cached
@@ -459,17 +460,24 @@ class VectorModel:
             term = self.built.terms[tid]
             if abs(len(term) - len(text)) <= 1 and levenshtein(text, term, 1) <= 1:
                 matched.append(tid)
-        # The reference caps the FST traversal at 1024 matched ordinals.
-        matched = sorted(matched)[:1024]
-        if not matched:
-            result = None
-        else:
-            built = self.built
-            chunks = [built.postings_for(t)[0] for t in matched]
-            union = np.unique(np.concatenate(chunks)) if chunks else np.zeros(0, np.int32)
-            result = (union.astype(np.int32), int(union.size))
+        result = np.asarray(sorted(matched)[:1024], dtype=np.int64)
         self._fuzzy_cache.put(text, result)
         return result
+
+    def expand_missing_term(self, text: str) -> Optional[Tuple[np.ndarray, int]]:
+        """LD1 union over the vocabulary -> (doc_ids, df) virtual term.
+
+        Host materialization of the RoaringBitmap union
+        (VectorModel.cs:643-743); the batch serving path ships term ids
+        instead and unions on device (DeviceIndex.search_batch)."""
+        matched = self.expand_missing_term_ids(text)
+        if matched.size == 0:
+            return None
+        built = self.built
+        chunks = [built.postings_for(int(t))[0] for t in matched]
+        union = np.unique(np.concatenate(chunks)) if chunks else \
+            np.zeros(0, np.int32)
+        return (union.astype(np.int32), int(union.size))
 
     # ------------------------------------------------------------------
     # Search
@@ -477,9 +485,10 @@ class VectorModel:
     def prepare_stage1(self, query_text: str):
         """Host half of Stage-1: tokenize, look up terms, expand fuzzies.
 
-        Returns (term_ids, idfs, extra_docs, extra_idf) ready for
-        ``DeviceIndex.search``/``search_batch``, or None when the query
-        resolves to nothing scoreable.
+        Returns (term_ids, idfs, fuzzy_groups) ready for
+        ``DeviceIndex.search_batch`` (fuzzy_groups: one matched-term-id
+        array per unknown token; union/df/idf resolve on device), or None
+        when the query resolves to nothing scoreable.
         """
         if self.built is None:
             self.build_inverted_lists()
@@ -505,38 +514,27 @@ class VectorModel:
 
         term_ids: List[int] = []
         idfs: List[float] = []
-        extra_docs_list: List[np.ndarray] = []
-        extra_idf_list: List[np.ndarray] = []
+        fuzzy_groups: List[np.ndarray] = []
 
         for tok in unique_tokens:
             tid = built.term_to_id.get(tok, -1)
             df = built.df[tid] if tid >= 0 else 0
             if df <= 0 and len(tok) >= 4:
-                expansion = self.expand_missing_term(tok)
-                if expansion is not None:
-                    docs, fdf = expansion
-                    if 0 < fdf <= self.stop_term_limit:
-                        fidf = compute_idf(total_docs, fdf)
-                        extra_docs_list.append(docs)
-                        extra_idf_list.append(
-                            np.full(docs.size, fidf, dtype=np.float32)
-                        )
+                matched = self.expand_missing_term_ids(tok)
+                if matched.size:
+                    fuzzy_groups.append(matched)
                 continue
             if df <= 0 or df > self.stop_term_limit:
                 continue
             term_ids.append(tid)
             idfs.append(compute_idf(total_docs, int(df)))
 
-        if not term_ids and not extra_docs_list:
+        if not term_ids and not fuzzy_groups:
             return None
 
-        extra_docs = (
-            np.concatenate(extra_docs_list) if extra_docs_list else None
-        )
-        extra_idf = np.concatenate(extra_idf_list) if extra_idf_list else None
         return (np.asarray(term_ids, dtype=np.int64),
                 np.asarray(idfs, dtype=np.float32),
-                extra_docs, extra_idf)
+                fuzzy_groups)
 
     def finish_stage1_arrays(self, scores: np.ndarray,
                              ids: np.ndarray) -> Stage1Arrays:
@@ -591,9 +589,9 @@ class VectorModel:
         prep = self.prepare_stage1(query_text)
         if prep is None:
             return []
-        term_ids, idfs, extra_docs, extra_idf = prep
         if self.device is None:
             self.build_inverted_lists()
-        scores, ids = self.device.search(
-            term_ids, idfs, top_k, extra_docs, extra_idf)
+        scores, ids = self.device.search_batch(
+            [prep], top_k, total_docs=self.documents.count,
+            stop_term_limit=self.stop_term_limit)[0]
         return self.finish_stage1(scores, ids, best_segments_map)

@@ -51,6 +51,8 @@ L_MAX = 24    # chars per token
 Q_MAX = 16    # coverage query tokens
 FQ_MAX = 16   # fusion (unfiltered) query tokens
 D_CAP_NARROW = 16  # narrow doc-token program width (see CoverageConfig.d_cap)
+D_CAP_SMALL = 8    # small-bucket doc-token width (short docs, short words)
+L_CAP_SMALL = 12   # small-bucket char width (all words <= 12 chars)
 
 INTENT_BONUS_PER_SIGNAL = 0.15
 ANCHOR_STEM_LENGTH = 3
@@ -106,6 +108,7 @@ class CoverageTables:
     doc_text_len: jax.Array
     overflow: np.ndarray  # bool [N]: doc exceeds D_MAX/L_MAX -> host path
     tok_count_host: np.ndarray = None  # int32 [N] host copy for D routing
+    max_wlen_host: np.ndarray = None   # int32 [N] longest word, for L routing
 
     @staticmethod
     def build(doc_texts, delimiters) -> "CoverageTables":
@@ -120,6 +123,7 @@ class CoverageTables:
         doc_adj = np.zeros((n, D_MAX), dtype=bool)
         doc_text_len = np.zeros(n, dtype=np.int32)
         overflow = np.zeros(n, dtype=bool)
+        max_wlen = np.zeros(n, dtype=np.int32)
 
         for doc_id, text in enumerate(doc_texts):
             doc_text_len[doc_id] = len(text)
@@ -141,6 +145,8 @@ class CoverageTables:
                 if len(w) > L_MAX:
                     overflow[doc_id] = True
                     w = w[:L_MAX]
+                if len(w) > max_wlen[doc_id]:
+                    max_wlen[doc_id] = len(w)
                 code = word_to_code.get(w)
                 if code is None:
                     code = len(words)
@@ -173,6 +179,7 @@ class CoverageTables:
             doc_text_len=jnp.asarray(doc_text_len),
             overflow=overflow,
             tok_count_host=doc_count,
+            max_wlen_host=max_wlen,
         )
 
 
@@ -196,61 +203,70 @@ def encode_query_tokens(tokens, max_tokens: int):
     return chars, rev, lens, offsets, min(len(tokens), max_tokens), overflow
 
 
+
+
 # ======================================================================
-# Pairwise primitives: [C, Q, D] relations between query and doc tokens
+# Pairwise primitives: [S, D, C] relations between query and doc tokens.
+#
+# LAYOUT: the candidate axis C is MINOR (the VPU lane axis) in every
+# tensor — [S, D, C] masks, [L, D, C] doc chars, [Q, L, C] query chars.
+# C is a multiple of 128 so tiles are fully utilized; with C major the
+# minor (Q, D) dims covered ~6% of each (8, 128) tile and the kernel ran
+# ~15x under the HBM roofline. All matcher loops are statically unrolled
+# Python loops (bodies mask inactive iterations), so XLA fuses across
+# iterations instead of dispatching each fori_loop trip separately.
 
 
 def _pairwise_primitives(q_chars, q_lens, q_rev, chars_t, chars_rev_t,
                          lens, valid):
     """EQ / D startswith Q / D endswith Q / Q endswith D / D contains Q /
-    common-prefix length, in the D-minor layout.
+    common-prefix length, in the C-minor layout.
 
-    q_chars/q_rev [S,L]; chars_t/chars_rev_t [C,L,D]; lens/valid [C,D].
-    All outputs [C,S,D] and masked by `valid`. Suffix relations are prefix
-    relations of the reversed strings (no gathers).
+    q_chars/q_rev [S,L] or [S,L,C]; chars_t/chars_rev_t [L,D,C];
+    lens/valid [D,C]. All outputs [S,D,C] and masked by `valid`. Suffix
+    relations are prefix relations of the reversed strings (no gathers).
     """
-    C, L, D = chars_t.shape
-    q3 = q_chars if q_chars.ndim == 3 else q_chars[None]
-    qr3 = q_rev if q_rev.ndim == 3 else q_rev[None]
-    ql2 = q_lens if q_lens.ndim == 2 else q_lens[None]
-    S = q3.shape[1]
-    l4 = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]   # [1,1,L,1]
+    L, D, C = chars_t.shape
+    q3 = q_chars if q_chars.ndim == 3 else q_chars[..., None]
+    qr3 = q_rev if q_rev.ndim == 3 else q_rev[..., None]
+    ql2 = q_lens if q_lens.ndim == 2 else q_lens[:, None]
+    S = q3.shape[0]
+    l4 = jnp.asarray(np.arange(L, dtype=np.int32))[None, :, None, None]
 
-    q_t = q3[..., None]                                # [1|C,S,L,1]
-    qr_t = qr3[..., None]
-    d_t = chars_t[:, None, :, :]                       # [C,1,L,D]
-    dr_t = chars_rev_t[:, None, :, :]
-    ql = ql2[:, :, None]                               # [1|C,S,1]
-    ql4 = ql2[:, :, None, None]                        # [1|C,S,1,1]
-    dl = lens[:, None, :]                              # [C,1,D]
-    dl4 = lens[:, None, None, :]                       # [C,1,1,D]
-    v = valid[:, None, :]                              # [C,1,D]
+    q_t = q3[:, :, None, :]                            # [S,L,1,1|C]
+    qr_t = qr3[:, :, None, :]
+    d_t = chars_t[None]                                # [1,L,D,C]
+    dr_t = chars_rev_t[None]
+    ql = ql2[:, None, :]                               # [S,1,1|C]
+    ql4 = ql2[:, None, None, :]                        # [S,1,1,1|C]
+    dl = lens[None]                                    # [1,D,C]
+    dl4 = lens[None, None]                             # [1,1,D,C]
+    v = valid[None]                                    # [1,D,C]
 
-    all_eq = ((q_t == d_t) | (l4 >= ql4)).all(axis=2)          # [C,S,D]
+    all_eq = ((q_t == d_t) | (l4 >= ql4)).all(axis=1)          # [S,D,C]
     eq = v & (dl == ql) & all_eq
     d_sw_q = v & (dl >= ql) & all_eq
 
-    rev_pref_q = ((qr_t == dr_t) | (l4 >= ql4)).all(axis=2)
+    rev_pref_q = ((qr_t == dr_t) | (l4 >= ql4)).all(axis=1)
     d_ew_q = v & (dl >= ql) & rev_pref_q
-    rev_pref_d = ((qr_t == dr_t) | (l4 >= dl4)).all(axis=2)
+    rev_pref_d = ((qr_t == dr_t) | (l4 >= dl4)).all(axis=1)
     q_ew_d = v & (ql >= dl) & rev_pref_d
 
-    # d contains q: slide q over d via static slices of a zero-padded copy.
+    # d contains q: slide q over d via STATIC slices of a zero-padded copy
+    # (unrolled — every window is one fused compare+reduce).
     padded = jnp.concatenate(
-        [chars_t, jnp.zeros((C, L, D), chars_t.dtype)], axis=1)  # [C,2L,D]
-
-    def cont_body(sw, acc):
-        sh = jax.lax.dynamic_slice_in_dim(padded, sw, L, axis=1)[:, None, :, :]
-        hit = ((sh == q_t) | (l4 >= ql4)).all(axis=2) & (sw + ql <= dl)
-        return acc | hit
-
-    d_cont_q = jax.lax.fori_loop(
-        0, L, cont_body, jnp.zeros((C, S, D), bool)) & v
+        [chars_t, jnp.zeros((L, D, C), chars_t.dtype)], axis=0)  # [2L,D,C]
+    d_cont_q = jnp.zeros((S, D, C), bool)
+    for sw in range(L):
+        sh = padded[sw:sw + L][None]                   # [1,L,D,C]
+        hit = ((sh == q_t) | (l4 >= ql4)).all(axis=1) & (sw + ql <= dl)
+        d_cont_q = d_cont_q | hit
+    d_cont_q = d_cont_q & v
 
     both4 = jnp.minimum(ql4, dl4)
     mism = (q_t != d_t) & (l4 < both4)
-    any_m = mism.any(axis=2)
-    first_m = jnp.argmax(mism, axis=2).astype(jnp.int32)
+    any_m = mism.any(axis=1)
+    first_m = jnp.argmax(mism, axis=1).astype(jnp.int32)
     common_prefix = jnp.where(any_m, first_m,
                               jnp.broadcast_to(jnp.minimum(ql, dl),
                                                any_m.shape))
@@ -259,18 +275,18 @@ def _pairwise_primitives(q_chars, q_lens, q_rev, chars_t, chars_rev_t,
 
 
 def _q_startswith_d_t(q_chars, q_lens, chars_t, lens, valid):
-    """q token starts with doc token: [C,S,D] (D-minor layout)."""
-    C, L, D = chars_t.shape
-    l4 = jnp.arange(L, dtype=jnp.int32)[None, None, :, None]
-    q3 = q_chars if q_chars.ndim == 3 else q_chars[None]
-    ql2 = q_lens if q_lens.ndim == 2 else q_lens[None]
-    q_t = q3[..., None]
-    d_t = chars_t[:, None, :, :]
-    ql = ql2[:, :, None]
-    dl = lens[:, None, :]
-    dl4 = lens[:, None, None, :]
-    ch_eq = ((q_t == d_t) | (l4 >= dl4)).all(axis=2)
-    return valid[:, None, :] & (ql >= dl) & ch_eq
+    """q token starts with doc token: [S,D,C] (C-minor layout)."""
+    L, D, C = chars_t.shape
+    l4 = jnp.asarray(np.arange(L, dtype=np.int32))[None, :, None, None]
+    q3 = q_chars if q_chars.ndim == 3 else q_chars[..., None]
+    ql2 = q_lens if q_lens.ndim == 2 else q_lens[:, None]
+    q_t = q3[:, :, None, :]
+    d_t = chars_t[None]
+    ql = ql2[:, None, :]
+    dl = lens[None]
+    dl4 = lens[None, None]
+    ch_eq = ((q_t == d_t) | (l4 >= dl4)).all(axis=1)
+    return valid[None] & (ql >= dl) & ch_eq
 
 
 # ======================================================================
@@ -304,62 +320,58 @@ def coverage_fusion_batch(
     D = config.d_cap if config.d_cap else doc_tokens.shape[1]
     f32 = jnp.float32
 
-    # Per-candidate query views (multi-query batches: candidates of many
-    # queries score in ONE kernel call).
-    qc3 = q_chars[qsel]            # [C,Q,L]
-    qr3 = q_chars_rev[qsel]
-    qlens2 = q_lens[qsel]          # [C,Q]
-    qidf2 = q_idf[qsel]
-    qwidf2 = q_word_idf[qsel]
-    qcount = q_count[qsel]         # [C]
-    qsorted2 = q_sorted[qsel]      # [C,Q]
-    fqc3 = fq_chars[qsel]
-    fqr3 = fq_chars_rev[qsel]
-    fqlens2 = fq_lens[qsel]
-    fqcount = fq_count[qsel]
+    # Per-candidate query views, C-minor: gather along the minor axis of
+    # the transposed [.., B] tables (multi-query batches: candidates of
+    # many queries score in ONE kernel call).
+    qc3 = jnp.transpose(q_chars, (1, 2, 0))[:, :, qsel]        # [Q,L,C]
+    qr3 = jnp.transpose(q_chars_rev, (1, 2, 0))[:, :, qsel]
+    qlens2 = q_lens.T[:, qsel]                                 # [Q,C]
+    qidf2 = q_idf.T[:, qsel]
+    qwidf2 = q_word_idf.T[:, qsel]
+    qcount = q_count[qsel]                                     # [C]
+    qsorted2 = q_sorted.T[:, qsel]                             # [Q,C]
+    fqc3 = jnp.transpose(fq_chars, (1, 2, 0))[:, :, qsel]      # [FQ,L,C]
+    fqr3 = jnp.transpose(fq_chars_rev, (1, 2, 0))[:, :, qsel]
+    fqlens2 = fq_lens.T[:, qsel]                               # [FQ,C]
+    fqcount = fq_count[qsel]                                   # [C]
     fq_alpha = fq_last_is_alpha[qsel]
-    qlen_c = query_len[qsel]       # [C]
-    # Dynamic loop bounds from the GATHERED counts: only queries with a
-    # candidate in THIS call pay iterations. Callers sort candidates by
-    # token count so chunks are homogeneous and short-query chunks stop
-    # after 1-2 trips even when the batch holds longer queries.
-    max_qc = jnp.minimum(jnp.max(qcount), Q)
-    max_fqc = jnp.max(fqcount)
+    qlen_c = query_len[qsel]                                   # [C]
 
     # ---------------- gather doc data ---------------------------------
     # The [:, :D] slices fuse into the gathers; with d_cap set the whole
     # kernel runs at the narrow width (callers route short docs here).
-    codes = doc_tokens[text_ids][:, :D]             # [C,D]
+    codes = doc_tokens[text_ids][:, :D].T           # [D,C]
     tok_count = doc_tok_count[text_ids]             # [C]
-    offsets = doc_tok_offsets[text_ids][:, :D]      # [C,D]
-    adj_ws = doc_adj_ws[text_ids][:, :D]            # [C,D]
+    offsets = doc_tok_offsets[text_ids][:, :D].T    # [D,C]
+    adj_ws = doc_adj_ws[text_ids][:, :D].T          # [D,C]
     text_len = doc_text_len[text_ids]               # [C]
     safe_codes = jnp.maximum(codes, 0)
-    chars = word_chars[safe_codes]                  # [C,D,L]
-    chars_rev = word_chars_rev[safe_codes]          # [C,D,L]
-    lens = jnp.where(codes >= 0, word_lens[safe_codes], 0)  # [C,D]
+    # The char axis runs at the QUERY arrays' width L (callers route only
+    # docs whose words fit — small bucket = L_CAP_SMALL); the [:, :L]
+    # slice fuses into the table gather.
+    chars_t = jnp.transpose(word_chars[safe_codes][:, :, :L], (2, 0, 1))
+    chars_rev_t = jnp.transpose(
+        word_chars_rev[safe_codes][:, :, :L], (2, 0, 1))            # [L,D,C]
+    lens = jnp.where(codes >= 0, word_lens[safe_codes], 0)          # [D,C]
 
-    d_iota = jnp.arange(D, dtype=jnp.int32)
-    all_valid = (codes >= 0) & (d_iota[None, :] < tok_count[:, None])
-    chars = jnp.where(all_valid[..., None], chars, 0)
-    chars_rev = jnp.where(all_valid[..., None], chars_rev, 0)
+    d_iota = jnp.asarray(np.arange(D, dtype=np.int32))
+    all_valid = (codes >= 0) & (d_iota[:, None] < tok_count[None])  # [D,C]
+    chars_t = jnp.where(all_valid[None], chars_t, 0)
+    chars_rev_t = jnp.where(all_valid[None], chars_rev_t, 0)
     lens = jnp.where(all_valid, lens, 0)
-    # D-minor layouts for all char math
-    chars_t = jnp.transpose(chars, (0, 2, 1))       # [C,L,D]
-    chars_rev_t = jnp.transpose(chars_rev, (0, 2, 1))
-    first_char = chars_t[:, 0, :]                   # [C,D]
+    first_char = chars_t[0]                          # [D,C]
 
     cov = all_valid & (lens >= config.min_word_size)
-    same = (codes[:, :, None] == codes[:, None, :])
-    earlier = d_iota[None, None, :] < d_iota[None, :, None]
-    dup = (same & earlier & cov[:, None, :]).any(axis=2) & cov
+    same = codes[:, None, :] == codes[None, :, :]            # [D,D',C]
+    earlier = (d_iota[None, :] < d_iota[:, None])[:, :, None]
+    dup = (same & earlier & cov[None]).any(axis=1) & cov
     unique = cov & ~dup
-    u_rank = jnp.cumsum(unique.astype(jnp.int32), axis=1) - 1
-    u_count = unique.sum(axis=1)
-    cov_count = cov.sum(axis=1)
+    u_rank = jnp.cumsum(unique.astype(jnp.int32), axis=0) - 1
+    u_count = unique.sum(axis=0)                     # [C]
+    cov_count = cov.sum(axis=0)
 
-    q_iota = jnp.arange(Q, dtype=jnp.int32)
-    q_valid = q_iota[None, :] < qcount[:, None]        # [C,Q]
+    q_iota = jnp.asarray(np.arange(Q, dtype=np.int32))
+    q_valid = q_iota[:, None] < qcount[None]         # [Q,C]
 
     # ---------------- precomputed pairwise primitives -------------------
     (EQ, D_SW_Q, D_EW_Q, Q_EW_D, D_CONT_Q, _cp) = _pairwise_primitives(
@@ -371,46 +383,62 @@ def coverage_fusion_batch(
     # md=1 internal value, as-is the md=2 one. Alignment/rescue tensors are
     # computed once and shared by every rescue application.
     eq_al, eq_qd1, eq_q1d, rev_eq = alignment_tensors(
-        qc3, chars, qr3, chars_rev)
-    lev3 = batched_lev_multi(qc3, qlens2, chars, lens, budget=3, l_max=L)
+        qc3, chars_t, qr3, chars_rev_t)
+    lev3 = batched_lev_multi(qc3, qlens2, chars_t, lens, budget=3, l_max=L)
     dam1 = damerau_rescue(jnp.minimum(lev3, 3), eq_al, eq_qd1, eq_q1d,
                           qlens2, lens, max_distance=1)
     dam2 = damerau_rescue(lev3, eq_al, eq_qd1, eq_q1d, qlens2, lens,
                           max_distance=2, rev_eq=rev_eq)
-    # Sweep B: the three prefix-window variants stacked along the lane axis.
-    ql_b = qlens2[:, :, None]                                   # [C,Q,1]
-    dl1 = jnp.minimum(lens[:, None, :], ql_b)
-    dl2 = jnp.minimum(lens[:, None, :], ql_b + 1)
-    dl3 = jnp.minimum(lens[:, None, :], jnp.maximum(ql_b - 1, 0))
-    chars3 = jnp.concatenate([chars, chars, chars], axis=1)     # [C,3D,L]
-    dl_stack = jnp.concatenate([dl1, dl2, dl3], axis=2)         # [C,Q,3D]
+    # Sweep B: the three prefix-window variants stacked along the D axis.
+    ql_b = qlens2[:, None, :]                                   # [Q,1,C]
+    dl1 = jnp.minimum(lens[None], ql_b)                         # [Q,D,C]
+    dl2 = jnp.minimum(lens[None], ql_b + 1)
+    dl3 = jnp.minimum(lens[None], jnp.maximum(ql_b - 1, 0))
+    chars3 = jnp.concatenate([chars_t, chars_t, chars_t], axis=1)  # [L,3D,C]
+    dl_stack = jnp.concatenate([dl1, dl2, dl3], axis=1)         # [Q,3D,C]
     lev_p = batched_lev_multi(qc3, qlens2, chars3, dl_stack,
                               budget=2, l_max=L)
-    pdam1 = damerau_rescue(lev_p[:, :, :D], eq_al, eq_qd1, eq_q1d,
+    pdam1 = damerau_rescue(lev_p[:, :D], eq_al, eq_qd1, eq_q1d,
                            qlens2, dl1, max_distance=1)
-    pdam2 = damerau_rescue(lev_p[:, :, D:2 * D], eq_al, eq_qd1, eq_q1d,
+    pdam2 = damerau_rescue(lev_p[:, D:2 * D], eq_al, eq_qd1, eq_q1d,
                            qlens2, dl2, max_distance=1)
-    pdam3 = damerau_rescue(lev_p[:, :, 2 * D:], eq_al, eq_qd1, eq_q1d,
+    pdam3 = damerau_rescue(lev_p[:, 2 * D:], eq_al, eq_qd1, eq_q1d,
                            qlens2, dl3, max_distance=1)
 
+    # Per-candidate selections along the small (D or Q) axis are one-hot
+    # masked reductions, NEVER take_along_axis: XLA lowers dynamic gathers
+    # to serialized scalar-core code (~5-8ms each at C=32k on TPU), while
+    # the equivalent masked reduce is one fused vector pass.
     def first_true(mask):
-        return mask.any(axis=-1), jnp.argmax(mask, axis=-1).astype(jnp.int32)
+        """mask [D,C] -> (any [C], first index [C])."""
+        return mask.any(axis=0), jnp.argmax(mask, axis=0).astype(jnp.int32)
 
-    def at(arr2d, j):
-        return jnp.take_along_axis(arr2d, j[:, None], axis=1)[:, 0]
+    def at(arr, j):
+        """arr [D,C] at per-candidate index j [C] -> [C]."""
+        mask = d_iota[:, None] == j[None, :]
+        if arr.dtype == jnp.bool_:
+            return (arr & mask).any(axis=0)
+        return jnp.where(mask, arr, 0).sum(axis=0).astype(arr.dtype)
 
-    def set_at_false(arr2d, j, cond):
-        mask = (d_iota[None, :] == j[:, None]) & cond[:, None]
-        return arr2d & ~mask
+    def at_q(arr, qi):
+        """arr [Q,C] at per-candidate index qi [C] -> [C]."""
+        mask = q_iota[:, None] == qi[None, :]
+        if arr.dtype == jnp.bool_:
+            return (arr & mask).any(axis=0)
+        return jnp.where(mask, arr, 0).sum(axis=0).astype(arr.dtype)
+
+    def set_at_false(arr, j, cond):
+        mask = (d_iota[:, None] == j[None, :]) & cond[None, :]
+        return arr & ~mask
 
     # ---------------- matcher state ------------------------------------
-    q_active = q_valid
-    d_active = unique
-    term_matched = jnp.zeros((C, Q), f32)
-    term_has_whole = jnp.zeros((C, Q), bool)
-    term_has_joined = jnp.zeros((C, Q), bool)
-    term_has_prefix = jnp.zeros((C, Q), bool)
-    term_first_pos = jnp.full((C, Q), -1, jnp.int32)
+    q_active = q_valid                               # [Q,C]
+    d_active = unique                                # [D,C]
+    term_matched = jnp.zeros((Q, C), f32)
+    term_has_whole = jnp.zeros((Q, C), bool)
+    term_has_joined = jnp.zeros((Q, C), bool)
+    term_has_prefix = jnp.zeros((Q, C), bool)
+    term_first_pos = jnp.full((Q, C), -1, jnp.int32)
     word_hits = jnp.zeros((C,), jnp.int32)
     num_whole = jnp.zeros((C,), f32)
     num_joined = jnp.zeros((C,), f32)
@@ -419,29 +447,26 @@ def coverage_fusion_batch(
     penalty = jnp.zeros((C,), jnp.int32)
 
     def upd_q(arr, i, delta, cond):
-        """arr[:, i] += delta where cond (scalar i)."""
-        return arr.at[:, i].add(jnp.where(cond, delta, 0))
+        """arr[i, :] += delta where cond (static i)."""
+        return arr.at[i].add(jnp.where(cond, delta, 0))
 
     def set_q_true(arr, i, cond):
-        return arr.at[:, i].set(arr[:, i] | cond)
+        return arr.at[i].set(arr[i] | cond)
 
     def note_pos(first_pos, i, pos, cond):
-        cur = first_pos[:, i]
+        cur = first_pos[i]
         new = jnp.where((cur == -1) | (pos < cur), pos, cur)
-        return first_pos.at[:, i].set(jnp.where(cond, new, cur))
+        return first_pos.at[i].set(jnp.where(cond, new, cur))
 
     # ---------------- 1. whole word matcher ----------------------------
     if config.cover_whole_words:
         p_increment = jnp.where(qcount > 1, 1.0, 0.0)      # [C]
 
-        def ww_body(i, st):
-            (q_active, d_active, term_matched, term_has_whole,
-             term_has_prefix, term_first_pos, word_hits, num_whole,
-             penalty) = st
-            ql = qlens2[:, i]                                  # [C]
-            eqm = EQ[:, i, :] & d_active
+        for i in range(Q):
+            ql = qlens2[i]                                 # [C]
+            eqm = EQ[i] & d_active
             any_m, j = first_true(eqm)
-            m = any_m & q_active[:, i] & (i < qcount)
+            m = any_m & q_active[i] & (i < qcount)
 
             word_hits = word_hits + m
             num_whole = num_whole + jnp.where(m, ql.astype(f32), 0.0)
@@ -453,134 +478,98 @@ def coverage_fusion_batch(
             term_first_pos = note_pos(term_first_pos, i, at(offsets, j), m)
 
             sel = unique & (u_rank == i)
-            tok_i_eq = (sel & EQ[:, i, :]).any(axis=-1)
+            tok_i_eq = (sel & EQ[i]).any(axis=0)
             exists = i < u_count
             penalty = penalty + jnp.where(m & ~(exists & tok_i_eq), 1, 0)
 
-            q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
+            q_active = q_active.at[i].set(q_active[i] & ~m)
             d_active = set_at_false(d_active, j, m)
-            return (q_active, d_active, term_matched, term_has_whole,
-                    term_has_prefix, term_first_pos, word_hits, num_whole,
-                    penalty)
-
-        st = (q_active, d_active, term_matched, term_has_whole,
-              term_has_prefix, term_first_pos, word_hits, num_whole, penalty)
-        st = jax.lax.fori_loop(0, max_qc, ww_body, st)
-        (q_active, d_active, term_matched, term_has_whole, term_has_prefix,
-         term_first_pos, word_hits, num_whole, penalty) = st
 
     # ---------------- 2. joined word matcher ---------------------------
     if config.cover_joined_words:
-        def qj_body(i, st):
-            (q_active, d_active, term_matched, term_has_joined,
-             term_has_prefix, term_first_pos, num_joined, word_hits) = st
-            cond_q = q_active[:, i] & q_active[:, i + 1] & (i + 1 < qcount)
-            jl = qlens2[:, i] + qlens2[:, i + 1]               # [C]
-            dmask = d_active & (lens == jl[:, None]) & D_SW_Q[:, i, :] & \
-                D_EW_Q[:, i + 1, :]
+        for i in range(Q - 1):
+            cond_q = q_active[i] & q_active[i + 1] & (i + 1 < qcount)
+            jl = qlens2[i] + qlens2[i + 1]                 # [C]
+            dmask = d_active & (lens == jl[None, :]) & D_SW_Q[i] & \
+                D_EW_Q[i + 1]
             any_m, j = first_true(dmask)
             m = any_m & cond_q
             num_joined = num_joined + jnp.where(m, jl.astype(f32), 0.0)
             word_hits = word_hits + 2 * m
             pos = at(offsets, j)
-            term_matched = upd_q(term_matched, i, qlens2[:, i].astype(f32), m)
+            term_matched = upd_q(term_matched, i, qlens2[i].astype(f32), m)
             term_has_joined = set_q_true(term_has_joined, i, m)
             term_has_prefix = set_q_true(term_has_prefix, i, m)
             term_first_pos = note_pos(term_first_pos, i, pos, m)
             term_matched = upd_q(term_matched, i + 1,
-                                 qlens2[:, i + 1].astype(f32), m)
+                                 qlens2[i + 1].astype(f32), m)
             term_has_joined = set_q_true(term_has_joined, i + 1, m)
             term_first_pos = note_pos(term_first_pos, i + 1, pos, m)
-            q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
-            q_active = q_active.at[:, i + 1].set(q_active[:, i + 1] & ~m)
+            q_active = q_active.at[i].set(q_active[i] & ~m)
+            q_active = q_active.at[i + 1].set(q_active[i + 1] & ~m)
             d_active = set_at_false(d_active, j, m)
-            return (q_active, d_active, term_matched, term_has_joined,
-                    term_has_prefix, term_first_pos, num_joined, word_hits)
-
-        st = (q_active, d_active, term_matched, term_has_joined,
-              term_has_prefix, term_first_pos, num_joined, word_hits)
-        if Q >= 2:
-            st = jax.lax.fori_loop(
-                0, jnp.clip(jnp.max(q_count) - 1, 0, Q - 1), qj_body, st)
-        (q_active, d_active, term_matched, term_has_joined,
-         term_has_prefix, term_first_pos, num_joined, word_hits) = st
 
         # doc-joined: adjacent ACTIVE doc pair == one query token
-        def dj_body(i, st):
-            (q_active, d_active, term_matched, term_has_joined,
-             term_has_prefix, term_first_pos, num_joined, word_hits) = st
-            di_active = d_active[:, i]
-            later = d_active & (d_iota[None, :] > i)
+        for i in range(D - 1):
+            di_active = d_active[i]
+            later = d_active & (d_iota[:, None] > i)
             has_nxt, nxt = first_true(later)
             cond = di_active & has_nxt
 
-            len_i = lens[:, i]
+            len_i = lens[i]
             len_n = at(lens, nxt)
             jl = len_i + len_n
-            # q startswith d_i / q endswith d_nxt via precomputed Q-side:
-            # D axis gather at fixed i and nxt.
-            q_sw_di = jnp.take_along_axis(
-                _Q_SW_D, jnp.broadcast_to(
-                    jnp.full((C, 1, 1), 0) + i, (C, Q, 1)), axis=2)[..., 0]
-            q_ew_dn = jnp.take_along_axis(
-                Q_EW_D, jnp.broadcast_to(nxt[:, None, None], (C, Q, 1)),
-                axis=2)[..., 0]
-            qmask = q_active & (qlens2 == jl[:, None]) & \
-                q_sw_di & q_ew_dn
-            any_q, qi = first_true(qmask)
+            # q startswith d_i (static i) / q endswith d_nxt (one-hot D):
+            q_sw_di = _Q_SW_D[:, i, :]                          # [Q,C]
+            q_ew_dn = (Q_EW_D &
+                       (d_iota[:, None] == nxt[None, :])[None]).any(axis=1)
+            qmask = q_active & (qlens2 == jl[None, :]) & q_sw_di & q_ew_dn
+            any_q = qmask.any(axis=0)
+            qi = jnp.argmax(qmask, axis=0).astype(jnp.int32)
             m = cond & any_q
 
             num_joined = num_joined + jnp.where(m, jl.astype(f32), 0.0)
             word_hits = word_hits + m
-            upd = m[:, None] & (q_iota[None, :] == qi[:, None])
+            upd = m[None, :] & (q_iota[:, None] == qi[None, :])
             term_matched = term_matched + \
-                jnp.where(upd, jl[:, None].astype(f32), 0.0)
+                jnp.where(upd, jl[None, :].astype(f32), 0.0)
             term_has_joined = term_has_joined | upd
             term_has_prefix = term_has_prefix | upd
-            pos_i = offsets[:, i]
-            cur = jnp.take_along_axis(term_first_pos, qi[:, None], 1)[:, 0]
+            pos_i = offsets[i]
+            cur = at_q(term_first_pos, qi)
             new = jnp.where((cur == -1) | (pos_i < cur), pos_i, cur)
             term_first_pos = jnp.where(
-                upd, jnp.where(m, new, cur)[:, None], term_first_pos)
+                upd, jnp.where(m, new, cur)[None, :], term_first_pos)
             q_active = q_active & ~upd
-            d_active = d_active.at[:, i].set(d_active[:, i] & ~m)
+            d_active = d_active.at[i].set(d_active[i] & ~m)
             d_active = set_at_false(d_active, nxt, m)
-            return (q_active, d_active, term_matched, term_has_joined,
-                    term_has_prefix, term_first_pos, num_joined, word_hits)
-
-        st = (q_active, d_active, term_matched, term_has_joined,
-              term_has_prefix, term_first_pos, num_joined, word_hits)
-        if D >= 2:
-            max_tok = jnp.minimum(jnp.max(tok_count), D - 1)
-            st = jax.lax.fori_loop(0, max_tok, dj_body, st)
-        (q_active, d_active, term_matched, term_has_joined,
-         term_has_prefix, term_first_pos, num_joined, word_hits) = st
 
     # ---------------- 3. prefix/suffix matcher -------------------------
     if config.cover_prefix_suffix:
         d_start_active = d_active
         d_key = jnp.where(d_start_active, -lens, jnp.int32(10**6)) * D + \
-            d_iota[None, :]
-        d_order = jnp.argsort(d_key, axis=1).astype(jnp.int32)   # [C,D]
+            d_iota[:, None]
 
-        def first_in_order(flags, d_order):
-            perm_flags = jnp.take_along_axis(flags, d_order, axis=1)
-            any_m, pos = first_true(perm_flags)
-            j = jnp.take_along_axis(d_order, pos[:, None], 1)[:, 0]
-            return any_m, j
+        def first_in_order(flags, d_key):
+            """First flagged doc token in (length desc, index asc) order ==
+            argmin of the masked sort key (no argsort, no permutation)."""
+            masked = jnp.where(flags, d_key, jnp.int32(2**30))
+            j = jnp.argmin(masked, axis=0).astype(jnp.int32)
+            return flags.any(axis=0), j
 
-        def take_q(arr_cqd, qi):
-            """arr [C,Q,D] at per-candidate token index qi [C] -> [C,D]."""
-            return jnp.take_along_axis(
-                arr_cqd, qi[:, None, None], axis=1)[:, 0, :]
+        def take_q(arr_sdc, qi):
+            """arr [S,D,C] at per-candidate token index qi [C] -> [D,C]."""
+            mask = (q_iota[:, None] == qi[None, :])[:, None, :]  # [S,1,C]
+            if arr_sdc.dtype == jnp.bool_:
+                return (arr_sdc & mask).any(axis=0)
+            return jnp.where(mask, arr_sdc, 0).sum(axis=0).astype(
+                arr_sdc.dtype)
 
-        def ps1_body(si, st):
-            (q_active, d_active, term_matched, term_has_prefix,
-             term_first_pos, num_ps, word_hits) = st
-            qi = qsorted2[:, si]                               # [C]
-            ql = at(qlens2, qi)                                # [C]
-            qlc = ql[:, None]                                  # [C,1]
-            qa = at(q_active, qi) & (qi < qcount)
+        for si in range(Q):
+            qi = qsorted2[si]                              # [C]
+            ql = at_q(qlens2, qi)                          # [C]
+            qlc = ql[None, :]                              # [1,C]
+            qa = at_q(q_active, qi) & (qi < qcount)
 
             shorter = qlc < lens
             longer = qlc > lens
@@ -590,42 +579,34 @@ def coverage_fusion_batch(
             dq = longer & take_q(Q_EW_D, qi)
             is_match = (pre | suf | cont | dq) & d_active
             score = jnp.where(
-                pre, qlc.astype(f32),
-                jnp.where(suf, jnp.maximum(1, qlc // 2).astype(f32),
-                          jnp.where(cont, qlc.astype(f32) * 0.6,
+                pre, jnp.broadcast_to(qlc.astype(f32), lens.shape),
+                jnp.where(suf, jnp.broadcast_to(
+                    jnp.maximum(1, qlc // 2).astype(f32), lens.shape),
+                          jnp.where(cont, jnp.broadcast_to(
+                              qlc.astype(f32) * 0.6, lens.shape),
                                     lens.astype(f32))))
-            any_m, j = first_in_order(is_match, d_order)
+            any_m, j = first_in_order(is_match, d_key)
             m = any_m & qa
             sc = at(jnp.where(is_match, score, 0.0), j)
             is_pre = at(pre, j)
             num_ps = num_ps + jnp.where(m, sc, 0.0)
             word_hits = word_hits + m
-            upd = m[:, None] & (q_iota[None, :] == qi[:, None])
-            term_matched = term_matched + jnp.where(upd, sc[:, None], 0.0)
-            term_has_prefix = term_has_prefix | (upd & is_pre[:, None])
+            upd = m[None, :] & (q_iota[:, None] == qi[None, :])
+            term_matched = term_matched + jnp.where(upd, sc[None, :], 0.0)
+            term_has_prefix = term_has_prefix | (upd & is_pre[None, :])
             pos = at(offsets, j)
-            cur = at(term_first_pos, qi)
+            cur = at_q(term_first_pos, qi)
             new = jnp.where((cur == -1) | (pos < cur), pos, cur)
             term_first_pos = jnp.where(
-                upd, jnp.where(m, new, cur)[:, None], term_first_pos)
+                upd, jnp.where(m, new, cur)[None, :], term_first_pos)
             q_active = q_active & ~upd
             d_active = set_at_false(d_active, j, m)
-            return (q_active, d_active, term_matched, term_has_prefix,
-                    term_first_pos, num_ps, word_hits)
 
-        st = (q_active, d_active, term_matched, term_has_prefix,
-              term_first_pos, num_ps, word_hits)
-        st = jax.lax.fori_loop(0, max_qc, ps1_body, st)
-        (q_active, d_active, term_matched, term_has_prefix,
-         term_first_pos, num_ps, word_hits) = st
-
-        def ps2_body(si, st):
-            (q_active, d_active, term_matched, term_first_pos, num_ps,
-             word_hits) = st
-            qi = qsorted2[:, si]
-            ql = at(qlens2, qi)
-            qlc = ql[:, None]
-            qa = at(q_active, qi) & (qi < qcount)
+        for si in range(Q):
+            qi = qsorted2[si]
+            ql = at_q(qlens2, qi)
+            qlc = ql[None, :]
+            qa = at_q(q_active, qi) & (qi < qcount)
             eligible_q = (ql >= 4) | ((qi == qcount - 1) & (ql >= 2))
             d_elig = d_active & (qlc < lens)
 
@@ -640,37 +621,29 @@ def coverage_fusion_batch(
                 jnp.where(m2, jnp.maximum((qlc - d2).astype(f32), 0.1),
                           jnp.maximum((qlc - 1 - d3).astype(f32), 0.1)))
             is_match = (m1 | m2 | m3) & d_elig
-            any_m, j = first_in_order(is_match, d_order)
+            any_m, j = first_in_order(is_match, d_key)
             m = any_m & qa & eligible_q
             sc = at(jnp.where(is_match, score, 0.0), j)
             num_ps = num_ps + jnp.where(m, sc, 0.0)
             word_hits = word_hits + m
-            upd = m[:, None] & (q_iota[None, :] == qi[:, None])
-            term_matched = term_matched + jnp.where(upd, sc[:, None], 0.0)
+            upd = m[None, :] & (q_iota[:, None] == qi[None, :])
+            term_matched = term_matched + jnp.where(upd, sc[None, :], 0.0)
             pos = at(offsets, j)
-            cur = at(term_first_pos, qi)
+            cur = at_q(term_first_pos, qi)
             new = jnp.where((cur == -1) | (pos < cur), pos, cur)
             term_first_pos = jnp.where(
-                upd, jnp.where(m, new, cur)[:, None], term_first_pos)
+                upd, jnp.where(m, new, cur)[None, :], term_first_pos)
             q_active = q_active & ~upd
             d_active = set_at_false(d_active, j, m)
-            return (q_active, d_active, term_matched, term_first_pos,
-                    num_ps, word_hits)
-
-        st = (q_active, d_active, term_matched, term_first_pos, num_ps,
-              word_hits)
-        st = jax.lax.fori_loop(0, max_qc, ps2_body, st)
-        (q_active, d_active, term_matched, term_first_pos, num_ps,
-         word_hits) = st
 
     # ---------------- 4. fuzzy word matcher ----------------------------
     if config.cover_fuzzy_words:
         fully = (qlens2 <= 0) | \
             (term_matched >= qlens2.astype(f32)) | ~q_valid
-        all_full = fully.all(axis=1)
+        all_full = fully.all(axis=0)
 
         max_q_len = jnp.max(
-            jnp.where(q_active & q_valid, qlens2, 0), axis=1)
+            jnp.where(q_active & q_valid, qlens2, 0), axis=0)
         max_edit = jnp.where(
             max_q_len >= config.min_length_two_typos, 2,
             jnp.where(max_q_len >= config.min_length_one_typo, 1, 0))
@@ -685,12 +658,9 @@ def coverage_fusion_batch(
             round_on = (edit_dist <= max_edit) & ~all_full
             dist_all = dam1 if edit_dist == 1 else dam2
 
-            def fz_body(i, st, edit_dist=edit_dist, dist_all=dist_all,
-                        round_on=round_on):
-                (q_active, d_active, term_matched, term_first_pos,
-                 word_hits, num_fuzzy) = st
-                ql = qlens2[:, i]                              # [C]
-                qa = q_active[:, i] & (i < qcount) & round_on
+            for i in range(Q):
+                ql = qlens2[i]                             # [C]
+                qa = q_active[i] & (i < qcount) & round_on
                 if config.min_word_size > 0:
                     qa = qa & (ql >= config.min_word_size)
                 token_max = jnp.where(
@@ -705,16 +675,16 @@ def coverage_fusion_batch(
                     qa = qa & ~special
 
                 min_len = jnp.maximum(config.min_word_size,
-                                      ql - edit_dist)[:, None]
+                                      ql - edit_dist)[None, :]
                 max_len = jnp.minimum(
                     jnp.minimum(config.levenshtein_max_word_size,
-                                ql + edit_dist), 63)[:, None]
+                                ql + edit_dist), 63)[None, :]
                 window = (lens >= min_len) & (lens <= max_len)
                 first_char_ok = jnp.where(
-                    special[:, None],
-                    (lens > 0) & (first_char == qc3[:, i, 0][:, None]),
+                    special[None, :],
+                    (lens > 0) & (first_char == qc3[i, 0][None, :]),
                     True)
-                dist = dist_all[:, i, :]
+                dist = dist_all[i]
                 is_match = d_active & window & first_char_ok & \
                     (dist <= edit_dist)
                 any_m, j = first_true(is_match)
@@ -723,18 +693,10 @@ def coverage_fusion_batch(
                 credit = jnp.where(m, (ql - dd).astype(f32), 0.0)
                 word_hits = word_hits + m
                 num_fuzzy = num_fuzzy + credit
-                term_matched = term_matched.at[:, i].add(credit)
+                term_matched = term_matched.at[i].add(credit)
                 term_first_pos = note_pos(term_first_pos, i, at(offsets, j), m)
-                q_active = q_active.at[:, i].set(q_active[:, i] & ~m)
+                q_active = q_active.at[i].set(q_active[i] & ~m)
                 d_active = set_at_false(d_active, j, m)
-                return (q_active, d_active, term_matched, term_first_pos,
-                        word_hits, num_fuzzy)
-
-            st = (q_active, d_active, term_matched, term_first_pos,
-                  word_hits, num_fuzzy)
-            st = jax.lax.fori_loop(0, max_qc, fz_body, st)
-            (q_active, d_active, term_matched, term_first_pos, word_hits,
-             num_fuzzy) = st
 
     # ================== CoverageScorer =================================
     lcs_eff = lcs_vals if config.cover_whole_query else jnp.zeros_like(lcs_vals)
@@ -746,29 +708,29 @@ def coverage_fusion_batch(
     has_term = q_valid & (qlens2 > 0)
     ci = jnp.where(has_term,
                    jnp.minimum(1.0, term_matched / jnp.maximum(tmc, 1.0)), 0.0)
-    sum_ci = ci.sum(axis=1)
-    terms_with_any = (has_term & (ci > 0)).sum(axis=1)
-    total_idf = jnp.where(has_term, qidf2, 0.0).sum(axis=1)
-    idf_weighted = (ci * jnp.where(has_term, qidf2, 0.0)).sum(axis=1)
+    sum_ci = ci.sum(axis=0)
+    terms_with_any = (has_term & (ci > 0)).sum(axis=0)
+    total_idf = jnp.where(has_term, qidf2, 0.0).sum(axis=0)
+    idf_weighted = (ci * jnp.where(has_term, qidf2, 0.0)).sum(axis=0)
     missing_idf = jnp.where(has_term & (ci < 1.0),
-                            (1.0 - ci) * qidf2, 0.0).sum(axis=1)
+                            (1.0 - ci) * qidf2, 0.0).sum(axis=0)
     last_idx = jnp.maximum(qcount - 1, 0)                       # [C]
-    last_idf = jnp.take_along_axis(qidf2, last_idx[:, None], 1)[:, 0]
+    last_idf = at_q(qidf2, last_idx)
 
     fully_matched = has_term & (term_matched >= (tmc - 0.01))
-    terms_fully = fully_matched.sum(axis=1)
+    terms_fully = fully_matched.sum(axis=0)
     strict = (term_has_whole | term_has_joined) & fully_matched
-    terms_strict = strict.sum(axis=1)
-    terms_prefix = (term_has_prefix & has_term).sum(axis=1)
+    terms_strict = strict.sum(axis=0)
+    terms_prefix = (term_has_prefix & has_term).sum(axis=0)
 
     pos_valid = (term_first_pos >= 0) & has_term
     big_pos = jnp.int32(2**30)
     first_match_index = jnp.min(
-        jnp.where(pos_valid, term_first_pos, big_pos), axis=1)
-    has_any_pos = pos_valid.any(axis=1)
+        jnp.where(pos_valid, term_first_pos, big_pos), axis=0)
+    has_any_pos = pos_valid.any(axis=0)
     first_match_index = jnp.where(has_any_pos, first_match_index, -1)
-    min_pos = jnp.min(jnp.where(pos_valid, term_first_pos, big_pos), axis=1)
-    max_pos = jnp.max(jnp.where(pos_valid, term_first_pos, -1), axis=1)
+    min_pos = jnp.min(jnp.where(pos_valid, term_first_pos, big_pos), axis=0)
+    max_pos = jnp.max(jnp.where(pos_valid, term_first_pos, -1), axis=0)
 
     idf_coverage = jnp.where(total_idf > 0, idf_weighted / total_idf, 0.0)
     type_ahead = (qcount > 0) & (total_idf > 0) & \
@@ -781,43 +743,37 @@ def coverage_fusion_batch(
 
     prefix_hit = term_has_prefix & has_term & (term_matched > 0)
 
-    def run_body(i, st):
-        run, longest = st
-        hit = prefix_hit[:, i] & (i < qcount)
+    run = jnp.zeros((C,), jnp.int32)
+    longest_run = jnp.zeros((C,), jnp.int32)
+    for i in range(Q):
+        hit = prefix_hit[i] & (i < qcount)
         run = jnp.where(hit, run + 1, 0)
-        return run, jnp.maximum(longest, run)
+        longest_run = jnp.maximum(longest_run, run)
 
-    _, longest_run = jax.lax.fori_loop(
-        0, max_qc, run_body,
-        (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32)))
-
-    def suf_body(k, st):
-        suffix_run, still = st
+    suffix_run = jnp.zeros((C,), jnp.int32)
+    still = jnp.ones((C,), bool)
+    for k in range(Q):
         i = jnp.clip(qcount - 1 - k, 0, Q - 1)                  # [C]
-        hit = jnp.take_along_axis(prefix_hit, i[:, None], 1)[:, 0]
+        hit = at_q(prefix_hit, i)
         in_range = k < qcount
         cont = still & hit & in_range
-        return suffix_run + cont, jnp.where(in_range, cont, still)
-
-    suffix_run, _ = jax.lax.fori_loop(
-        0, max_qc, suf_body,
-        (jnp.zeros((C,), jnp.int32), jnp.ones((C,), bool)))
+        suffix_run = suffix_run + cont
+        still = jnp.where(in_range, cont, still)
 
     phrase_span = jnp.where(
         (min_pos != big_pos) & (max_pos >= min_pos) & (terms_with_any >= 2),
         max_pos - min_pos + 1, 0)
     del phrase_span  # computed for parity; unused by fusion
 
-    last_token_has_prefix = jnp.take_along_axis(
-        prefix_hit, last_idx[:, None], 1)[:, 0] & (qcount >= 1)
+    last_token_has_prefix = at_q(prefix_hit, last_idx) & (qcount >= 1)
     preceding_strict = (strict &
-                        (q_iota[None, :] < (qcount - 1)[:, None])).sum(axis=1)
+                        (q_iota[:, None] < (qcount - 1)[None, :])).sum(axis=0)
     preceding_strict = jnp.where(qcount >= 2, preceding_strict, 0)
 
     # ================== FusionSignalComputer ===========================
     sig = _fusion_signals(
-        fqc3, fqr3, fqlens2, fqcount, fq_alpha, max_fqc,
-        dam2[:, 0, :], chars_t, chars_rev_t, lens, adj_ws, all_valid,
+        fqc3, fqr3, fqlens2, fqcount, fq_alpha,
+        dam2[0], chars_t, chars_rev_t, lens, adj_ws, all_valid,
         tok_count, C, D, L, FQ, config)
     sig["_fq_count"] = fqcount
 
@@ -838,18 +794,18 @@ def coverage_fusion_batch(
 
 
 def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
-                    fq_last_is_alpha, max_fqc, dam2_q0, chars_t, chars_rev_t,
+                    fq_last_is_alpha, dam2_q0, chars_t, chars_rev_t,
                     lens, adj_ws, all_valid, tok_count,
                     C, D, L, FQ, config):
     """FusionSignalComputer.ComputeSignals, batched over candidates.
 
-    fq_chars/fq_chars_rev [C,FQ,L]; fq_lens [C,FQ]; fq_count [C];
-    fq_last_is_alpha [C].
+    fq_chars/fq_chars_rev [FQ,L,C]; fq_lens [FQ,C]; fq_count [C];
+    fq_last_is_alpha [C]; dam2_q0 [D,C]; doc tensors C-minor.
     """
     f32 = jnp.float32
-    fq_iota = jnp.arange(FQ, dtype=jnp.int32)
-    d_iota = jnp.arange(D, dtype=jnp.int32)
-    fq_valid_vec = fq_iota[None, :] < fq_count[:, None]         # [C,FQ]
+    fq_iota = jnp.asarray(np.arange(FQ, dtype=np.int32))
+    d_iota = jnp.asarray(np.arange(D, dtype=np.int32))
+    fq_valid_vec = fq_iota[:, None] < fq_count[None, :]         # [FQ,C]
     have = (fq_count > 0) & (tok_count > 0)
 
     (F_EQ, F_D_SW_Q, _F_D_EW_Q, _F_Q_EW_D, F_CONT, F_CP) = \
@@ -858,79 +814,80 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
     F_Q_SW_D = _q_startswith_d_t(fq_chars, fq_lens, chars_t, lens, all_valid)
 
     last_idx = jnp.maximum(fq_count - 1, 0)                     # [C]
-    last_len = jnp.take_along_axis(fq_lens, last_idx[:, None], 1)[:, 0]
+    # one-hot selections along the small FQ/D axes (see coverage kernel
+    # note: dynamic gathers serialize on the TPU scalar core)
+    last_oh2 = fq_iota[:, None] == last_idx[None, :]            # [FQ,C]
+    last_oh3 = last_oh2[:, None, :]                             # [FQ,1,C]
+    last_len = jnp.where(last_oh2, fq_lens, 0).sum(axis=0)
 
     # --- 1. CheckPrefixLastMatch ---------------------------------------
-    sw0 = F_D_SW_Q[:, 0, :]
-    any_sw0 = sw0.any(axis=1)
-    j0 = jnp.argmax(sw0, axis=1).astype(jnp.int32)
-    exact0 = jnp.take_along_axis(F_EQ[:, 0, :], j0[:, None], 1)[:, 0]
+    sw0 = F_D_SW_Q[0]                               # [D,C]
+    any_sw0 = sw0.any(axis=0)
+    j0 = jnp.argmax(sw0, axis=0).astype(jnp.int32)
+    exact0 = (F_EQ[0] & (d_iota[:, None] == j0[None, :])).any(axis=0)
     single_lpl = any_sw0
     single_ape = any_sw0 & exact0
 
-    eq_any = F_EQ.any(axis=2)                       # [C,FQ]
-    is_prec = fq_iota[None, :] < (fq_count - 1)[:, None]
-    all_prec = jnp.where(is_prec, eq_any, True).all(axis=1)
-    last_sw = jnp.take_along_axis(
-        F_D_SW_Q, last_idx[:, None, None], axis=1)[:, 0, :].any(axis=1)
+    eq_any = F_EQ.any(axis=1)                       # [FQ,C]
+    is_prec = fq_iota[:, None] < (fq_count - 1)[None, :]
+    all_prec = jnp.where(is_prec, eq_any, True).all(axis=0)
+    last_sw = (F_D_SW_Q & last_oh3).any(axis=(0, 1))
     multi_lpl = all_prec & last_sw
     lexical_prefix_last = jnp.where(fq_count == 1, single_lpl, multi_lpl) & have
     all_preceding_exact = jnp.where(
         fq_count == 1, single_ape, multi_lpl) & have
 
     # --- 2. PerfectDoc -------------------------------------------------
-    explained = ((F_D_SW_Q | F_Q_SW_D) & fq_valid_vec[:, :, None]
-                 ).any(axis=1)
-    perfect = jnp.where(all_valid, explained, True).all(axis=1) & have
+    explained = ((F_D_SW_Q | F_Q_SW_D) & fq_valid_vec[:, None, :]
+                 ).any(axis=0)                      # [D,C]
+    perfect = jnp.where(all_valid, explained, True).all(axis=0) & have
 
     # --- 3. StemEvidence (fq_count >= 2) -------------------------------
     min_stem = config.min_word_size
     considered = fq_valid_vec & (fq_lens >= min_stem)
-    word_match = (F_EQ | F_D_SW_Q).any(axis=2)
+    word_match = (F_EQ | F_D_SW_Q).any(axis=1)      # [FQ,C]
     unmatched = considered & ~word_match
-    ev_tok = all_valid[:, None, :] & (lens[:, None, :] >= min_stem) & \
+    ev_tok = all_valid[None] & (lens[None] >= min_stem) & \
         (F_Q_SW_D | (F_CP >= min_stem))
-    evidence = ev_tok.any(axis=2)
-    unmatched_cnt = unmatched.sum(axis=1)
-    evidence_cnt = (unmatched & evidence).sum(axis=1)
+    evidence = ev_tok.any(axis=1)                   # [FQ,C]
+    unmatched_cnt = unmatched.sum(axis=0)
+    evidence_cnt = (unmatched & evidence).sum(axis=0)
     stem_evidence = (fq_count >= 2) & (unmatched_cnt > 0) & \
         (evidence_cnt == unmatched_cnt) & have
 
     # --- 4. AnchorStem -------------------------------------------------
-    first_len = fq_lens[:, 0]
+    first_len = fq_lens[0]                          # [C]
     stem_ok = (fq_count > 0) & (first_len >= ANCHOR_STEM_LENGTH)
     stem_len = jnp.int32(ANCHOR_STEM_LENGTH)
-    l3 = jnp.arange(L, dtype=jnp.int32)[None, :, None]      # [1,L,1]
-    ch_eq = (chars_t == fq_chars[:, 0, :][:, :, None]) | (l3 >= stem_len)
-    d_sw_stem = all_valid & (lens >= stem_len) & ch_eq.all(axis=1)
-    first_tok_match = d_sw_stem[:, 0] & (tok_count > 0)
-    first_tok_long_enough = (tok_count > 0) & (lens[:, 0] >= stem_len)
-    rest_match = (d_sw_stem & (d_iota[None, :] >= 1)).any(axis=1)
+    l3 = jnp.asarray(np.arange(L, dtype=np.int32))[:, None, None]  # [L,1,1]
+    ch_eq = (chars_t == fq_chars[0][:, None, :]) | (l3 >= stem_len)
+    d_sw_stem = all_valid & (lens >= stem_len) & ch_eq.all(axis=0)  # [D,C]
+    first_tok_match = d_sw_stem[0] & (tok_count > 0)
+    first_tok_long_enough = (tok_count > 0) & (lens[0] >= stem_len)
+    rest_match = (d_sw_stem & (d_iota[:, None] >= 1)).any(axis=0)
     anchor = jnp.where(
         first_tok_long_enough, first_tok_match | rest_match,
-        jnp.where(tok_count > 0, False, d_sw_stem.any(axis=1)))
+        jnp.where(tok_count > 0, False, d_sw_stem.any(axis=0)))
     has_anchor_stem = stem_ok & anchor & have
 
     # --- 5. TrailingMatchDensity ---------------------------------------
     trail_on = (fq_count >= 2) & (last_len >= 1) & \
         (last_len <= MAX_TRAILING_LEN)
-    d_sw_last = jnp.take_along_axis(
-        F_D_SW_Q, last_idx[:, None, None], axis=1)[:, 0, :]
-    cont_last = jnp.take_along_axis(
-        F_CONT, last_idx[:, None, None], axis=1)[:, 0, :]
+    d_sw_last = (F_D_SW_Q & last_oh3).any(axis=0)               # [D,C]
+    cont_last = (F_CONT & last_oh3).any(axis=0)
     matchable = (d_sw_last |
-                 ((lens > last_len[:, None]) & cont_last)) & all_valid
-    m_count = matchable.sum(axis=1)
+                 ((lens > last_len[None, :]) & cont_last)) & all_valid
+    m_count = matchable.sum(axis=0)
     density = m_count.astype(f32) / jnp.maximum(tok_count, 1).astype(f32)
     trailing_density = jnp.where(
         trail_on & (m_count > 0),
         jnp.clip(density * 255.0, 0.0, 255.0).astype(jnp.int32), 0)
 
-    # --- 6. SingleTermLexicalSim ---------------------------------------
+    # --- 6. SingleTermLexicalSim ----------------------------------------
     # When fq_count == 1 (the only case this signal is used) the single
-    # fusion token equals coverage token 0, so dam2[:, 0, :] is its Damerau.
+    # fusion token equals coverage token 0, so dam2[0] is its Damerau.
     sim = _single_term_lexical_sim(
-        fq_chars[:, 0, :], fq_chars_rev[:, 0, :], fq_lens[:, 0], dam2_q0,
+        fq_chars[0], fq_chars_rev[0], fq_lens[0], dam2_q0,
         chars_t, chars_rev_t, lens, all_valid, C, D, L)
     single_sim = jnp.where(
         (fq_count == 1) & have,
@@ -938,8 +895,8 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
 
     # --- 7. SingleCharLastTokenBoost -----------------------------------
     boost = _single_char_last_boost(
-        fq_lens, fq_count, fq_last_is_alpha, fq_chars, max_fqc,
-        chars_t[:, 0, :], lens, adj_ws, all_valid, F_CONT, C, D, FQ, d_iota)
+        fq_lens, fq_count, fq_last_is_alpha, fq_chars,
+        chars_t[0], lens, adj_ws, all_valid, F_CONT, C, D, FQ, d_iota)
     boost = jnp.where((fq_count >= 2) & have, boost, 0)
 
     return dict(
@@ -956,129 +913,119 @@ def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,
 
 def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
                              chars_t, chars_rev_t, lens, all_valid, C, D, L):
-    """ComputeSingleTermLexicalSimilarity, batched (D-minor layout).
+    """ComputeSingleTermLexicalSimilarity, batched (C-minor layout).
 
-    Per-candidate query: q_chars/q_rev [C,L], q_len [C].
+    Per-candidate query: q_chars/q_rev [L,C], q_len [C]; dam2_q0 [D,C].
     """
 
     f32 = jnp.float32
-    qlen_f = jnp.maximum(q_len, 1).astype(f32)[:, None]       # [C,1]
+    qlen_f = jnp.maximum(q_len, 1).astype(f32)[None, :]       # [1,C]
     ok = q_len >= 3                                           # [C]
     tok_ok = all_valid & (lens >= 2)
-    l3 = jnp.arange(L, dtype=jnp.int32)[None, :, None]       # [1,L,1]
-    dl3 = lens[:, None, :]                                    # [C,1,D]
+    l3 = jnp.asarray(np.arange(L, dtype=np.int32))[:, None, None]  # [L,1,1]
+    dl3 = lens[None]                                          # [1,D,C]
 
-    # substring: first position of d token inside the query.
-    # q window at s (static slice of the zero-padded [C,2L] query rows).
+    # substring + prefix-suffix share ONE slide loop over STATIC window
+    # shifts of the zero-padded [2L,C] query rows (no dynamic gathers):
+    #  * substring: first shift where the whole doc token matches inside q;
+    #  * prefix-suffix (largest k >= 2 with q[-k:] == t[:k]): at shift sw
+    #    the alignment compares q[sw+j] vs t[j], so the match with
+    #    k = q_len - sw holds iff the leading match run covers k chars.
     q_padded = jnp.concatenate(
-        [q_chars, jnp.zeros((C, L), q_chars.dtype)], axis=1)  # [C,2L]
+        [q_chars, jnp.zeros((L, C), q_chars.dtype)], axis=0)  # [2L,C]
 
-    def sub_body(sw, found):
-        q_sh = jax.lax.dynamic_slice_in_dim(
-            q_padded, sw, L, axis=1)[:, :, None]              # [C,L,1]
-        hit = ((q_sh == chars_t) | (l3 >= dl3)).all(axis=1) & \
-            (sw + lens <= q_len[:, None])
-        return jnp.where((found < 0) & hit, sw, found)
+    found_idx = jnp.full((D, C), -1, jnp.int32)
+    best_k = jnp.zeros((D, C), jnp.int32)
+    for sw in range(L):
+        q_sh = q_padded[sw:sw + L][:, None, :]                # [L,1,C]
+        aligned_eq = q_sh == chars_t                          # [L,D,C]
+        hit = (aligned_eq | (l3 >= dl3)).all(axis=0) & \
+            (sw + lens <= q_len[None, :])
+        found_idx = jnp.where((found_idx < 0) & hit, sw, found_idx)
 
-    found_idx = jax.lax.fori_loop(
-        0, L, sub_body, jnp.full((C, D), -1, jnp.int32))
+        mism = ~aligned_eq
+        run = jnp.where(mism.any(axis=0),
+                        jnp.argmax(mism, axis=0).astype(jnp.int32), L)
+        k = q_len[None, :] - sw                               # [1,C]
+        ps_match = (k >= 2) & (k <= jnp.minimum(q_len[None, :], lens)) & \
+            (run >= k)
+        best_k = jnp.maximum(best_k, jnp.where(ps_match, k, 0))
     sub_hit = found_idx >= 0
     len_frac = lens.astype(f32) / qlen_f
     pos_factor = 1.0 - found_idx.astype(f32) / qlen_f
     sub_score = jnp.where(sub_hit & tok_ok, len_frac * pos_factor, 0.0)
-
-    # prefix-suffix: largest k >= 2 with q[-k:] == t[:k].
-    # slice q at per-candidate q_len-k via gather.
-    col = jnp.arange(L, dtype=jnp.int32)[None, :]             # [1,L]
-
-    def ps_body(kk, best_k):
-        start = jnp.maximum(q_len - kk, 0)[:, None]           # [C,1]
-        idx = jnp.minimum(start + col, 2 * L - 1)             # [C,L]
-        q_tail = jnp.take_along_axis(q_padded, idx, axis=1)[:, :, None]
-        match = ((q_tail == chars_t) | (l3 >= kk)).all(axis=1) & \
-            (kk <= jnp.minimum(q_len[:, None], lens))
-        return jnp.maximum(best_k, jnp.where(match, kk, 0))
-
-    best_k = jax.lax.fori_loop(
-        2, L + 1, ps_body, jnp.zeros((C, D), jnp.int32))
     ps_score = jnp.where(tok_ok, best_k.astype(f32) / qlen_f, 0.0)
 
     dist = dam2_q0
     fz_score = jnp.where(tok_ok & (dist <= 2),
-                         (q_len[:, None] - dist).astype(f32) / qlen_f, 0.0)
+                         (q_len[None, :] - dist).astype(f32) / qlen_f, 0.0)
 
     best = jnp.max(
         jnp.where(sub_hit & tok_ok, sub_score,
-                  jnp.maximum(ps_score, fz_score)), axis=1)
+                  jnp.maximum(ps_score, fz_score)), axis=0)
     best = jnp.maximum(best, 0.0)
 
     # two-segment heuristic
     MIN_SEG = 3
     two_ok = q_len >= 2 * MIN_SEG                              # [C]
     seg_len = jnp.minimum(2 * MIN_SEG, q_len // 2)             # [C]
-    seg3 = seg_len[:, None, None]                              # [C,1,1]
+    seg3 = seg_len[None, None, :]                              # [1,1,C]
     tok3 = all_valid & (lens >= 3)
     # prefix frag vs token: one is a prefix of the other
-    pre_match = tok3 & (((q_chars[:, :, None] == chars_t) |
-                         (l3 >= jnp.minimum(seg3, dl3))).all(axis=1))
+    pre_match = tok3 & (((q_chars[:, None, :] == chars_t) |
+                         (l3 >= jnp.minimum(seg3, dl3))).all(axis=0))
     # suffix frag: rev(frag) = q_rev[:seg_len]; t-or-frag suffix relation ==
     # prefix relation of the reversed strings over m = min(seg_len, len_t).
-    m3 = jnp.minimum(seg3, dl3)                                # [C,1,D]
-    suf_match = tok3 & (((q_rev[:, :, None] == chars_rev_t) |
-                         (l3 >= m3)).all(axis=1))
+    m3 = jnp.minimum(seg3, dl3)                                # [1,D,C]
+    suf_match = tok3 & (((q_rev[:, None, :] == chars_rev_t) |
+                         (l3 >= m3)).all(axis=0))
 
-    any_pre = pre_match.any(axis=1)
-    pre_i = jnp.argmax(pre_match, axis=1)
-    any_suf = suf_match.any(axis=1)
-    suf_i = jnp.argmax(suf_match, axis=1)
+    any_pre = pre_match.any(axis=0)
+    pre_i = jnp.argmax(pre_match, axis=0)
+    any_suf = suf_match.any(axis=0)
+    suf_i = jnp.argmax(suf_match, axis=0)
     two_seg_hit = two_ok & any_pre & any_suf & (pre_i != suf_i)
     two_seg_score = jnp.minimum(
-        1.0, (2 * seg_len).astype(f32) / qlen_f[:, 0])
+        1.0, (2 * seg_len).astype(f32) / qlen_f[0])
     best = jnp.where(two_seg_hit & (two_seg_score > best), two_seg_score, best)
     return jnp.where(ok, best, 0.0)
 
 
 def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
-                            max_fqc, first_char, lens, adj_ws, all_valid,
+                            first_char, lens, adj_ws, all_valid,
                             F_CONT, C, D, FQ, d_iota):
     """ComputeSingleCharLastTokenMatch, batched sequential walk.
 
-    fq_lens [C,FQ], fq_count [C], fq_chars [C,FQ,L].
+    fq_lens [FQ,C], fq_count [C], fq_chars [FQ,L,C]; doc tensors C-minor.
     """
+    fq_iota = jnp.asarray(np.arange(FQ, dtype=np.int32))
     last_idx = jnp.maximum(fq_count - 1, 0)                    # [C]
-    last_len_is_1 = jnp.take_along_axis(
-        fq_lens, last_idx[:, None], 1)[:, 0] == 1
-    target = jnp.take_along_axis(
-        fq_chars[:, :, 0], last_idx[:, None], 1)[:, 0]         # [C]
+    last_oh = fq_iota[:, None] == last_idx[None, :]            # [FQ,C]
+    last_len_is_1 = jnp.where(last_oh, fq_lens, 0).sum(axis=0) == 1
+    target = jnp.where(last_oh, fq_chars[:, 0, :], 0).sum(axis=0)  # [C]
     enabled = last_len_is_1 & fq_last_is_alpha
 
-    def walk_body(i, st):
-        d_index, first_match, alive = st
+    d_index = jnp.zeros((C,), jnp.int32)
+    first_match = jnp.full((C,), -1, jnp.int32)
+    alive = jnp.full((C,), True)
+    for i in range(max(FQ - 1, 0)):
         is_prec = i < fq_count - 1
-        contains = F_CONT[:, i, :]
-        eligible = contains & (d_iota[None, :] >= d_index[:, None])
-        found = eligible.any(axis=1)
-        j = jnp.argmax(eligible, axis=1).astype(jnp.int32)
+        contains = F_CONT[i]                                   # [D,C]
+        eligible = contains & (d_iota[:, None] >= d_index[None, :])
+        found = eligible.any(axis=0)
+        j = jnp.argmax(eligible, axis=0).astype(jnp.int32)
         step_on = alive & is_prec
         first_match = jnp.where(step_on & found & (first_match == -1),
                                 j, first_match)
         d_index = jnp.where(step_on & found, j, d_index)
         alive = jnp.where(step_on, alive & found, alive)
-        return d_index, first_match, alive
-
-    d_index, first_match, alive = jax.lax.fori_loop(
-        0, jnp.clip(max_fqc - 1, 0, FQ), walk_body,
-        (jnp.zeros((C,), jnp.int32), jnp.full((C,), -1, jnp.int32),
-         jnp.full((C,), True)))
 
     nxt = d_index + 1
-    nxt_valid = jnp.take_along_axis(
-        all_valid, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0] & (nxt < D)
-    nxt_first = jnp.take_along_axis(
-        first_char, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0]
-    nxt_len = jnp.take_along_axis(
-        lens, jnp.minimum(nxt, D - 1)[:, None], 1)[:, 0]
-    adj = jnp.take_along_axis(adj_ws, d_index[:, None], 1)[:, 0]
+    nxt_oh = d_iota[:, None] == jnp.minimum(nxt, D - 1)[None, :]  # [D,C]
+    nxt_valid = (all_valid & nxt_oh).any(axis=0) & (nxt < D)
+    nxt_first = jnp.where(nxt_oh, first_char, 0).sum(axis=0)
+    nxt_len = jnp.where(nxt_oh, lens, 0).sum(axis=0)
+    adj = (adj_ws & (d_iota[:, None] == d_index[None, :])).any(axis=0)
 
     hit = enabled & alive & nxt_valid & (nxt_first == target) & adj
     boost = 8 + jnp.maximum(0, 16 - first_match)
@@ -1094,7 +1041,7 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
                        type_ahead, idf_coverage, total_idf, missing_idf,
                        q_word_idf, ci, has_term, sig, base_scores):
     # Per-candidate shapes: q_count/query_len/text_len [C],
-    # q_word_idf [C,Q] (gathered by the caller via qsel).
+    # q_word_idf/ci/has_term [Q,C] (gathered by the caller via qsel).
     fq_count = sig["_fq_count"]
     n = jnp.where(fq_count > 0, fq_count, q_count)
     is_single = n <= 1
@@ -1131,15 +1078,15 @@ def _fusion_score_impl(C, Q, f32, q_iota, q_count, query_len, text_len,
 
     avg_idf = jnp.where((total_idf > 0) & (tc > 0),
                         total_idf / jnp.maximum(tc, 1).astype(f32), 0.0)
-    power = q_word_idf * ci
-    total_power = jnp.where(has_term, power, 0.0).sum(axis=1)
+    power = q_word_idf * ci                                     # [Q,C]
+    total_power = jnp.where(has_term, power, 0.0).sum(axis=0)
     cand_ok = has_term & (ci > 0.1) & (q_word_idf > 0.0) & \
-        (q_word_idf >= avg_idf[:, None])
-    others = total_power[:, None] - power
+        (q_word_idf >= avg_idf[None, :])
+    others = total_power[None, :] - power
     dominance_on = ~is_single & (tc >= 2)
-    dominant = (cand_ok & (power >= others)).any(axis=1) & dominance_on
+    dominant = (cand_ok & (power >= others)).any(axis=0) & dominance_on
     strong_anchor = sig["has_anchor_stem"] & \
-        (q_word_idf[:, 0] >= avg_idf) & dominance_on
+        (q_word_idf[0] >= avg_idf) & dominance_on
     precedence = precedence | jnp.where(dominant | strong_anchor, 1 << 13, 0)
     unmatched_terms = tc - terms_with_any
     precedence = precedence | jnp.where(

@@ -282,7 +282,9 @@ class SearchPipeline:
             if self._model.device is None:
                 self._model.build_inverted_lists()
             outs = self._model.device.search_batch(
-                [prep for _, prep in batch_items], coverage_depth)
+                [prep for _, prep in batch_items], coverage_depth,
+                total_docs=self._model.documents.count,
+                stop_term_limit=self._model.stop_term_limit)
             for (i, _), (scores, ids) in zip(batch_items, outs):
                 if fast_ok:
                     stage1[i] = self._model.finish_stage1_arrays(scores, ids)
@@ -433,13 +435,20 @@ class SearchPipeline:
         pending: List[tuple] = []
         leftover_work: List[tuple] = []
         if device_jobs:
-            from ..ops.coverage_kernel import CoverageConfig, D_CAP_NARROW
+            from ..ops.coverage_kernel import (CoverageConfig, D_CAP_NARROW,
+                                               D_CAP_SMALL, L_CAP_SMALL)
             config = CoverageConfig.from_setup(coverage_setup)
-            # Two chunk streams: docs with <= D_CAP_NARROW tokens run a
-            # program compiled at the narrow doc-token width (most tensors
-            # are O(D) or O(D^2) — short docs do a fraction of the work).
+            # Three chunk streams by doc/query shape: the kernel's work is
+            # O(D) to O(D*L^2) per candidate, so short docs with short
+            # words (the common case for title corpora) run a program
+            # compiled at (D_CAP_SMALL, L_CAP_SMALL) — a fraction of the
+            # full-width cost; mid docs at the narrow D; the rest at the
+            # full table width.
             config_narrow = config._replace(d_cap=D_CAP_NARROW)
-            tok_counts = model.coverage_tables.tok_count_host
+            config_small = config._replace(d_cap=D_CAP_SMALL)
+            tables = model.coverage_tables
+            tok_counts = tables.tok_count_host
+            max_wlens = tables.max_wlen_host
             for ws in range(0, len(device_jobs), COVERAGE_B_PAD):
                 wave = device_jobs[ws : ws + COVERAGE_B_PAD]
                 encs = [enc for _, enc in wave]
@@ -447,10 +456,16 @@ class SearchPipeline:
                 # serves every batch size (pad rows repeat query 0).
                 while len(encs) < COVERAGE_B_PAD:
                     encs.append(encs[0])
-                wave_args = self._stack_wave(encs)
+                wave_args = {
+                    "small": self._stack_wave(encs, L_CAP_SMALL),
+                    "narrow": self._stack_wave(encs),
+                }
+                wave_args["wide"] = wave_args["narrow"]
+                configs = {"small": config_small, "narrow": config_narrow,
+                           "wide": config}
                 wave_jobs = [job for job, _ in wave]
-                # Per narrow-class accumulators of per-job candidate arrays.
-                acc = {True: [], False: []}
+                # Per shape-class accumulators of per-job candidate arrays.
+                acc = {"small": [], "narrow": [], "wide": []}
                 t0 = _time.perf_counter() if trace else 0.0
                 for qi, (job, enc) in enumerate(wave):
                     if job.get("fast"):
@@ -464,9 +479,15 @@ class SearchPipeline:
                         cand = _tuples_to_arrays(tuples)
                     if trace:
                         n_cands += cand["ids"].size
-                    narrow = tok_counts[cand["ids"]] <= D_CAP_NARROW
-                    for cls in (True, False):
-                        m = narrow if cls else ~narrow
+                    tc = tok_counts[cand["ids"]]
+                    small = ((tc <= D_CAP_SMALL)
+                             & (max_wlens[cand["ids"]] <= L_CAP_SMALL)
+                             if enc["q_maxlen"] <= L_CAP_SMALL
+                             else np.zeros(cand["ids"].size, bool))
+                    narrow = ~small & (tc <= D_CAP_NARROW)
+                    wide = ~small & ~narrow
+                    for cls, m in (("small", small), ("narrow", narrow),
+                                   ("wide", wide)):
                         if m.any():
                             acc[cls].append((qi, {k: v[m]
                                                   for k, v in cand.items()}))
@@ -474,7 +495,7 @@ class SearchPipeline:
                     t_resolve += _time.perf_counter() - t0
 
                 t0 = _time.perf_counter() if trace else 0.0
-                for cls in (True, False):
+                for cls in ("small", "narrow", "wide"):
                     if not acc[cls]:
                         continue
                     ids = np.concatenate([c["ids"] for _, c in acc[cls]])
@@ -489,8 +510,7 @@ class SearchPipeline:
                         e = min(s + DEVICE_COVERAGE_CHUNK, ids.size)
                         out = self._dispatch_chunk(
                             ids[s:e], qsel[s:e], base[s:e], lcs_v[s:e],
-                            wave_args,
-                            config_narrow if cls else config)
+                            wave_args[cls], configs[cls])
                         pending.append((out, qsel[s:e], idx[s:e], keys[s:e],
                                         e - s, wave_jobs))
                         n_chunks += 1
@@ -981,11 +1001,15 @@ class SearchPipeline:
         last_alpha = bool(fusion_tokens
                           and len(fusion_tokens[-1].lower) == 1
                           and fusion_tokens[-1].lower.isalpha())
+        q_maxlen = max(
+            int(q_lens[:q_count].max()) if q_count else 0,
+            int(fq_lens[:fq_count].max()) if fq_count else 0)
         return dict(q_chars=q_chars, q_rev=q_rev, q_lens=q_lens, q_idf=q_idf,
                     q_widf=q_widf, q_count=np.int32(q_count), q_sorted=q_sorted,
                     fq_chars=fq_chars, fq_rev=fq_rev, fq_lens=fq_lens,
                     fq_count=np.int32(fq_count), last_alpha=last_alpha,
-                    query_len=np.int32(len(context.query)))
+                    query_len=np.int32(len(context.query)),
+                    q_maxlen=q_maxlen)
 
     # ------------------------------------------------------------------
     def _resolve_candidates(self, job: dict):
@@ -1053,31 +1077,35 @@ class SearchPipeline:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _stack_wave(encs: List[dict]) -> tuple:
+    def _stack_wave(encs: List[dict], l_cap: Optional[int] = None) -> tuple:
         """Stack COVERAGE_B_PAD encoded queries into the kernel's [B, ...]
         argument arrays (built once per wave, reused by every chunk).
 
         The query-token axes are bucketed to {4, Q_MAX}: almost every
         tensor in the kernel carries a Q (or FQ) dimension, so a wave of
         short queries compiles to a program with 4x less work on that
-        axis. Two buckets keep the compiled-program count tiny.
+        axis. ``l_cap`` additionally truncates the char axis (the small
+        bucket runs at L_CAP_SMALL; only candidates whose query AND doc
+        words fit are routed there). Few buckets keep compile counts tiny.
         """
-        from ..ops.coverage_kernel import FQ_MAX, Q_MAX
+        from ..ops.coverage_kernel import FQ_MAX, L_MAX, Q_MAX
 
         max_q = max(int(e["q_count"]) for e in encs)
         max_fq = max(int(e["fq_count"]) for e in encs)
         q_pad = 4 if max_q <= 4 else Q_MAX
         fq_pad = 4 if max_fq <= 4 else FQ_MAX
+        l_cap = l_cap or L_MAX
 
-        stk = lambda key: np.stack([e[key] for e in encs])
         stk_q = lambda key: np.stack([e[key][:q_pad] for e in encs])
+        stk_qc = lambda key: np.stack([e[key][:q_pad, :l_cap] for e in encs])
         stk_fq = lambda key: np.stack([e[key][:fq_pad] for e in encs])
+        stk_fqc = lambda key: np.stack([e[key][:fq_pad, :l_cap] for e in encs])
         q_args = (
-            stk_q("q_chars"), stk_q("q_rev"), stk_q("q_lens"),
+            stk_qc("q_chars"), stk_qc("q_rev"), stk_q("q_lens"),
             stk_q("q_idf"), stk_q("q_widf"),
             np.array([e["q_count"] for e in encs], np.int32),
             stk_q("q_sorted"),
-            stk_fq("fq_chars"), stk_fq("fq_rev"), stk_fq("fq_lens"),
+            stk_fqc("fq_chars"), stk_fqc("fq_rev"), stk_fq("fq_lens"),
             np.array([e["fq_count"] for e in encs], np.int32),
             np.array([e["last_alpha"] for e in encs], np.bool_),
         )

@@ -20,3 +20,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the unrolled coverage kernels take tens of
+# seconds to compile; caching them across test runs cuts the suite from
+# ~30min to minutes. Safe here because tests are CPU-only (enabling the
+# cache against the tunneled TPU backend hangs it).
+jax.config.update("jax_compilation_cache_dir", "/tmp/infidex_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -125,14 +125,15 @@ def test_lev_multi_matches_oracle(budget):
     chars, lens = encode(words, C, D)
     q_chars, q_lens = encode_q(qs, Q)
     out = np.asarray(batched_lev_multi(
-        q_chars, q_lens, chars, lens, budget=budget, l_max=L))
+        q_chars, q_lens, chars.transpose(2, 1, 0), lens.T,
+        budget=budget, l_max=L))
     it = 0
     for c in range(C):
         for d in range(D):
             w = words[it]; it += 1
             for qi, q in enumerate(qs):
                 expected = min(levenshtein(q, w), budget + 1)
-                assert out[c, qi, d] == expected, (q, w, out[c, qi, d], expected)
+                assert out[qi, d, c] == expected, (q, w, out[qi, d, c], expected)
 
 
 @pytest.mark.parametrize("max_distance", [1, 2])
@@ -166,7 +167,8 @@ def test_damerau_multi_matches_oracle(max_distance):
         chars_rev, _ = encode([w[::-1] for w in words], C, D)
         q_chars_rev, _ = encode_q([q[::-1] for q in qs], Q)
         out = np.asarray(batched_damerau_multi(
-            q_chars, q_lens, chars, lens, q_chars_rev, chars_rev,
+            q_chars, q_lens, chars.transpose(2, 1, 0), lens.T,
+            q_chars_rev, chars_rev.transpose(2, 1, 0),
             max_distance=max_distance, l_max=L))
         it = 0
         for c in range(C):
@@ -174,7 +176,7 @@ def test_damerau_multi_matches_oracle(max_distance):
                 w = words[it]; it += 1
                 for qi, q in enumerate(qs):
                     expected = calculate_damerau(q, w, max_distance)
-                    got = out[c, qi, d]
+                    got = out[qi, d, c]
                     assert (got <= max_distance) == (expected <= max_distance), \
                         (q, w, got, expected)
                     if expected <= max_distance:

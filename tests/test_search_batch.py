@@ -86,16 +86,43 @@ def test_batch_empty_and_single(engine):
 
 
 def test_stage1_device_batch_matches_single(engine):
-    """DeviceIndex.search_batch == per-query DeviceIndex.search."""
+    """DeviceIndex.search_batch == per-query DeviceIndex.search.
+
+    The single kernel takes host-materialized fuzzy doc unions; the batch
+    kernel unions matched term ids on device — this asserts the two fuzzy
+    paths produce identical scores (typo queries included below)."""
+    from infidex_tpu.index.device import compute_idf
+
     model = engine.vector_model
     device = model.device
     preps = []
-    for q in ["shawshank", "star wars", "godfather", "terminator"]:
+    for q in ["shawshank", "star wars", "godfather", "terminator",
+              "shawshenk", "termnator wars"]:
         p = model.prepare_stage1(q)
         assert p is not None
         preps.append(p)
-    singles = [device.search(t, i, 16, ed, ei) for (t, i, ed, ei) in preps]
-    batch = device.search_batch(preps, 16)
+
+    def materialize(groups):
+        ed_l, ei_l = [], []
+        for grp in groups:
+            chunks = [model.built.postings_for(int(t))[0]
+                      for t in np.asarray(grp)]
+            union = np.unique(np.concatenate(chunks)) if chunks else \
+                np.zeros(0, np.int32)
+            if 0 < union.size <= model.stop_term_limit:
+                fidf = compute_idf(model.documents.count, int(union.size))
+                ed_l.append(union.astype(np.int32))
+                ei_l.append(np.full(union.size, fidf, np.float32))
+        if not ed_l:
+            return None, None
+        return np.concatenate(ed_l), np.concatenate(ei_l)
+
+    singles = []
+    for (t, i, groups) in preps:
+        ed, ei = materialize(groups)
+        singles.append(device.search(t, i, 16, ed, ei))
+    batch = device.search_batch(preps, 16, total_docs=model.documents.count,
+                                stop_term_limit=model.stop_term_limit)
     for (s_sc, s_id), (b_sc, b_id) in zip(singles, batch):
         np.testing.assert_allclose(s_sc, b_sc, rtol=1e-6)
         # ids may tie-break differently only where scores tie; require
