@@ -8,24 +8,28 @@ data block, WordMatcher trailer appended by the facade) and
 RECOMPUTED on load so saved+loaded engines rank identically to in-memory
 ones.
 
-Format here: magic ``IFDXTPU2`` + version + CRC32-checksummed pickled
-payload. The payload stores the raw postings (CSR image + term texts),
-documents, word-matcher tables and short-query index; device tensors are
-re-uploaded on load.
+Format here: magic ``IFDXTPU2`` + version + CRC32-checksummed payload in
+the safe tagged binary codec (``utils/safe_codec.py`` — a pure data
+format; decoding constructs only primitives/containers/ndarrays, so a
+tampered index file cannot execute code, matching the reference's
+INFDX2 safety posture). The payload stores the raw postings (CSR image +
+term texts), documents, word-matcher tables and short-query index;
+device tensors are re-uploaded on load.
 """
 
 from __future__ import annotations
 
-import io
-import pickle
+import dataclasses
 import struct
 import zlib
 from typing import Optional
 
 import numpy as np
 
+from ..utils.safe_codec import CodecError, decode as _codec_decode, encode as _codec_encode
+
 MAGIC = b"IFDXTPU2"
-VERSION = 2
+VERSION = 3
 
 
 class IndexFormatError(Exception):
@@ -71,6 +75,15 @@ def _restore_doc(state) -> "Document":
     return doc
 
 
+def _wm_state_encodable(state: dict) -> dict:
+    """WordMatcher state with the setup dataclass flattened to a dict."""
+    state = dict(state)
+    setup = state.get("setup")
+    if setup is not None and dataclasses.is_dataclass(setup):
+        state["setup"] = dataclasses.asdict(setup)
+    return state
+
+
 def save_engine(engine, file_path: str) -> None:
     model = engine.vector_model
     if model.built is None:
@@ -93,7 +106,7 @@ def save_engine(engine, file_path: str) -> None:
         "postings_weights": model.built.postings_weights,
         "short_query_index": (model.short_query_index.state_dict()
                               if model.short_query_index is not None else None),
-        "word_matcher": (engine.word_matcher.state_dict()
+        "word_matcher": (_wm_state_encodable(engine.word_matcher.state_dict())
                          if engine.word_matcher is not None else None),
         "schema": (_doc_state_schema(engine.document_field_schema)
                    if engine.document_field_schema is not None else None),
@@ -101,7 +114,7 @@ def save_engine(engine, file_path: str) -> None:
                      if engine.synonym_map is not None else None),
     }
 
-    blob = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+    blob = _codec_encode(payload)
     checksum = zlib.crc32(blob) & 0xFFFFFFFF
     with open(file_path, "wb") as fh:
         fh.write(MAGIC)
@@ -135,7 +148,10 @@ def load_engine(file_path: str, **engine_kwargs):
         blob = fh.read(length)
         if (zlib.crc32(blob) & 0xFFFFFFFF) != checksum:
             raise IndexFormatError("checksum mismatch: index file is corrupt")
-        payload = pickle.loads(blob)
+        try:
+            payload = _codec_decode(blob)
+        except CodecError as exc:
+            raise IndexFormatError(f"malformed index payload: {exc}") from exc
 
     cfg = dict(payload["engine_config"])
     cfg.update(engine_kwargs)
@@ -145,7 +161,10 @@ def load_engine(file_path: str, **engine_kwargs):
     has_wm = payload["word_matcher"] is not None
     wm_setup = cfg.pop("word_matcher_setup", None)
     if has_wm and wm_setup is None:
-        wm_setup = payload["word_matcher"]["setup"]
+        stored = payload["word_matcher"]["setup"]
+        if isinstance(stored, dict):
+            stored = WordMatcherSetup(**stored)
+        wm_setup = stored
     if not has_wm and wm_setup is not None:
         raise IndexFormatError("index file is missing required WordMatcher data")
 
