@@ -89,6 +89,10 @@ class SearchEngine:
         self._is_indexed = False
         self._document_field_schema: Optional[DocumentFields] = None
         self._compiled_filter_cache: Dict = {}
+        # Columnar attribute image for vectorized filters/facets (SURVEY
+        # §7.5); built lazily on first filtered/faceted query, dropped on
+        # any index mutation.
+        self._column_store = None
         self._rw_lock = ReadWriteLock()
         self.status = SearchEngineStatus.READY
         self.progress_changed: List[Callable[[int], None]] = []
@@ -164,6 +168,7 @@ class SearchEngine:
         self._vector_model.build_optimized_indexes()
         self._rebuild_short_query_resolver()
         self._pipeline.invalidate_caches()
+        self._column_store = None
         self._report_progress(100, progress)
 
     def index_documents_async(self, documents: Iterable[Document],
@@ -212,6 +217,7 @@ class SearchEngine:
                 if self._word_matcher is not None:
                     self._word_matcher.load(stored.indexed_text, stored.id)
                 self._is_indexed = False
+                self._column_store = None
             finally:
                 self.status = SearchEngineStatus.READY
 
@@ -224,6 +230,7 @@ class SearchEngine:
                 self._vector_model.flush(segment_path)
                 self._vector_model.build_inverted_lists()
                 self._pipeline.invalidate_caches()
+                self._column_store = None
                 self._is_indexed = True
             finally:
                 self.status = SearchEngineStatus.READY
@@ -238,6 +245,7 @@ class SearchEngine:
                 self._vector_model.build_optimized_indexes()
                 self._rebuild_short_query_resolver()
                 self._pipeline.invalidate_caches()
+                self._column_store = None
                 self._is_indexed = True
             finally:
                 self.status = SearchEngineStatus.READY
@@ -245,6 +253,7 @@ class SearchEngine:
     def delete_documents(self, document_key: int) -> None:
         with self._rw_lock.write_lock():
             self._vector_model.documents.delete_documents_by_key(document_key)
+            self._column_store = None
             if self._vector_model.device is not None:
                 import numpy as np
 
@@ -440,22 +449,45 @@ class SearchEngine:
             return out
 
     def _handle_empty_query_with_facets(self, q: Query) -> Result:
-        all_results = [ScoreEntry(65535.0, d.document_key)
-                       for d in self._vector_model.documents.all_documents()]
+        """Empty-query faceting without materializing a ScoreEntry per doc:
+        live ids come from the ColumnStore, the filter is one dense mask,
+        and only the top ``max_records`` entries are built."""
+        from .filtering.columnar import contains_derived
+
+        docs = self._vector_model.documents
+        store = self._get_column_store()
+        live = store.live_doc_ids
         if q.filter is not None:
-            processor = ResultProcessor(self._vector_model.documents,
-                                        self._compiled_filter_cache)
-            all_results = processor.apply_filter(all_results, q.filter)
-        top = all_results[: q.max_number_of_records_to_return]
+            if contains_derived(q.filter):
+                all_results = [ScoreEntry(65535.0, d.document_key)
+                               for d in docs.all_documents()]
+                processor = ResultProcessor(docs, self._compiled_filter_cache,
+                                            column_store=store)
+                all_results = processor.apply_filter(all_results, q.filter)
+                top = all_results[: q.max_number_of_records_to_return]
+                facets = facet_builder.build_facets(
+                    top, docs, self._document_field_schema)
+                return Result(records=top, facets=facets,
+                              truncation_index=len(top) - 1 if top else 0,
+                              truncation_score=top[-1].score if top else 0.0)
+            mask = store.evaluate(q.filter)
+            if getattr(q.filter, "number_of_documents_in_filter", None) == 0:
+                q.filter.number_of_documents_in_filter = int(mask[live].sum())
+            live = live[mask[live]]
+        top = [ScoreEntry(65535.0, docs.get_document(int(i)).document_key)
+               for i in live[: q.max_number_of_records_to_return]]
         facets = facet_builder.build_facets(
-            top, self._vector_model.documents, self._document_field_schema)
+            top, docs, self._document_field_schema)
         return Result(records=top, facets=facets,
                       truncation_index=len(top) - 1 if top else 0,
                       truncation_score=top[-1].score if top else 0.0)
 
     def _apply_post_processing(self, results: List[ScoreEntry], q: Query) -> List[ScoreEntry]:
-        processor = ResultProcessor(self._vector_model.documents,
-                                    self._compiled_filter_cache)
+        needs_store = (q.filter is not None
+                       or (q.enable_boost and bool(q.boosts)))
+        processor = ResultProcessor(
+            self._vector_model.documents, self._compiled_filter_cache,
+            column_store=self._get_column_store() if needs_store else None)
         if q.compiled_filter_bytecode is not None:
             from .filtering.serializer import deserialize
 
@@ -514,3 +546,16 @@ class SearchEngine:
     def _mark_indexed(self) -> None:
         self._is_indexed = True
         self._pipeline.invalidate_caches()
+        self._column_store = None
+
+    def _get_column_store(self):
+        """Lazily-built ColumnStore; a fully-built store is published with
+        one atomic attribute assignment so concurrent readers either see
+        None (and build their own) or a complete store."""
+        store = self._column_store
+        if store is None:
+            from .filtering.columnar import ColumnStore
+
+            store = ColumnStore(self._vector_model.documents)
+            self._column_store = store
+        return store

@@ -92,19 +92,24 @@ class ColumnStore:
     """Columnar image of document attributes for vectorized filtering/facets."""
 
     def __init__(self, documents) -> None:
-        self.n_docs = len(documents)
+        self.n_docs = documents.total_slots()
         self.columns: Dict[str, Column] = {}
         self._documents = documents
+        live = []
         for doc_id in range(self.n_docs):
             doc = documents.get_document(doc_id)
             if doc is None:
                 continue
+            if not doc.deleted:
+                live.append(doc_id)
             for field in doc.fields:
                 col = self.columns.get(field.name)
                 if col is None:
                     col = Column(self.n_docs)
                     self.columns[field.name] = col
                 col.set(doc_id, field.value)
+        #: internal ids of live (non-deleted) documents, in id order
+        self.live_doc_ids = np.asarray(live, dtype=np.int64)
 
     def column(self, name: str) -> Optional[Column]:
         return self.columns.get(name)
@@ -258,8 +263,12 @@ class ColumnStore:
 
     # ------------------------------------------------------------------
     def facet_counts(self, field_name: str, doc_ids: np.ndarray,
-                     max_per_field: int = 100):
-        """Facet aggregation as a bincount over dictionary codes."""
+                     max_per_field: int = 100, is_array: bool = False):
+        """Facet aggregation as a bincount over dictionary codes.
+
+        Array-valued fields (FacetBuilder.cs counts each element) expand the
+        per-unique-code counts into per-element counts — O(unique values),
+        not O(result docs)."""
         col = self.column(field_name)
         if col is None or doc_ids.size == 0:
             return []
@@ -268,13 +277,40 @@ class ColumnStore:
         if codes.size == 0:
             return []
         counts = np.bincount(codes, minlength=len(col.values))
-        pairs = [
-            (str(col.values[i]), int(c))
-            for i, c in enumerate(counts)
-            if c > 0 and col.values[i] is not None and str(col.values[i])
-        ]
-        pairs.sort(key=lambda kv: (-kv[1], kv[0]))
+        agg: Dict[str, int] = {}
+        for i, c in enumerate(counts):
+            if c <= 0:
+                continue
+            value = col.values[i]
+            if value is None:
+                continue
+            if is_array and isinstance(value, (list, tuple)):
+                elements = [str(v) for v in value if v is not None]
+            else:
+                elements = [str(value)]
+            for s in elements:
+                if s:
+                    agg[s] = agg.get(s, 0) + int(c)
+        pairs = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
         return pairs[:max_per_field]
+
+
+def contains_derived(f: Optional[Filter]) -> bool:
+    """True if any node in the filter AST is a DerivedFilter.
+
+    Derived predicates are arbitrary callables and stay on the per-document
+    VM path, matching the reference (FilterCompiler.cs:77 cannot compile
+    them to bytecode either)."""
+    if f is None:
+        return False
+    if isinstance(f, DerivedFilter):
+        return True
+    if isinstance(f, CompositeFilter):
+        return contains_derived(f.left_filter) or contains_derived(f.right_filter)
+    if isinstance(f, TernaryFilter):
+        return (contains_derived(f.condition) or contains_derived(f.true_value)
+                or contains_derived(f.false_value))
+    return False
 
 
 def _try_float(v: Any) -> Optional[float]:

@@ -24,9 +24,24 @@ class _AstFallback:
 
 
 class ResultProcessor:
-    def __init__(self, documents: DocumentCollection, compiled_filter_cache: Dict):
+    def __init__(self, documents: DocumentCollection, compiled_filter_cache: Dict,
+                 column_store=None):
         self._documents = documents
         self._cache = compiled_filter_cache
+        # Columnar fast path (SURVEY §7.5): when the facade supplies a
+        # ColumnStore, non-derived filters evaluate as one dense mask over
+        # all docs instead of a per-document VM run.
+        self._column_store = column_store
+
+    def _columnar_mask(self, flt):
+        """Dense bool mask for *flt*, or None if the VM path must be used."""
+        if self._column_store is None or flt is None:
+            return None
+        from ..filtering.columnar import contains_derived
+
+        if contains_derived(flt):
+            return None
+        return self._column_store.evaluate(flt)
 
     def _compile(self, flt):
         compiled = self._cache.get(flt)
@@ -46,6 +61,18 @@ class ResultProcessor:
     def apply_filter(self, results: List[ScoreEntry], flt,
                      precompiled=None) -> List[ScoreEntry]:
         from ..filtering.vm import FilterVM
+
+        mask = self._columnar_mask(flt)
+        if mask is not None:
+            if getattr(flt, "number_of_documents_in_filter", None) == 0:
+                live = self._column_store.live_doc_ids
+                flt.number_of_documents_in_filter = int(mask[live].sum())
+            filtered = []
+            for entry in results:
+                doc = self._documents.get_document_by_public_key(entry.document_id)
+                if doc is not None and mask[doc.id]:
+                    filtered.append(entry)
+            return filtered
 
         compiled = precompiled if precompiled is not None else self._compile(flt)
         vm = FilterVM()
@@ -71,6 +98,37 @@ class ResultProcessor:
 
         if not boosts:
             return results
+
+        # Columnar path: each boost filter becomes one dense mask; the loop
+        # over results is O(1) lookups instead of VM executions.
+        masked_boosts = []
+        if self._column_store is not None:
+            for boost in boosts:
+                if boost.filter is None:
+                    continue
+                mask = self._columnar_mask(boost.filter)
+                if mask is None:
+                    masked_boosts = None
+                    break
+                masked_boosts.append((mask, int(boost.boost_strength)))
+        else:
+            masked_boosts = None
+        if masked_boosts:
+            out = []
+            for entry in results:
+                doc = self._documents.get_document_by_public_key(entry.document_id)
+                if doc is None:
+                    out.append(entry)
+                    continue
+                total = sum(strength for mask, strength in masked_boosts
+                            if mask[doc.id])
+                if total > 0:
+                    entry = ScoreEntry(entry.score + total, entry.document_id,
+                                       entry.tiebreaker, entry.segment_number)
+                out.append(entry)
+            out.sort(key=lambda e: -e.score)
+            return out
+
         compiled_boosts = []
         for boost in boosts:
             if boost.filter is None:
