@@ -138,6 +138,7 @@ class VectorModel:
 
         # LD1 expansion structures (built lazily at finalize)
         self._ld1_index: Optional[Dict[str, List[int]]] = None
+        self._sig_index = None  # MXU signature matcher (ops/fuzzy.py)
         self._fuzzy_cache = _LruCache(1000)
 
         # Short-query positional prefix index, wired by the engine
@@ -230,6 +231,7 @@ class VectorModel:
         self.device = DeviceIndex(self.built, deleted)
         self._build_word_idf_cache()
         self._ld1_index = None  # rebuilt lazily
+        self._sig_index = None
         self._fuzzy_cache = _LruCache(1000)
 
     calculate_weights = build_inverted_lists
@@ -438,6 +440,49 @@ class VectorModel:
             self._ld1_index = idx
         return self._ld1_index
 
+    # Vocabularies above this size use the MXU signature matmul
+    # (ops/fuzzy.py) instead of the host symmetric-delete dictionary,
+    # whose build is O(vocab x len) time and memory.
+    SIGNATURE_VOCAB_THRESHOLD = 200_000
+
+    def _use_signature_index(self) -> bool:
+        return (self.built is not None
+                and len(self.built.terms) >= self.SIGNATURE_VOCAB_THRESHOLD)
+
+    def _ensure_sig_index(self):
+        if self._sig_index is None:
+            from ..ops.fuzzy import NGramSignatureIndex
+
+            self._sig_index = NGramSignatureIndex(
+                self.built.terms, self.built.df)
+        return self._sig_index
+
+    @staticmethod
+    def _ld1_verify(text: str, term: str) -> bool:
+        """The exact reference predicate (FstIndex.MatchWithinEditDistance1):
+        plain Levenshtein <= 1, no transposition, |len diff| <= 1."""
+        return (abs(len(term) - len(text)) <= 1
+                and levenshtein(text, term, 1) <= 1)
+
+    def prime_fuzzy_cache(self, tokens: List[str]) -> None:
+        """Resolve many unknown tokens in ONE device round trip.
+
+        The batch pipeline calls this with every unknown token of a query
+        batch before per-query ``prepare_stage1``, so the per-token lookups
+        below always hit the LRU when the signature backend is active."""
+        misses = [t for t in dict.fromkeys(tokens)
+                  if self._fuzzy_cache.get(t) is None]
+        if not misses:
+            return
+        if self._use_signature_index():
+            sig = self._ensure_sig_index()
+            for tok, matched in zip(misses,
+                                    sig.match_batch(misses, self._ld1_verify)):
+                self._fuzzy_cache.put(tok, matched)
+        else:
+            for tok in misses:
+                self.expand_missing_term_ids(tok)
+
     def expand_missing_term_ids(self, text: str) -> np.ndarray:
         """LD1-matched vocab term ids for an unknown query token.
 
@@ -449,6 +494,12 @@ class VectorModel:
         if cached is not None:
             return cached
 
+        if self._use_signature_index():
+            sig = self._ensure_sig_index()
+            result = sig.match_batch([text], self._ld1_verify)[0]
+            self._fuzzy_cache.put(text, result)
+            return result
+
         ld1 = self._ensure_ld1_index()
         cand_ids = set()
         for v in [text] + _delete_variants(text):
@@ -457,8 +508,7 @@ class VectorModel:
 
         matched: List[int] = []
         for tid in cand_ids:
-            term = self.built.terms[tid]
-            if abs(len(term) - len(text)) <= 1 and levenshtein(text, term, 1) <= 1:
+            if self._ld1_verify(text, self.built.terms[tid]):
                 matched.append(tid)
         result = np.asarray(sorted(matched)[:1024], dtype=np.int64)
         self._fuzzy_cache.put(text, result)

@@ -260,7 +260,7 @@ class SearchPipeline:
         # ---- Stage 1: host prep per query, ONE batched device call -----
         bsm: List[Dict] = [dict() for _ in range(n)]
         stage1: List = [[] for _ in range(n)]   # entries or Stage1Arrays
-        batch_items = []   # (query index, stage-1 prep tuple)
+        tfidf_queries: List[Optional[str]] = [None] * n
         for i, text in enumerate(texts):
             if not text or text.isspace():
                 out[i] = []
@@ -274,6 +274,16 @@ class SearchPipeline:
             tfidf_query = long_words_text if has_mixed else text
             if not tfidf_query or tfidf_query.isspace():
                 tfidf_query = text
+            tfidf_queries[i] = tfidf_query
+
+        # Resolve every unknown token of the whole batch in ONE device
+        # round trip (MXU signature matmul) before per-query prep.
+        self._prime_fuzzy_tokens([t for t in tfidf_queries if t is not None])
+
+        batch_items = []   # (query index, stage-1 prep tuple)
+        for i, tfidf_query in enumerate(tfidf_queries):
+            if tfidf_query is None:
+                continue
             prep = self._model.prepare_stage1(tfidf_query)
             if prep is not None:
                 batch_items.append((i, prep))
@@ -345,6 +355,28 @@ class SearchPipeline:
             else:
                 out[i] = coverage_results
         return [r if r is not None else [] for r in out]
+
+    # ------------------------------------------------------------------
+    def _prime_fuzzy_tokens(self, query_texts: List[str]) -> None:
+        """Collect unknown (fuzzy-eligible) tokens across the batch and
+        resolve them with one ``VectorModel.prime_fuzzy_cache`` call."""
+        model = self._model
+        if model.built is None or not query_texts:
+            return
+        term_to_id = model.built.term_to_id
+        df = model.built.df
+        unknown: List[str] = []
+        seen = set()
+        for text in query_texts:
+            for tok in model.tokenizer.tokenize_for_search(text):
+                if len(tok) < 4 or tok in seen:
+                    continue
+                seen.add(tok)
+                tid = term_to_id.get(tok, -1)
+                if tid < 0 or df[tid] <= 0:
+                    unknown.append(tok)
+        if unknown:
+            model.prime_fuzzy_cache(unknown)
 
     # ------------------------------------------------------------------
     def _fast_path_ok(self, coverage_setup) -> bool:
