@@ -44,15 +44,49 @@ NOUNS = [
     "station", "shawshank", "galaxy", "horizon", "memory", "legacy",
 ]
 
+# Title-like synthetic vocabulary: real movie-title corpora have tens of
+# thousands of distinct words with a Zipfian frequency profile. A tiny
+# fixed word list would make every title repeat thousands of times at
+# 300k+ docs, flooding BM25 with exact ties — a degenerate workload that
+# misrepresents both recall and pruning behavior.
+_SYLLABLES = ["ba", "ce", "dor", "fa", "gi", "han", "ji", "ka", "lo", "mer",
+              "na", "pol", "qua", "ri", "sa", "tor", "ul", "vi", "wen", "xa",
+              "yor", "zen", "ch", "st", "ra", "el", "in", "on", "ar", "us"]
+
+
+def _make_vocab(rng, size):
+    vocab = list(ADJECTIVES + NOUNS)
+    seen = set(vocab)
+    while len(vocab) < size:
+        w = "".join(rng.choice(_SYLLABLES)
+                    for _ in range(rng.randint(2, 4)))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+    return vocab
+
 
 def make_corpus(n):
+    """n title-like docs over a Zipf-distributed vocab of ~min(n/8, 50k)."""
     rng = random.Random(1234)
+    v = max(200, min(n // 8, 50_000))
+    vocab = _make_vocab(rng, v)
+    # Zipf ranks: weight 1/(rank+10); cumulative table for O(1) sampling.
+    weights = [1.0 / (r + 10.0) for r in range(v)]
+    total = sum(weights)
+    cum, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        cum.append(acc)
+    import bisect
+
+    def pick():
+        return vocab[bisect.bisect_left(cum, rng.random())]
+
     titles = []
     for i in range(n):
-        k = rng.randint(2, 4)
-        words = [rng.choice(ADJECTIVES) if j % 2 == 0 else rng.choice(NOUNS)
-                 for j in range(k)]
-        titles.append(" ".join(words).title())
+        k = rng.randint(2, 5)
+        titles.append(" ".join(pick() for _ in range(k)).title())
     titles[0] = "The Shawshank Redemption"
     return titles
 

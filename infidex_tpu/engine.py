@@ -262,6 +262,34 @@ class SearchEngine:
                     [self._vector_model.documents.get_document(i).deleted
                      for i in range(n)], dtype=bool)
                 self._vector_model.device.set_deleted(deleted)
+                if self._vector_model.sharded is not None:
+                    self._vector_model.sharded.set_deleted(deleted)
+                # keep the host-side mirrors (tiered Stage-1, fast-path
+                # finish) in sync with the device live mask
+                self._vector_model.deleted_arr = deleted
+
+    # ------------------------------------------------------------------
+    # Multi-device serving
+
+    def enable_sharded_serving(self, mesh=None, n_devices: Optional[int] = None
+                               ) -> None:
+        """Serve Stage-1 scoring and coverage sharded over a device mesh.
+
+        Documents shard across devices; postings and queries replicate;
+        per-shard top-k lists merge over ICI — the mesh analogue of the
+        reference's per-segment search + heap merge (VectorModel.cs:573-585).
+        Search results are identical to single-device serving (pinned by
+        tests/test_sharded_engine.py on an 8-CPU mesh)."""
+        from .parallel.sharding import make_mesh
+
+        with self._rw_lock.write_lock():
+            if mesh is None:
+                mesh = make_mesh(n_devices)
+            self._vector_model.enable_sharding(mesh)
+
+    def disable_sharded_serving(self) -> None:
+        with self._rw_lock.write_lock():
+            self._vector_model.disable_sharding()
 
     # ------------------------------------------------------------------
     # Search

@@ -1,4 +1,4 @@
-"""Tiered candidate selection over the CSR postings (host-side).
+"""Tiered candidate selection + pool scoring over the CSR postings.
 
 Behavioral reference: Infidex ``Scoring/TieredCandidateSelector.cs``
 (533 LoC): (0) positional-prefix precedence for strong prefixes;
@@ -7,16 +7,21 @@ missing, or the query is single-term; else tiered AND — all-terms
 intersection (leapfrog), then n-1 terms, then <= 2 selective high-IDF terms
 (idf >= 0.3 * max), with cardinality early-exits at top_k * {2, 3, 5, 10}.
 
-TPU note: the DEVICE Stage-1 deliberately skips candidate pruning — the
-full disjunction is one dense scatter + top-k and is faster than pointer
-chasing (index/device.py). This host implementation exists for (a) parity
-with the reference's semantics, (b) very large corpora where a host-side
-pre-selection shrinks the device worklist, and (c) environments without a
-device. Intersections ride numpy set ops (the reference rides roaring).
+Routing is driven by the measured TPU cost model (scripts/
+profile_stage1.py on the real chip): the device full-disjunction kernel
+costs ~35ms of link latency + ~12ns/lane of XLA scatter, so a
+multi-term query over a large corpus (n-gram dfs in the 10^5 range,
+10^6+ lanes) pays 100s of ms per batch — while the tiered AND runs in
+~1ms/query of numpy set ops and the exact BM25 of a topK*10 pool costs
+~3ms/query of searchsorted joins, both GIL-releasing and threadable.
+Small corpora, single-term, fuzzy and typo-suspect queries stay on the
+dense device path (exact full disjunction, the same trade the reference
+makes at TieredCandidateSelector.cs:108-124).
 """
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -24,6 +29,10 @@ import numpy as np
 TYPO_SUSPECT_DF = 10
 IDF_SELECTIVE_FRACTION = 0.3
 TIER_EXITS = (2, 3, 5, 10)
+
+#: per-query posting-lane count above which the tiered host path takes
+#: over from the device full disjunction (0 disables tiering entirely)
+TIER_LANE_BUDGET = int(os.environ.get("INFIDEX_TPU_TIER_LANES", 262_144))
 
 
 class TieredCandidateSelector:
@@ -37,12 +46,30 @@ class TieredCandidateSelector:
         e = self.built.term_offsets[term_id + 1]
         return self.built.postings_docs[s:e]
 
+    def _champions(self, term_id: int, cap: int) -> np.ndarray:
+        """The term's *cap* best docs by posting weight (byte-quantized tf;
+        BM25 is monotone in tf, so these are its likeliest top scorers).
+        Ties broken toward lower doc ids, like every other ordering here."""
+        s = int(self.built.term_offsets[term_id])
+        e = int(self.built.term_offsets[term_id + 1])
+        docs = self.built.postings_docs[s:e]
+        if docs.size <= cap:
+            return docs
+        w = self.built.postings_weights[s:e]
+        part = np.argpartition(-w.astype(np.int16), cap - 1)[:cap]
+        return docs[np.sort(part)]
+
     def select(self, term_ids: List[int], term_idf: List[float],
                top_k: int) -> Tuple[np.ndarray, str]:
         """Returns (candidate doc ids ascending, tier label).
 
         Tier labels: "union" | "all" | "all-minus-one" | "selective".
-        """
+        The non-union pools are bounded by ~4 * top_k * 10 docs: the
+        all-terms AND (early-exit cap, lowest ids — the reference's
+        enumeration-order exit), the rarest term's weight champions (its
+        idf dominates BM25, so docs carrying it are the likely disjunction
+        winners even when they miss a common term), plus widening tiers on
+        shortfall (n-1 AND, <=2 selective high-IDF champion lists)."""
         built = self.built
         live = [(t, i) for t, i in zip(term_ids, term_idf)
                 if t >= 0 and built.df[t] > 0]
@@ -58,17 +85,20 @@ class TieredCandidateSelector:
             parts = [self._postings(t) for t, _ in live]
             return np.unique(np.concatenate(parts)), "union"
 
-        # Tier 1: all-terms intersection, rarest first (leapfrog analogue)
+        cap = top_k * TIER_EXITS[3]
         order = np.argsort(dfs)
+
+        # Tier 1: all-terms intersection, rarest first (leapfrog analogue)
         inter = self._postings(live[order[0]][0])
         for oi in order[1:]:
             inter = np.intersect1d(inter, self._postings(live[oi][0]),
                                    assume_unique=True)
             if inter.size == 0:
                 break
+        parts = [inter[:cap], self._champions(live[order[0]][0], cap)]
+        merged = np.unique(np.concatenate(parts))
         if inter.size >= top_k * TIER_EXITS[0]:
-            return inter, "all"
-        result = [inter]
+            return merged, "all"
 
         # Tier 2: n-1 terms (drop the rarest — the likeliest typo)
         if len(live) >= 3:
@@ -78,8 +108,8 @@ class TieredCandidateSelector:
                     inter2, self._postings(live[oi][0]), assume_unique=True)
                 if inter2.size == 0:
                     break
-            result.append(inter2)
-            merged = np.unique(np.concatenate(result))
+            parts.append(inter2[:cap])
+            merged = np.unique(np.concatenate(parts))
             if merged.size >= top_k * TIER_EXITS[1]:
                 return merged, "all-minus-one"
 
@@ -89,8 +119,79 @@ class TieredCandidateSelector:
                      if i >= IDF_SELECTIVE_FRACTION * max_idf]
         selective.sort(key=lambda t: int(built.df[t]))
         for t in selective[:2]:
-            result.append(self._postings(t))
-            merged = np.unique(np.concatenate(result))
+            parts.append(self._champions(t, cap))
+            merged = np.unique(np.concatenate(parts))
             if merged.size >= top_k * TIER_EXITS[3]:
                 return merged, "selective"
-        return np.unique(np.concatenate(result)), "selective"
+        return merged, "selective"
+
+
+def score_pool(built, term_ids, term_idf, pool: np.ndarray) -> np.ndarray:
+    """Exact BM25+ of *pool* docs over the query terms (f32, device math).
+
+    Identical formula to ``index/device.py`` ``_stage1_kernel``: tf joined
+    per term via searchsorted over the doc-sorted CSR postings; a term
+    contributes only where the doc actually carries it (tf > 0)."""
+    from .device import B, DELTA, K1
+
+    if pool.size == 0:
+        return np.zeros(0, np.float32)
+    avgdl = np.float32(max(built.avgdl, 1e-9))
+    dl = built.doc_lengths[pool].astype(np.float32)
+    dl = np.where(dl <= 0.0, np.float32(1.0), dl)
+    norm = np.float32(K1) * (np.float32(1.0 - B) + np.float32(B) * (dl / avgdl))
+    scores = np.zeros(pool.size, np.float32)
+    offsets = built.term_offsets
+    docs = built.postings_docs
+    weights = built.postings_weights
+    for tid, idf in zip(term_ids, term_idf):
+        s, e = int(offsets[tid]), int(offsets[tid + 1])
+        p = docs[s:e]
+        if p.size == 0:
+            continue
+        pos = np.searchsorted(p, pool)
+        pos_c = np.minimum(pos, p.size - 1)
+        found = p[pos_c] == pool
+        tf = np.where(found, weights[s + pos_c], 0).astype(np.float32)
+        contrib = np.float32(idf) * (
+            (tf * np.float32(K1 + 1.0)) / (tf + norm) + np.float32(DELTA))
+        scores += np.where(found, contrib, np.float32(0.0))
+    return scores
+
+
+class TieredStage1:
+    """Host Stage-1 for large-corpus multi-term queries.
+
+    ``run`` returns (scores f32[top_k], ids int32[top_k]) in the device
+    kernel's output convention (score-descending, lower id wins ties,
+    non-positive score = padding), or None when the query must ride the
+    dense device path (union tier / disabled / empty pool)."""
+
+    def __init__(self, built, deleted_arr: Optional[np.ndarray] = None):
+        self.built = built
+        self.deleted_arr = deleted_arr
+        self._selector = TieredCandidateSelector(built)
+
+    def applicable(self, term_ids, fuzzy_groups) -> bool:
+        if TIER_LANE_BUDGET <= 0 or len(term_ids) < 2 or fuzzy_groups:
+            return False
+        df = self.built.df
+        lanes = int(sum(int(df[t]) for t in term_ids))
+        return lanes > TIER_LANE_BUDGET
+
+    def run(self, term_ids, term_idf, top_k: int):
+        pool, tier = self._selector.select(
+            [int(t) for t in term_ids], [float(i) for i in term_idf], top_k)
+        if tier == "union" or pool.size == 0:
+            return None
+        if self.deleted_arr is not None and self.deleted_arr.size:
+            pool = pool[~self.deleted_arr[pool]]
+        if pool.size == 0:
+            return None
+        scores = score_pool(self.built, term_ids, term_idf, pool)
+        order = np.argsort(-scores, kind="stable")[:top_k]
+        out_scores = np.zeros(top_k, np.float32)
+        out_ids = np.zeros(top_k, np.int32)
+        out_scores[: order.size] = scores[order]
+        out_ids[: order.size] = pool[order]
+        return out_scores, out_ids

@@ -139,11 +139,18 @@ class VectorModel:
         # LD1 expansion structures (built lazily at finalize)
         self._ld1_index: Optional[Dict[str, List[int]]] = None
         self._sig_index = None  # MXU signature matcher (ops/fuzzy.py)
+        self._tiered_stage1 = None  # host tier selector (index/candidates.py)
         self._fuzzy_cache = _LruCache(1000)
 
         # Short-query positional prefix index, wired by the engine
         self.short_query_index = None
         self.short_query_resolver = None
+
+        # Mesh-sharded serving (parallel/sharding.py): set by
+        # enable_sharding; rebuilt after every index rebuild.
+        self._mesh = None
+        self.sharded = None
+        self.sharded_tables = None
 
         # Device coverage tables (ops/coverage_kernel.CoverageTables)
         self.coverage_tables = None
@@ -232,7 +239,10 @@ class VectorModel:
         self._build_word_idf_cache()
         self._ld1_index = None  # rebuilt lazily
         self._sig_index = None
+        self._tiered_stage1 = None
         self._fuzzy_cache = _LruCache(1000)
+        if self._mesh is not None:
+            self._build_sharded_index()
 
     calculate_weights = build_inverted_lists
 
@@ -344,6 +354,42 @@ class VectorModel:
             self.short_query_index.freeze()
         self._build_document_metadata_cache()
         self._build_coverage_tables()
+        if self._mesh is not None and self.coverage_tables is not None:
+            from ..parallel.sharding import ShardedCoverageTables
+
+            self.sharded_tables = ShardedCoverageTables(
+                self.coverage_tables, self._mesh)
+
+    def enable_sharding(self, mesh) -> None:
+        """Serve Stage-1 + coverage sharded over *mesh* from now on.
+
+        The mesh analogue of the reference's per-segment search + merge
+        (VectorModel.cs:573-585); index rebuilds re-shard automatically."""
+        self._mesh = mesh
+        if self.built is not None:
+            self._build_sharded_index()
+        if self.coverage_tables is not None:
+            from ..parallel.sharding import ShardedCoverageTables
+
+            self.sharded_tables = ShardedCoverageTables(
+                self.coverage_tables, mesh)
+
+    def disable_sharding(self) -> None:
+        self._mesh = None
+        self.sharded = None
+        self.sharded_tables = None
+
+    def _build_sharded_index(self) -> None:
+        from ..parallel.sharding import ShardedDeviceIndex
+
+        self.sharded = ShardedDeviceIndex(
+            self.built, self._mesh,
+            self.deleted_arr if self.deleted_arr.size else None)
+
+    @property
+    def stage1_backend(self):
+        """The index image Stage-1 calls should use (sharded wins)."""
+        return self.sharded if self.sharded is not None else self.device
 
     def _build_coverage_tables(self) -> None:
         """Encode per-doc coverage token tables for the device kernel."""
@@ -629,6 +675,35 @@ class VectorModel:
                         best_segments_map[base] = (float(s), doc.segment_number)
         return entries
 
+    def _tier_gate(self, prep) -> bool:
+        """Cheap df-only routing check (no postings touched)."""
+        term_ids, _idfs, fuzzy_groups = prep
+        from .candidates import TIER_LANE_BUDGET
+
+        if (TIER_LANE_BUDGET <= 0 or len(term_ids) < 2 or fuzzy_groups
+                or self.built is None):
+            return False
+        lanes = int(self.built.df[np.asarray(term_ids, dtype=np.int64)].sum())
+        return lanes > TIER_LANE_BUDGET
+
+    def stage1_tiered_maybe(self, prep, top_k: int):
+        """Host tiered Stage-1 (index/candidates.py) when the query's lane
+        count makes the dense device scatter the slower option; returns
+        (scores, ids) in the device output convention, or None to route
+        the query to the device kernel."""
+        term_ids, idfs, fuzzy_groups = prep
+        if self.built is None:
+            return None
+        if self._tiered_stage1 is None:
+            from .candidates import TieredStage1
+
+            self._tiered_stage1 = TieredStage1(self.built, self.deleted_arr)
+        tiered = self._tiered_stage1
+        tiered.deleted_arr = self.deleted_arr  # may be refreshed on delete
+        if not tiered.applicable(term_ids, fuzzy_groups):
+            return None
+        return tiered.run(term_ids, idfs, top_k)
+
     def search(
         self,
         query_text: str,
@@ -639,9 +714,12 @@ class VectorModel:
         prep = self.prepare_stage1(query_text)
         if prep is None:
             return []
-        if self.device is None:
-            self.build_inverted_lists()
-        scores, ids = self.device.search_batch(
-            [prep], top_k, total_docs=self.documents.count,
-            stop_term_limit=self.stop_term_limit)[0]
+        out = self.stage1_tiered_maybe(prep, top_k)
+        if out is None:
+            if self.device is None:
+                self.build_inverted_lists()
+            out = self.stage1_backend.search_batch(
+                [prep], top_k, total_docs=self.documents.count,
+                stop_term_limit=self.stop_term_limit)[0]
+        scores, ids = out
         return self.finish_stage1(scores, ids, best_segments_map)

@@ -280,26 +280,71 @@ class SearchPipeline:
         # round trip (MXU signature matmul) before per-query prep.
         self._prime_fuzzy_tokens([t for t in tfidf_queries if t is not None])
 
-        batch_items = []   # (query index, stage-1 prep tuple)
+        batch_items = []   # (query index, stage-1 prep tuple) -> device
+        tier_jobs = []     # (query index, prep) -> host tiered Stage-1
+        model = self._model
         for i, tfidf_query in enumerate(tfidf_queries):
             if tfidf_query is None:
                 continue
-            prep = self._model.prepare_stage1(tfidf_query)
-            if prep is not None:
+            prep = model.prepare_stage1(tfidf_query)
+            if prep is None:
+                continue
+            if (model._tier_gate(prep)):
+                tier_jobs.append((i, prep))
+            else:
                 batch_items.append((i, prep))
 
+        # Tiered queries run on host threads (numpy set ops release the
+        # GIL) and OVERLAP the blocking device round trip below.
+        tier_futures = []
+        pool = None
+        if tier_jobs:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=min(8, len(tier_jobs)))
+            for i, prep in tier_jobs:
+                tier_futures.append(
+                    (i, prep, pool.submit(model.stage1_tiered_maybe, prep,
+                                          coverage_depth)))
+
         if batch_items:
-            if self._model.device is None:
-                self._model.build_inverted_lists()
-            outs = self._model.device.search_batch(
+            if model.device is None:
+                model.build_inverted_lists()
+            outs = model.stage1_backend.search_batch(
                 [prep for _, prep in batch_items], coverage_depth,
-                total_docs=self._model.documents.count,
-                stop_term_limit=self._model.stop_term_limit)
+                total_docs=model.documents.count,
+                stop_term_limit=model.stop_term_limit)
             for (i, _), (scores, ids) in zip(batch_items, outs):
                 if fast_ok:
-                    stage1[i] = self._model.finish_stage1_arrays(scores, ids)
+                    stage1[i] = model.finish_stage1_arrays(scores, ids)
                 else:
-                    stage1[i] = self._model.finish_stage1(scores, ids, bsm[i])
+                    stage1[i] = model.finish_stage1(scores, ids, bsm[i])
+
+        if tier_futures:
+            fallback = []
+            for i, prep, fut in tier_futures:
+                out_t = fut.result()
+                if out_t is None:
+                    fallback.append((i, prep))
+                    continue
+                scores, ids = out_t
+                if fast_ok:
+                    stage1[i] = model.finish_stage1_arrays(scores, ids)
+                else:
+                    stage1[i] = model.finish_stage1(scores, ids, bsm[i])
+            pool.shutdown(wait=False)
+            if fallback:
+                if model.device is None:
+                    model.build_inverted_lists()
+                outs = model.stage1_backend.search_batch(
+                    [prep for _, prep in fallback], coverage_depth,
+                    total_docs=model.documents.count,
+                    stop_term_limit=model.stop_term_limit)
+                for (i, _), (scores, ids) in zip(fallback, outs):
+                    if fast_ok:
+                        stage1[i] = model.finish_stage1_arrays(scores, ids)
+                    else:
+                        stage1[i] = model.finish_stage1(scores, ids, bsm[i])
 
         _mark("stage1")
 
@@ -1170,6 +1215,16 @@ class SearchPipeline:
         b_arr[:n] = base
         lcs_arr = np.zeros(c_pad, np.float32)
         lcs_arr[:n] = lcs_v
+
+        if self._model.sharded_tables is not None:
+            from ..parallel.sharding import sharded_coverage_batch
+
+            # Mesh path: synchronous (host routes candidates to their
+            # owning shard and stitches the order back) — returns numpy,
+            # which _device_collect passes through untransferred.
+            return sharded_coverage_batch(
+                self._model.sharded_tables, text_ids, qs, q_args, lcs_arr,
+                b_arr, qlen_arg, config)
 
         return coverage_fusion_batch(
             tables.word_chars, tables.word_chars_rev, tables.word_lens,

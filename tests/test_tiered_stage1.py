@@ -1,0 +1,145 @@
+"""Tiered host Stage-1 (index/candidates.py) vs dense device disjunction.
+
+The tier selector routes large-lane multi-term queries to host numpy set
+ops + exact pool BM25. On corpora where the best docs contain all query
+terms (the tier-1 AND pool), the tiered top-k must equal the device
+full-disjunction top-k, and score_pool must reproduce the device kernel's
+f32 BM25+ per doc."""
+
+import numpy as np
+import pytest
+
+import infidex_tpu.index.candidates as cand_mod
+from infidex_tpu.core.documents import Document
+from infidex_tpu.engine import SearchEngine
+from infidex_tpu.api.query import Query
+from infidex_tpu.index.candidates import TieredStage1, score_pool
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+         "hotel", "india", "juliet", "kilo", "lima", "mike", "november"]
+
+
+def make_corpus(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n):
+        k = rng.integers(2, 6)
+        docs.append(" ".join(rng.choice(WORDS, size=k, replace=False)))
+    # plant exact targets for the queries below
+    docs[0] = "alpha bravo charlie"
+    docs[1] = "alpha bravo delta echo"
+    docs[2] = "charlie delta alpha bravo"
+    return [Document(i, t) for i, t in enumerate(docs)]
+
+
+@pytest.fixture()
+def engine():
+    eng = SearchEngine.create_default()
+    eng.index_documents(make_corpus())
+    return eng
+
+
+def _stage1_ids(model, text, top_k, force_tier):
+    prep = model.prepare_stage1(text)
+    assert prep is not None
+    if force_tier:
+        tiered = TieredStage1(model.built, model.deleted_arr)
+        out = tiered.run(prep[0], prep[1], top_k)
+        if out is None:
+            # union tier (typo-suspect df<10 in this small corpus): the
+            # query legitimately routes back to the device path.
+            return None, None
+    else:
+        out = model.device.search_batch(
+            [prep], top_k, total_docs=model.documents.count,
+            stop_term_limit=model.stop_term_limit)[0]
+    scores, ids = out
+    n = int(np.sum(scores > 0))
+    return ids[:n], scores[:n]
+
+
+def test_pool_scores_match_device_kernel(engine):
+    """score_pool == device scores for the docs the tier pool covers."""
+    model = engine.vector_model
+    prep = model.prepare_stage1("alpha bravo")
+    dev_scores, dev_ids = model.device.search_batch(
+        [prep], 400, total_docs=model.documents.count,
+        stop_term_limit=model.stop_term_limit)[0]
+    dev_map = {int(i): float(s) for s, i in zip(dev_scores, dev_ids) if s > 0}
+
+    tiered = TieredStage1(model.built, model.deleted_arr)
+    out = tiered.run(prep[0], prep[1], 400)
+    assert out is not None
+    t_scores, t_ids = out
+    for s, i in zip(t_scores, t_ids):
+        if s <= 0:
+            break
+        assert int(i) in dev_map
+        np.testing.assert_allclose(s, dev_map[int(i)], rtol=1e-5)
+
+
+def test_tiered_topk_matches_device_on_conjunctive_corpus(engine):
+    model = engine.vector_model
+    tiered_count = 0
+    for q in ["alpha bravo", "charlie delta", "alpha bravo charlie"]:
+        ids_t, sc_t = _stage1_ids(model, q, 30, force_tier=True)
+        if ids_t is None:
+            continue
+        tiered_count += 1
+        ids_d, sc_d = _stage1_ids(model, q, 399, force_tier=False)
+        # The tier pool is the AND/selective union: every tiered hit must be
+        # a device hit with the same score...
+        dev_map = {int(i): float(s) for i, s in zip(ids_d, sc_d)}
+        for i, s in zip(ids_t, sc_t):
+            assert int(i) in dev_map
+            np.testing.assert_allclose(s, dev_map[int(i)], rtol=1e-5)
+        # ...and the planted all-terms docs (the true targets) must be in
+        # the tiered results. Full rank parity with the disjunction is NOT
+        # a tiering guarantee — docs outside the pool may interleave — the
+        # engine-level identity test below plus bench recall@10 cover that.
+        want = {0, 1, 2} & {int(i) for i in ids_d[:30]}
+        got = {int(i) for i in ids_t}
+        assert want <= got, q
+    assert tiered_count >= 1  # at least one query exercised the tier path
+
+
+def test_engine_results_identical_with_tiering_forced(engine, monkeypatch):
+    """Full engine ranking (coverage rerank included) is unchanged when the
+    tier gate is forced on for every multi-term query."""
+    queries = ["alpha bravo", "charlie delta alpha", "bravo echo"]
+    baseline = [[(e.document_id, round(e.score, 4))
+                 for e in engine.search(Query(q, 10)).records] for q in queries]
+
+    monkeypatch.setattr(cand_mod, "TIER_LANE_BUDGET", 1)
+    engine.vector_model._tiered_stage1 = None
+    tiered = [[(e.document_id, round(e.score, 4))
+               for e in engine.search(Query(q, 10)).records] for q in queries]
+    assert tiered == baseline
+
+    # batch path too
+    rs = engine.search_batch([Query(q, 10) for q in queries])
+    batch = [[(e.document_id, round(e.score, 4)) for e in r.records] for r in rs]
+    assert batch == baseline
+
+
+def test_tier_gate_routing(engine, monkeypatch):
+    model = engine.vector_model
+    prep = model.prepare_stage1("alpha bravo")
+    # default budget: small corpus stays on device
+    assert model._tier_gate(prep) is False
+    monkeypatch.setattr(cand_mod, "TIER_LANE_BUDGET", 1)
+    assert model._tier_gate(prep) is True
+    # fuzzy queries never tier (reference: typo suspected -> disjunction)
+    fuzzy = (prep[0], prep[1], [np.array([1, 2])])
+    assert model._tier_gate(fuzzy) is False
+
+
+def test_tiered_respects_deleted_docs(engine, monkeypatch):
+    monkeypatch.setattr(cand_mod, "TIER_LANE_BUDGET", 1)
+    engine.vector_model._tiered_stage1 = None
+    before = engine.search(Query("alpha bravo charlie", 5)).records
+    assert before
+    top_key = before[0].document_id
+    engine.delete_documents(top_key)
+    after = engine.search(Query("alpha bravo charlie", 5)).records
+    assert all(e.document_id != top_key for e in after)
