@@ -249,6 +249,79 @@ def _stage1_kernel_batch(
     return jnp.stack([top_scores, top_ids.astype(jnp.float32)])
 
 
+def prepare_batch_arrays(built: BuiltIndex, queries):
+    """Host half of the batched Stage-1: flatten B queries' (term, idf)
+    lists and fuzzy term-id groups into the padded CSR-range arrays the
+    batch kernels consume. Shared by the single-chip DeviceIndex and the
+    mesh-sharded index (parallel/sharding.py)."""
+    n_q = len(queries)
+    # Bucket the batch width so partial batches reuse a compiled program
+    # (n_q is a static shape dim; pad rows cost one extra top-k row each).
+    n_q_pad = _bucket(n_q, 4)
+
+    starts_l, lens_l, idfs_l, tq_l = [], [], [], []
+    fz_starts_p, fz_lens_p, fz_group_p = [], [], []
+    grp_query_l: list = []
+    offsets = built.term_offsets
+    for qi, (term_ids, term_idf, fuzzy_groups) in enumerate(queries):
+        for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
+            s, e = offsets[tid], offsets[tid + 1]
+            starts_l.append(s)
+            lens_l.append(e - s)
+            idfs_l.append(term_idf[i])
+            tq_l.append(qi)
+        for grp in (fuzzy_groups or ()):
+            grp = np.asarray(grp, dtype=np.int64)
+            if grp.size == 0:
+                continue
+            g = len(grp_query_l)
+            grp_query_l.append(qi)
+            s = offsets[grp]
+            fz_starts_p.append(s.astype(np.int32))
+            fz_lens_p.append((offsets[grp + 1] - s).astype(np.int32))
+            fz_group_p.append(np.full(grp.size, g, np.int32))
+
+    qt = max(len(starts_l), 1)
+    qt_pad = _bucket(qt, 8)
+    starts = np.zeros(qt_pad, dtype=np.int32)
+    lens = np.zeros(qt_pad, dtype=np.int32)
+    idfs = np.zeros(qt_pad, dtype=np.float32)
+    tq = np.zeros(qt_pad, dtype=np.int32)
+    starts[: len(starts_l)] = starts_l
+    lens[: len(lens_l)] = lens_l
+    idfs[: len(idfs_l)] = idfs_l
+    tq[: len(tq_l)] = tq_l
+
+    total = int(lens.sum())
+    l_pad = _bucket(max(total, 1), _MIN_L)
+
+    n_groups = len(grp_query_l)
+    if n_groups:
+        fz_starts_all = np.concatenate(fz_starts_p)
+        fz_lens_all = np.concatenate(fz_lens_p)
+        fz_group_all = np.concatenate(fz_group_p)
+        ft_pad = _bucket(int(fz_starts_all.size), 64)
+        fz_starts = np.zeros(ft_pad, np.int32)
+        fz_lens = np.zeros(ft_pad, np.int32)
+        fz_group = np.zeros(ft_pad, np.int32)
+        fz_starts[: fz_starts_all.size] = fz_starts_all
+        fz_lens[: fz_lens_all.size] = fz_lens_all
+        fz_group[: fz_group_all.size] = fz_group_all
+        f_total = int(fz_lens_all.sum())
+        f_pad = _bucket(max(f_total, 1), _MIN_E)
+        n_grp = _bucket(n_groups, 4)
+        grp_query = np.zeros(n_grp, np.int32)
+        grp_query[:n_groups] = grp_query_l
+    else:
+        f_pad = 0
+        n_grp = 0
+        fz_starts = fz_lens = fz_group = np.zeros(0, np.int32)
+        grp_query = np.zeros(0, np.int32)
+
+    return (n_q_pad, starts, lens, idfs, tq, l_pad, fz_starts, fz_lens,
+            fz_group, grp_query, f_pad, n_grp)
+
+
 class DeviceIndex:
     """HBM-resident CSR postings + jitted Stage-1 search."""
 
@@ -378,68 +451,9 @@ class DeviceIndex:
         n_q = len(queries)
         if n_q == 0:
             return []
-        # Bucket the batch width so partial batches reuse a compiled program
-        # (n_q is a static shape dim; pad rows cost one extra top-k row each).
-        n_q_pad = _bucket(n_q, 4)
-
-        starts_l, lens_l, idfs_l, tq_l = [], [], [], []
-        fz_starts_p, fz_lens_p, fz_group_p = [], [], []
-        grp_query_l: list = []
-        offsets = built.term_offsets
-        for qi, (term_ids, term_idf, fuzzy_groups) in enumerate(queries):
-            for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
-                s, e = offsets[tid], offsets[tid + 1]
-                starts_l.append(s)
-                lens_l.append(e - s)
-                idfs_l.append(term_idf[i])
-                tq_l.append(qi)
-            for grp in (fuzzy_groups or ()):
-                grp = np.asarray(grp, dtype=np.int64)
-                if grp.size == 0:
-                    continue
-                g = len(grp_query_l)
-                grp_query_l.append(qi)
-                s = offsets[grp]
-                fz_starts_p.append(s.astype(np.int32))
-                fz_lens_p.append((offsets[grp + 1] - s).astype(np.int32))
-                fz_group_p.append(np.full(grp.size, g, np.int32))
-
-        qt = max(len(starts_l), 1)
-        qt_pad = _bucket(qt, 8)
-        starts = np.zeros(qt_pad, dtype=np.int32)
-        lens = np.zeros(qt_pad, dtype=np.int32)
-        idfs = np.zeros(qt_pad, dtype=np.float32)
-        tq = np.zeros(qt_pad, dtype=np.int32)
-        starts[: len(starts_l)] = starts_l
-        lens[: len(lens_l)] = lens_l
-        idfs[: len(idfs_l)] = idfs_l
-        tq[: len(tq_l)] = tq_l
-
-        total = int(lens.sum())
-        l_pad = _bucket(max(total, 1), _MIN_L)
-
-        n_groups = len(grp_query_l)
-        if n_groups:
-            fz_starts_all = np.concatenate(fz_starts_p)
-            fz_lens_all = np.concatenate(fz_lens_p)
-            fz_group_all = np.concatenate(fz_group_p)
-            ft_pad = _bucket(int(fz_starts_all.size), 64)
-            fz_starts = np.zeros(ft_pad, np.int32)
-            fz_lens = np.zeros(ft_pad, np.int32)
-            fz_group = np.zeros(ft_pad, np.int32)
-            fz_starts[: fz_starts_all.size] = fz_starts_all
-            fz_lens[: fz_lens_all.size] = fz_lens_all
-            fz_group[: fz_group_all.size] = fz_group_all
-            f_total = int(fz_lens_all.sum())
-            f_pad = _bucket(max(f_total, 1), _MIN_E)
-            n_grp = _bucket(n_groups, 4)
-            grp_query = np.zeros(n_grp, np.int32)
-            grp_query[:n_groups] = grp_query_l
-        else:
-            f_pad = 0
-            n_grp = 0
-            fz_starts = fz_lens = fz_group = np.zeros(0, np.int32)
-            grp_query = np.zeros(0, np.int32)
+        (n_q_pad, starts, lens, idfs, tq, l_pad, fz_starts, fz_lens,
+         fz_group, grp_query, f_pad, n_grp) = prepare_batch_arrays(
+            built, queries)
 
         td = np.float32(total_docs if total_docs is not None
                         else self.num_docs)

@@ -118,6 +118,144 @@ def sharded_stage1_topk(
               term_starts, term_lens, term_idf, avgdl)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_pad", "f_pad", "k", "n_q", "n_grp", "mesh", "n_pad"),
+)
+def sharded_stage1_batch(
+    postings_docs: jax.Array,     # int32 [P]   (replicated)
+    postings_weights: jax.Array,  # uint8 [P]   (replicated)
+    doc_lengths: jax.Array,       # f32 [n_pad] (doc-sharded)
+    live_mask: jax.Array,         # f32 [n_pad] (doc-sharded)
+    term_starts: jax.Array,       # int32 [QT]
+    term_lens: jax.Array,         # int32 [QT]
+    term_idf: jax.Array,          # f32 [QT]
+    term_query: jax.Array,        # int32 [QT]
+    fz_starts: jax.Array,         # int32 [FT]
+    fz_lens: jax.Array,           # int32 [FT]
+    fz_group: jax.Array,          # int32 [FT]
+    grp_query: jax.Array,         # int32 [n_grp]
+    total_docs: jax.Array,        # f32 scalar
+    stop_limit: jax.Array,        # f32 scalar
+    avgdl: jax.Array,             # f32 scalar
+    *,
+    l_pad: int,
+    f_pad: int,
+    k: int,
+    n_q: int,
+    n_grp: int,
+    mesh: Mesh,
+    n_pad: int,
+) -> jax.Array:
+    """Mesh version of ``_stage1_kernel_batch`` (index/device.py).
+
+    Every device expands the SAME flat lane space but scatters only the
+    postings landing in its document shard; fuzzy virtual-term df is the
+    ``psum`` of per-shard presence counts (the exact global df, so idf is
+    bit-identical to single-chip); per-shard [B, shard] top-k lists merge
+    with one all-gather. The analogue of Infidex's per-segment search +
+    heap merge (VectorModel.cs:573-585), collectives riding ICI.
+    """
+    n_dev = mesh.shape[DOC_AXIS]
+    shard_size = n_pad // n_dev
+
+    def per_shard(p_docs, p_weights, dl_shard, live_shard,
+                  starts, lens, idf, tq, f_starts, f_lens, f_group,
+                  g_query, td, stop, avg):
+        my_idx = jax.lax.axis_index(DOC_AXIS)
+        base = my_idx * shard_size
+        avg = jnp.maximum(avg, 1e-9)
+
+        cum = jnp.cumsum(lens)
+        total = cum[-1]
+        lane = jnp.arange(l_pad, dtype=jnp.int32)
+        boundary = jnp.zeros((l_pad,), jnp.int32).at[cum].add(1, mode="drop")
+        term_of = jnp.cumsum(boundary)
+        qt = lens.shape[0]
+        term_of_c = jnp.minimum(term_of, qt - 1)
+        prev = jnp.where(term_of_c > 0, cum[jnp.maximum(term_of_c - 1, 0)], 0)
+        idx = starts[term_of_c] + (lane - prev)
+        valid = lane < total
+        idx = jnp.where(valid, idx, 0)
+
+        doc = p_docs[idx]
+        local = doc - base
+        in_shard = valid & (local >= 0) & (local < shard_size)
+        local_c = jnp.where(in_shard, local, shard_size - 1)
+
+        tf = p_weights[idx].astype(jnp.float32)
+        dl = dl_shard[local_c]
+        dl = jnp.where(dl <= 0.0, 1.0, dl)
+        norm = K1 * (1.0 - B + B * (dl / avg))
+        contrib = idf[term_of_c] * ((tf * (K1 + 1.0)) / (tf + norm) + DELTA)
+        contrib = jnp.where(in_shard, contrib, 0.0)
+        qof = tq[term_of_c]
+        flat = jnp.where(in_shard, qof * shard_size + local_c,
+                         shard_size - 1)
+        scores = jnp.zeros((n_q * shard_size,), jnp.float32).at[flat].add(
+            contrib, mode="drop")
+        scores = scores.reshape(n_q, shard_size)
+
+        if f_pad > 0 and n_grp > 0:
+            fcum = jnp.cumsum(f_lens)
+            ftotal = fcum[-1]
+            flane = jnp.arange(f_pad, dtype=jnp.int32)
+            fboundary = jnp.zeros((f_pad,), jnp.int32).at[fcum].add(
+                1, mode="drop")
+            f_of = jnp.cumsum(fboundary)
+            ft = f_lens.shape[0]
+            f_of_c = jnp.minimum(f_of, ft - 1)
+            fprev = jnp.where(f_of_c > 0, fcum[jnp.maximum(f_of_c - 1, 0)], 0)
+            fidx = f_starts[f_of_c] + (flane - fprev)
+            fvalid = flane < ftotal
+            fidx = jnp.where(fvalid, fidx, 0)
+            fdoc = p_docs[fidx]
+            flocal = fdoc - base
+            f_in = fvalid & (flocal >= 0) & (flocal < shard_size)
+            flocal_c = jnp.where(f_in, flocal, shard_size - 1)
+            fgrp = f_group[f_of_c]
+            gflat = fgrp * shard_size + flocal_c
+            presence = jnp.zeros((n_grp * shard_size,), jnp.float32).at[
+                gflat].max(jnp.where(f_in, 1.0, 0.0), mode="drop")
+            presence = presence.reshape(n_grp, shard_size)
+            # global df: psum of per-shard presence counts over ICI
+            df = jax.lax.psum(presence.sum(axis=1), DOC_AXIS)
+            ratio = (td - df + jnp.float32(0.5)) / (df + jnp.float32(0.5))
+            fidf = jnp.where((df > 0) & (df <= stop) & (ratio > 0),
+                             jnp.log1p(jnp.maximum(ratio, 0.0)), 0.0)
+            dl_all = jnp.where(dl_shard <= 0.0, 1.0, dl_shard)
+            fnorm = K1 * (1.0 - B + B * (dl_all / avg))
+            doc_fac = (K1 + 1.0) / (1.0 + fnorm) + DELTA
+            own = g_query[None, :] == jnp.arange(n_q, dtype=jnp.int32)[:, None]
+            wsum = jnp.where(own, fidf[None, :], 0.0)
+            scores = scores + wsum @ (presence * doc_fac[None, :])
+
+        scores = scores * live_shard[None, :]
+        k_local = min(k, shard_size)
+        top_s, top_i = jax.lax.top_k(scores, k_local)
+        top_i = top_i + base
+
+        # ICI merge: every shard contributes its local top-k per query.
+        all_s = jax.lax.all_gather(top_s, DOC_AXIS, tiled=True, axis=1)
+        all_i = jax.lax.all_gather(top_i, DOC_AXIS, tiled=True, axis=1)
+        g_s, g_pos = jax.lax.top_k(all_s, k)
+        g_i = jnp.take_along_axis(all_i, g_pos, axis=1)
+        return jnp.stack([g_s, g_i.astype(jnp.float32)])
+
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DOC_AXIS), P(DOC_AXIS),
+                  P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(postings_docs, postings_weights, doc_lengths, live_mask,
+              term_starts, term_lens, term_idf, term_query,
+              fz_starts, fz_lens, fz_group, grp_query,
+              total_docs, stop_limit, avgdl)
+
+
 class ShardedDeviceIndex:
     """Document-sharded index image for an N-device mesh."""
 
@@ -129,6 +267,12 @@ class ShardedDeviceIndex:
         # Pad doc axis to a multiple of 8 * n_devices (+ parking slot room).
         unit = 8 * n_dev
         self.n_pad = max(((n + 1 + unit - 1) // unit) * unit, unit)
+
+        # Doc ids ride back packed into the f32 output row (exact <= 2^24).
+        if self.n_pad >= (1 << 24):
+            raise ValueError(
+                f"corpus too large for the packed f32 id path: n_pad="
+                f"{self.n_pad} >= 2^24; widen the mesh or split the index")
 
         repl = NamedSharding(self.mesh, P())
         doc_sharded = NamedSharding(self.mesh, P(DOC_AXIS))
@@ -151,6 +295,14 @@ class ShardedDeviceIndex:
         self.live_mask = jax.device_put(jnp.asarray(live), doc_sharded)
         self.avgdl = jnp.float32(built.avgdl)
 
+    def set_deleted(self, deleted: np.ndarray) -> None:
+        n = self.built.num_docs
+        live = np.zeros(self.n_pad, np.float32)
+        live[:n] = np.where(deleted[:n], 0.0, 1.0)
+        live[self.n_pad - 1] = 0.0
+        self.live_mask = jax.device_put(
+            jnp.asarray(live), NamedSharding(self.mesh, P(DOC_AXIS)))
+
     def search(self, term_ids: np.ndarray, term_idf: np.ndarray,
                top_k: int) -> Tuple[np.ndarray, np.ndarray]:
         built = self.built
@@ -169,13 +321,48 @@ class ShardedDeviceIndex:
         total = int(lens.sum())
         while l_pad < total:
             l_pad *= 2
-        k = min(int(top_k), self.n_pad // self.mesh.shape[DOC_AXIS])
+        k = min(int(top_k), self.n_pad)
         scores, ids = sharded_stage1_topk(
             self.postings_docs, self.postings_weights,
             self.doc_lengths, self.live_mask,
             jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idfs),
             self.avgdl, l_pad=l_pad, k=k, mesh=self.mesh, n_pad=self.n_pad)
         return np.asarray(scores), np.asarray(ids)
+
+    def search_batch(
+        self,
+        queries,          # list of (term_ids, term_idf, fuzzy_groups)
+        top_k: int,
+        total_docs: Optional[int] = None,
+        stop_term_limit: int = 1_250_000,
+    ) -> list:
+        """Mesh twin of ``DeviceIndex.search_batch`` — same host prep, same
+        output convention, scoring sharded over the document axis."""
+        from ..index.device import prepare_batch_arrays
+
+        n_q = len(queries)
+        if n_q == 0:
+            return []
+        (n_q_pad, starts, lens, idfs, tq, l_pad, fz_starts, fz_lens,
+         fz_group, grp_query, f_pad, n_grp) = prepare_batch_arrays(
+            self.built, queries)
+        td = np.float32(total_docs if total_docs is not None
+                        else self.built.num_docs)
+        k = min(int(top_k), self.n_pad)
+        out = sharded_stage1_batch(
+            self.postings_docs, self.postings_weights,
+            self.doc_lengths, self.live_mask,
+            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(idfs),
+            jnp.asarray(tq),
+            jnp.asarray(fz_starts), jnp.asarray(fz_lens),
+            jnp.asarray(fz_group), jnp.asarray(grp_query),
+            jnp.float32(td), jnp.float32(stop_term_limit), self.avgdl,
+            l_pad=l_pad, f_pad=f_pad, k=k, n_q=n_q_pad, n_grp=n_grp,
+            mesh=self.mesh, n_pad=self.n_pad)
+        packed = np.asarray(jax.device_get(out))
+        scores = packed[0]
+        ids = packed[1].astype(np.int32)
+        return [(scores[b], ids[b]) for b in range(n_q)]
 
 
 # ======================================================================
