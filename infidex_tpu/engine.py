@@ -149,17 +149,25 @@ class SearchEngine:
                                   monitor=None) -> None:
         total = len(doc_list)
         self._is_indexed = False
-        for i, doc in enumerate(doc_list):
-            if monitor is not None and i % 100 == 0 and monitor.is_cancelled:
-                raise InterruptedError("indexing cancelled")
-            if self._document_field_schema is None and doc.fields is not None:
-                self._document_field_schema = doc.fields
-            stored = self._vector_model.index_document(doc)
-            if self._word_matcher is not None:
-                self._word_matcher.load(stored.indexed_text, stored.id)
-            if total > 0:
-                percent = int((i + 1) * 50.0 / total)
-                self._report_progress(percent, progress)
+        if doc_list and self._document_field_schema is None \
+                and doc_list[0].fields is not None:
+            self._document_field_schema = doc_list[0].fields
+
+        if self._can_bulk_index(doc_list):
+            self._vector_model.bulk_index_documents(
+                doc_list, word_matcher=self._word_matcher,
+                progress=lambda p: self._report_progress(p, progress),
+                monitor=monitor)
+        else:
+            for i, doc in enumerate(doc_list):
+                if monitor is not None and i % 100 == 0 and monitor.is_cancelled:
+                    raise InterruptedError("indexing cancelled")
+                stored = self._vector_model.index_document(doc)
+                if self._word_matcher is not None:
+                    self._word_matcher.load(stored.indexed_text, stored.id)
+                if total > 0:
+                    percent = int((i + 1) * 50.0 / total)
+                    self._report_progress(percent, progress)
 
         self._vector_model.build_inverted_lists()
         if self._word_matcher is not None:
@@ -170,6 +178,33 @@ class SearchEngine:
         self._pipeline.invalidate_caches()
         self._column_store = None
         self._report_progress(100, progress)
+
+    def _can_bulk_index(self, doc_list: List[Document]) -> bool:
+        """Native bulk build applies to fresh indexes only (the C++
+        builder starts from an empty term dictionary) and requires the
+        WordMatcher to share the tokenizer's delimiter set (one delimiter
+        table drives all three passes)."""
+        if len(doc_list) < 256:
+            return False
+        model = self._vector_model
+        if len(model.term_dict) != 0 or model._segments:
+            return False
+        if model.synonym_map is not None and \
+                model.synonym_map.has_canonical_mappings:
+            # canonicalization rewrites index_text per doc — fine — but the
+            # wm text uses the raw text in both paths; keep bulk on.
+            pass
+        if self._word_matcher is not None:
+            setup = model.tokenizer.tokenizer_setup
+            tok_delims = set(setup.delimiters) if setup else {" "}
+            if self._word_matcher._delims != tok_delims:
+                return False
+        try:
+            from .native.bulk import bulk_available
+
+            return bulk_available()
+        except Exception:
+            return False
 
     def index_documents_async(self, documents: Iterable[Document],
                               progress: Optional[Callable[[int], None]] = None,

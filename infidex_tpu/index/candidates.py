@@ -31,8 +31,12 @@ IDF_SELECTIVE_FRACTION = 0.3
 TIER_EXITS = (2, 3, 5, 10)
 
 #: per-query posting-lane count above which the tiered host path takes
-#: over from the device full disjunction (0 disables tiering entirely)
-TIER_LANE_BUDGET = int(os.environ.get("INFIDEX_TPU_TIER_LANES", 262_144))
+#: over from the device full disjunction (0 disables tiering entirely).
+#: 32k lanes ~ the break-even measured on the tunneled chip: the host
+#: tier+pool-score costs ~3-4ms/query on a thread that overlaps the
+#: device call, while every device lane costs ~12ns of XLA scatter plus
+#: its share of the l_pad bucket padding.
+TIER_LANE_BUDGET = int(os.environ.get("INFIDEX_TPU_TIER_LANES", 32_768))
 
 
 class TieredCandidateSelector:

@@ -39,6 +39,13 @@ DELTA = 1.0
 # Query-shape buckets: (max query terms, flat posting lanes, extra fuzzy lanes)
 _MIN_L = 1024
 _MIN_E = 1024
+# Lane cap per kernel call: batches whose flat lane space would exceed
+# this split into multiple calls. Bounds both compile time (a 16M-lane
+# program takes ~100s to compile over a tunneled link) and the 4x
+# quadrupling-bucket padding waste; an extra call costs ~35ms of link
+# latency, far less than the padded scatter it avoids.
+_MAX_L_PER_CALL = int(__import__("os").environ.get(
+    "INFIDEX_TPU_MAX_LANES_PER_CALL", 4 * 1024 * 1024))
 
 
 def compute_idf(total_docs: int, df: int) -> float:
@@ -249,6 +256,35 @@ def _stage1_kernel_batch(
     return jnp.stack([top_scores, top_ids.astype(jnp.float32)])
 
 
+def split_batch_by_lanes(built: BuiltIndex, queries,
+                         cap: int = 0) -> list:
+    """Contiguous (lo, hi) query groups whose lane totals fit the per-call
+    cap. A single query may exceed the cap (it gets its own group and the
+    larger bucket). Returns [(0, len(queries))] when no split is needed."""
+    cap = cap or _MAX_L_PER_CALL
+    offsets = built.term_offsets
+    lanes = []
+    for term_ids, _idf, fuzzy_groups in queries:
+        tid = np.asarray(term_ids, dtype=np.int64)
+        n = int((offsets[tid + 1] - offsets[tid]).sum()) if tid.size else 0
+        for grp in (fuzzy_groups or ()):
+            g = np.asarray(grp, dtype=np.int64)
+            if g.size:
+                n += int((offsets[g + 1] - offsets[g]).sum())
+        lanes.append(n)
+    if sum(lanes) <= cap:
+        return [(0, len(queries))]
+    groups = []
+    lo, acc = 0, 0
+    for i, n in enumerate(lanes):
+        if acc and acc + n > cap:
+            groups.append((lo, i))
+            lo, acc = i, 0
+        acc += n
+    groups.append((lo, len(queries)))
+    return groups
+
+
 def prepare_batch_arrays(built: BuiltIndex, queries):
     """Host half of the batched Stage-1: flatten B queries' (term, idf)
     lists and fuzzy term-id groups into the padded CSR-range arrays the
@@ -451,6 +487,16 @@ class DeviceIndex:
         n_q = len(queries)
         if n_q == 0:
             return []
+
+        groups = split_batch_by_lanes(built, queries)
+        if len(groups) > 1:
+            out: list = []
+            for lo, hi in groups:
+                out.extend(self.search_batch(
+                    queries[lo:hi], top_k, total_docs=total_docs,
+                    stop_term_limit=stop_term_limit))
+            return out
+
         (n_q_pad, starts, lens, idfs, tq, l_pad, fz_starts, fz_lens,
          fz_group, grp_query, f_pad, n_grp) = prepare_batch_arrays(
             built, queries)

@@ -46,13 +46,28 @@ class PositionalPrefixIndex:
                 max_len = min(length, self.max_prefix_length)
                 for plen in range(self.min_prefix_length, max_len + 1):
                     prefix = text[start : start + plen]
-                    self._index.setdefault(prefix, []).append((document_id, token_index))
+                    lst = self._index.get(prefix)
+                    if lst is None:
+                        self._index[prefix] = [(document_id, token_index)]
+                    else:
+                        if not isinstance(lst, list):
+                            # bulk-loaded ndarray: make mutable on demand
+                            lst = [tuple(r) for r in lst.tolist()]
+                            self._index[prefix] = lst
+                        lst.append((document_id, token_index))
                 token_index += 1
         self._frozen = False
 
+    def load_bulk(self, index) -> None:
+        """Install the native bulk builder's prefix map (values are
+        (doc, token_pos) int32 arrays already in sorted order)."""
+        self._index = index
+        self._frozen = True
+
     def freeze(self) -> None:
         for postings in self._index.values():
-            postings.sort()
+            if isinstance(postings, list):
+                postings.sort()
         self._frozen = True
 
     def get_posting_list(self, prefix: str) -> Optional[List[Tuple[int, int]]]:
@@ -62,17 +77,19 @@ class PositionalPrefixIndex:
 
     def has_prefix(self, prefix: str) -> bool:
         lst = self.get_posting_list(prefix)
-        return bool(lst)
+        return lst is not None and len(lst) > 0
 
     def count_documents(self, prefix: str) -> int:
         lst = self.get_posting_list(prefix)
-        if not lst:
+        if lst is None or len(lst) == 0:
             return 0
-        return len({doc for doc, _ in lst})
+        return len({int(r[0]) for r in lst})
 
     def get_document_ids(self, prefix: str) -> set:
         lst = self.get_posting_list(prefix)
-        return {doc for doc, _ in lst} if lst else set()
+        if lst is None or len(lst) == 0:
+            return set()
+        return {int(r[0]) for r in lst}
 
     def all_prefixes(self):
         return self._index.items()
@@ -197,7 +214,7 @@ class ShortQueryResolver:
             return self._champion_lists.get(prefix)
         self._champion_built.add(prefix)
         postings = self._prefix_index.get_posting_list(prefix)
-        if not postings:
+        if postings is None or len(postings) == 0:
             return None
         entries = self._resolve_postings(prefix, postings)
         if entries:
@@ -212,7 +229,7 @@ class ShortQueryResolver:
         if ok:
             return champions
         postings = self._prefix_index.get_posting_list(query)
-        if not postings:
+        if postings is None or len(postings) == 0:
             return []
         entries = self._resolve_postings(query, postings)
         return entries[:max_results]

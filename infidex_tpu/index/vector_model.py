@@ -30,7 +30,7 @@ from ..core.config import DEFAULT_FIELD_WEIGHTS
 from ..core.documents import Document, DocumentCollection
 from ..tokenization.tokenizer import Tokenizer
 from ..utils.metrics import levenshtein
-from .builder import BuiltIndex, TermDictionary, finalize_postings
+from .builder import BuiltIndex, TermDictionary, TermPostings, finalize_postings
 from .device import DeviceIndex, compute_idf
 
 
@@ -157,6 +157,9 @@ class VectorModel:
         # object-dtype array of normalized doc texts (set with the tables)
         self.norm_texts: Optional[np.ndarray] = None
 
+        # Bulk-build CSR image awaiting materialization (native/bulk.py)
+        self._bulk_csr = None
+
         # On-disk segments created by flush() (index/segments.py)
         self._segments = []           # List[SegmentReader]
         self._flushed_doc_count = 0
@@ -177,7 +180,99 @@ class VectorModel:
             text = self.synonym_map.canonicalize_text(text, delims)
         return text
 
+    # ------------------------------------------------------------------
+    # Native bulk build (native/bulk.py): one C++ pass for tokenize ->
+    # term dict -> postings accumulation (+ WordMatcher / prefix index).
+
+    def bulk_index_documents(self, doc_list: List[Document],
+                             word_matcher=None, progress=None,
+                             monitor=None, chunk: int = 4096) -> None:
+        """Fast fresh-index build; semantics identical to per-doc
+        index_document + WordMatcher.load + prefix indexing (pinned by
+        tests/test_bulk_build_parity.py). Only valid on an empty index."""
+        from ..native.bulk import BulkIndexer
+
+        assert len(self.term_dict) == 0 and not self._segments
+        setup = self.tokenizer.tokenizer_setup
+        delims = setup.delimiters if setup else (" ",)
+        remove_dups = setup.remove_duplicate_tokens if setup else True
+        sq = self.short_query_index
+        indexer = BulkIndexer(
+            self.tokenizer.index_sizes, self.tokenizer.start_pad_size,
+            self.tokenizer.stop_pad_size, delims, remove_dups,
+            self.stop_term_limit, self.field_weights,
+            wm_setup=word_matcher._setup if word_matcher is not None else None,
+            sq_minmax=((sq.min_prefix_length, sq.max_prefix_length)
+                       if sq is not None else None))
+        try:
+            norm = self.tokenizer.text_normalizer
+            total = len(doc_list)
+            done = 0
+            for lo in range(0, total, chunk):
+                batch = doc_list[lo : lo + chunk]
+                mains, sqs, wms, ids, conts, bounds = [], [], [], [], [], []
+                for document in batch:
+                    if monitor is not None and monitor.is_cancelled:
+                        raise InterruptedError("indexing cancelled")
+                    doc = self.documents.add_document(document)
+                    boundaries, concatenated = \
+                        document.fields.get_searchable_texts("§")
+                    doc.indexed_text = concatenated
+                    index_text = self.normalize_doc_text(concatenated)
+                    # tokenize_for_indexing re-normalizes its input; the
+                    # C++ tokenizer receives the same doubly-normalized
+                    # text so positions and grams match exactly.
+                    mains.append(norm.normalize(index_text)
+                                 if norm is not None else index_text)
+                    sqs.append(index_text if sq is not None else "")
+                    wms.append(word_matcher._normalize(concatenated)
+                               if word_matcher is not None else "")
+                    ids.append(doc.id)
+                    conts.append(doc.segment_number > 0)
+                    bounds.append(boundaries)
+                indexer.add_chunk(mains, sqs, wms, ids, conts, bounds)
+                done += len(batch)
+                if progress is not None and total > 0:
+                    progress(int(done * 50.0 / total))
+
+            terms, term_offsets, docs_arr, weights_arr, dfs = \
+                indexer.export_terms()
+            self.term_dict = TermDictionary()
+            self.term_dict.terms = terms
+            self.term_dict.term_to_id = {t: i for i, t in enumerate(terms)}
+            self.term_dict.postings = []  # materialized on first mutation
+            self._bulk_csr = (term_offsets, docs_arr, weights_arr, dfs)
+
+            if word_matcher is not None:
+                word_matcher.load_bulk(indexer.export_wm(0),
+                                       indexer.export_wm(1),
+                                       indexer.export_wm(2))
+            if sq is not None:
+                sq.load_bulk(indexer.export_sq())
+        finally:
+            indexer.close()
+        self.built = None
+
+    def _materialize_bulk(self) -> None:
+        """Convert the bulk CSR image into mutable TermPostings lists so
+        the incremental path can continue appending."""
+        csr = getattr(self, "_bulk_csr", None)
+        if csr is None:
+            return
+        term_offsets, docs_arr, weights_arr, dfs = csr
+        postings = []
+        for t in range(len(self.term_dict.terms)):
+            p = TermPostings()
+            p.df = int(dfs[t])
+            s, e = int(term_offsets[t]), int(term_offsets[t + 1])
+            p.doc_ids = docs_arr[s:e].tolist()
+            p.weights = weights_arr[s:e].tolist()
+            postings.append(p)
+        self.term_dict.postings = postings
+        self._bulk_csr = None
+
     def index_document(self, document: Document) -> Document:
+        self._materialize_bulk()
         doc = self.documents.add_document(document)
         is_continuation = doc.segment_number > 0
 
@@ -223,7 +318,10 @@ class VectorModel:
         """Finalize postings into CSR tensors + device upload + derived stats."""
         n = len(self.documents)  # internal id slots, incl. deleted
         if self._segments:
+            self._materialize_bulk()
             self.built = self._build_unified_csr(n)
+        elif getattr(self, "_bulk_csr", None) is not None:
+            self.built = self._built_from_bulk_csr(n)
         else:
             self.built = finalize_postings(self.term_dict, n)
         deleted = np.array(
@@ -249,7 +347,27 @@ class VectorModel:
     # ------------------------------------------------------------------
     # Disk segments (VectorModel.Flush, VectorModel.cs:804-820)
 
+    def _built_from_bulk_csr(self, num_docs: int) -> BuiltIndex:
+        """BuiltIndex directly from the native CSR (no per-term Python)."""
+        term_offsets, docs_arr, weights_arr, dfs = self._bulk_csr
+        doc_lengths = np.zeros(max(num_docs, 1), dtype=np.float32)
+        np.add.at(doc_lengths, docs_arr, weights_arr.astype(np.float32))
+        doc_lengths = doc_lengths[:num_docs]
+        avgdl = float(doc_lengths.mean()) if num_docs > 0 else 0.0
+        return BuiltIndex(
+            terms=list(self.term_dict.terms),
+            term_to_id=dict(self.term_dict.term_to_id),
+            term_offsets=term_offsets,
+            postings_docs=docs_arr,
+            postings_weights=weights_arr,
+            df=dfs,
+            doc_lengths=doc_lengths,
+            avgdl=avgdl,
+            num_docs=num_docs,
+        )
+
     def flush(self, segment_path: str) -> None:
+        self._materialize_bulk()
         """Roll the in-memory postings into an on-disk segment and free them.
 
         The unified CSR is rebuilt from all segments + (new) memory postings
@@ -452,23 +570,51 @@ class VectorModel:
         self.word_idf_cache = {}
         if total == 0:
             return
-        word_df: Dict[str, int] = {}
-        for i in range(len(self.documents)):
-            doc = self.documents.get_document(i)
-            if doc is None or doc.deleted or not doc.indexed_text:
-                continue
-            text = doc.indexed_text.lower()
-            if self.tokenizer.text_normalizer is not None:
-                text = self.tokenizer.text_normalizer.normalize(text)
-            seen = set()
-            for w, _ in self.tokenizer.split_words(text):
-                lw = w.lower()
-                if lw and lw not in seen:
-                    seen.add(lw)
-                    word_df[lw] = word_df.get(lw, 0) + 1
+        word_df = self._native_word_df()
+        if word_df is None:
+            word_df = {}
+            for i in range(len(self.documents)):
+                doc = self.documents.get_document(i)
+                if doc is None or doc.deleted or not doc.indexed_text:
+                    continue
+                text = doc.indexed_text.lower()
+                if self.tokenizer.text_normalizer is not None:
+                    text = self.tokenizer.text_normalizer.normalize(text)
+                seen = set()
+                for w, _ in self.tokenizer.split_words(text):
+                    lw = w.lower()
+                    if lw and lw not in seen:
+                        seen.add(lw)
+                        word_df[lw] = word_df.get(lw, 0) + 1
         for w, df in word_df.items():
             if 0 < df <= total:
                 self.word_idf_cache[w] = compute_idf(total, df)
+
+    def _native_word_df(self) -> Optional[Dict[str, int]]:
+        """Word df via one native pass (same text/skip semantics as the
+        Python loop; the final per-word .lower() becomes one text-level
+        lower after normalization, which is equivalent)."""
+        if self.tokenizer.tokenizer_setup is None:
+            return None
+        try:
+            from ..native.bulk import word_document_frequencies
+        except Exception:
+            return None
+        norm = self.tokenizer.text_normalizer
+        texts, skip = [], []
+        for i in range(len(self.documents)):
+            doc = self.documents.get_document(i)
+            if doc is None or doc.deleted or not doc.indexed_text:
+                texts.append("")
+                skip.append(1)
+                continue
+            text = doc.indexed_text.lower()
+            if norm is not None:
+                text = norm.normalize(text)
+            texts.append(text.lower())
+            skip.append(0)
+        return word_document_frequencies(
+            texts, self.tokenizer.tokenizer_setup.delimiters, skip)
 
     # ------------------------------------------------------------------
     # Fuzzy LD1 expansion

@@ -79,8 +79,23 @@ class WordMatcher:
         docs = index.get(word)
         if docs is None:
             index[word] = [doc]
-        elif docs[-1] != doc:
+            return
+        if isinstance(docs, np.ndarray):
+            # bulk-loaded entry (native/bulk.py): make mutable on demand
+            docs = docs.tolist()
+            index[word] = docs
+        if docs[-1] != doc:
             docs.append(doc)
+
+    def load_bulk(self, exact: Dict[str, np.ndarray],
+                  ld1: Dict[str, np.ndarray],
+                  affix: Dict[str, np.ndarray]) -> None:
+        """Install the native bulk builder's maps (values are int32 doc-id
+        arrays with the same last-doc dedupe semantics as _add)."""
+        self._exact = exact
+        self._ld1 = ld1
+        self._affix_words = affix
+        self._finalized = False
 
     # ------------------------------------------------------------------
     def load(self, text: str, doc_index: int) -> None:
@@ -115,7 +130,7 @@ class WordMatcher:
         parts: List[np.ndarray] = []
 
         def take(docs):
-            if docs:
+            if docs is not None and len(docs):
                 parts.append(np.asarray(docs, dtype=np.int32))
 
         take(self._exact.get(normalized))
@@ -172,7 +187,7 @@ class WordMatcher:
 
         return [np.asarray(docs, dtype=np.int32)
                 for docs in (self._affix_words.get(w) for w in matched_words)
-                if docs]
+                if docs is not None and len(docs)]
 
     # ------------------------------------------------------------------
     def lookup_query(self, query_text: str, cover_prefix_suffix: bool) -> np.ndarray:

@@ -218,3 +218,667 @@ int64_t infidex_gvi_decode_delta(const uint8_t* in, int64_t n,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Bulk index builder: tokenize -> term dict -> postings accumulation,
+// WordMatcher maps (exact / LD1 deletions / affix) and the positional
+// prefix index, all in one pass over UTF-32 document blobs.
+//
+// Semantics replicate the Python host path exactly:
+//   index/builder.py  TermPostings.increment_usage / first_cycle_add
+//   tokenization/tokenizer.py  tokenize_for_indexing (+_effective_sizes,
+//     _all_padding, split_words)
+//   index/vector_model.py  _field_weight_at
+//   index/word_matcher.py  load/_add/_deletions
+//   index/short_query.py  PositionalPrefixIndex.index_document
+// ===================================================================
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <string>
+#include <unordered_map>
+#include <algorithm>
+
+namespace bulk {
+
+static const uint32_t PAD_START = 0xFFFF;
+static const uint32_t PAD_STOP = 0xFFFE;
+
+struct U32Span { const uint32_t* p; int32_t n; };
+
+struct SpanHash {
+    size_t operator()(const U32Span& s) const {
+        // FNV-1a over code points
+        uint64_t h = 1469598103934665603ull;
+        for (int32_t i = 0; i < s.n; i++) {
+            h ^= (uint64_t)s.p[i];
+            h *= 1099511628211ull;
+        }
+        return (size_t)h;
+    }
+};
+struct SpanEq {
+    bool operator()(const U32Span& a, const U32Span& b) const {
+        return a.n == b.n && std::memcmp(a.p, b.p, (size_t)a.n * 4) == 0;
+    }
+};
+
+struct StrMap {
+    // insertion-ordered string->id map over an arena (stable storage)
+    std::vector<std::vector<uint32_t>> arena_blocks;
+    size_t arena_used = 0;
+    std::unordered_map<U32Span, int32_t, SpanHash, SpanEq> map;
+    std::vector<U32Span> keys;  // by id
+
+    const uint32_t* intern(const uint32_t* p, int32_t n) {
+        if (arena_blocks.empty() ||
+            arena_used + (size_t)n > arena_blocks.back().size()) {
+            size_t cap = 1 << 20;
+            while (cap < (size_t)n) cap <<= 1;
+            arena_blocks.emplace_back(cap);
+            arena_used = 0;
+        }
+        uint32_t* dst = arena_blocks.back().data() + arena_used;
+        std::memcpy(dst, p, (size_t)n * 4);
+        arena_used += (size_t)n;
+        return dst;
+    }
+
+    int32_t get_or_add(const uint32_t* p, int32_t n, bool* added) {
+        U32Span probe{p, n};
+        auto it = map.find(probe);
+        if (it != map.end()) { if (added) *added = false; return it->second; }
+        U32Span owned{intern(p, n), n};
+        int32_t id = (int32_t)keys.size();
+        keys.push_back(owned);
+        map.emplace(owned, id);
+        if (added) *added = true;
+        return id;
+    }
+};
+
+struct Postings {
+    std::vector<int32_t> docs;
+    std::vector<uint8_t> weights;
+    int64_t df = 0;  // -1 => stop term
+};
+
+struct DocListMap {   // word -> doc id list with last-doc dedupe
+    StrMap dict;
+    std::vector<std::vector<int32_t>> lists;
+    void add(const uint32_t* p, int32_t n, int32_t doc) {
+        bool added = false;
+        int32_t id = dict.get_or_add(p, n, &added);
+        if (added) lists.emplace_back();
+        auto& v = lists[(size_t)id];
+        if (v.empty() || v.back() != doc) v.push_back(doc);
+    }
+};
+
+struct Builder {
+    // config
+    std::vector<int32_t> sizes;
+    int32_t start_pad, stop_pad;
+    std::vector<uint32_t> delims;    // sorted
+    int32_t remove_dups;
+    int64_t stop_limit;
+    std::vector<float> field_weights;
+    // wm config
+    int32_t wm_enabled, wm_min_exact, wm_max_exact, wm_min_ld1, wm_max_ld1;
+    int32_t wm_ld1, wm_affix;
+    int32_t sq_enabled, sq_min, sq_max;
+
+    StrMap terms;
+    std::vector<Postings> postings;
+    DocListMap wm_exact, wm_ld1_map, wm_affix_map;
+    // prefix (packed key) -> (doc, token_pos) pairs
+    StrMap sq_dict;
+    std::vector<std::vector<int64_t>> sq_lists;  // doc<<32 | pos
+
+    // export scratch
+    std::vector<int64_t> exp_term_offsets;
+    std::vector<uint32_t> exp_blob;
+    std::vector<int64_t> exp_blob_offsets;
+
+    bool is_delim(uint32_t c) const {
+        return std::binary_search(delims.begin(), delims.end(), c);
+    }
+    float weight_at(int32_t pos, const int32_t* bpos, const int32_t* bwidx,
+                    int64_t nb) const {
+        if (nb == 0) return 1.0f;
+        int32_t widx = 0;
+        for (int64_t i = 0; i < nb; i++) {
+            if (bpos[i] <= pos) widx = bwidx[i];
+            else break;
+        }
+        if (widx < (int32_t)field_weights.size()) return field_weights[widx];
+        return 1.0f;
+    }
+};
+
+static inline int bankers_round(double x) {
+    // C# Math.Round / Python round(): round-half-to-even
+    double r = std::nearbyint(x);  // FE_TONEAREST default = half-to-even
+    return (int)r;
+}
+
+static void add_token(Builder* b, const uint32_t* p, int32_t n, int32_t doc,
+                      float fw) {
+    bool added = false;
+    int32_t tid = b->terms.get_or_add(p, n, &added);
+    if (added) b->postings.emplace_back();
+    Postings& post = b->postings[(size_t)tid];
+    // increment_usage
+    if (post.df != -1) {
+        post.df += 1;
+        if (post.df > b->stop_limit) post.df = -1;
+    }
+    // first_cycle_add
+    if (post.df < 0) return;
+    if ((int64_t)post.weights.size() >= b->stop_limit) {
+        post.df = -1;
+        post.docs.clear();
+        post.weights.clear();
+        return;
+    }
+    if (post.docs.empty() || post.docs.back() != doc) {
+        int w = bankers_round((double)fw);
+        if (w > 255) w = 255;
+        post.docs.push_back(doc);
+        post.weights.push_back((uint8_t)w);
+    } else if (!b->remove_dups) {
+        double new_w = (double)post.weights.back() + (double)fw;
+        if (new_w <= 255.0) {
+            post.weights.back() = (uint8_t)bankers_round(new_w);
+            post.df -= 1;
+        }
+    }
+}
+
+}  // namespace bulk
+
+extern "C" {
+
+void* infidex_bulk_create(
+    const int32_t* index_sizes, int32_t n_sizes,
+    int32_t start_pad, int32_t stop_pad,
+    const uint32_t* delims, int32_t n_delims,
+    int32_t remove_dups, int64_t stop_limit,
+    const float* field_weights, int32_t n_field_weights,
+    int32_t wm_enabled, int32_t wm_min_exact, int32_t wm_max_exact,
+    int32_t wm_min_ld1, int32_t wm_max_ld1, int32_t wm_ld1, int32_t wm_affix,
+    int32_t sq_enabled, int32_t sq_min, int32_t sq_max) {
+    auto* b = new bulk::Builder();
+    b->sizes.assign(index_sizes, index_sizes + n_sizes);
+    b->start_pad = start_pad;
+    b->stop_pad = stop_pad;
+    b->delims.assign(delims, delims + n_delims);
+    std::sort(b->delims.begin(), b->delims.end());
+    b->remove_dups = remove_dups;
+    b->stop_limit = stop_limit;
+    b->field_weights.assign(field_weights, field_weights + n_field_weights);
+    b->wm_enabled = wm_enabled;
+    b->wm_min_exact = wm_min_exact;
+    b->wm_max_exact = wm_max_exact;
+    b->wm_min_ld1 = wm_min_ld1;
+    b->wm_max_ld1 = wm_max_ld1;
+    b->wm_ld1 = wm_ld1;
+    b->wm_affix = wm_affix;
+    b->sq_enabled = sq_enabled;
+    b->sq_min = sq_min < 1 ? 1 : sq_min;
+    b->sq_max = sq_max;
+    return b;
+}
+
+void infidex_bulk_free(void* h) { delete (bulk::Builder*)h; }
+
+void infidex_bulk_add(
+    void* h,
+    // main tokenization text (normalize(index_text)) per doc
+    const uint32_t* text, const int64_t* offsets,
+    // short-query text (index_text) per doc
+    const uint32_t* sq_text, const int64_t* sq_offsets,
+    // word-matcher text (lower+normalize(raw)) per doc
+    const uint32_t* wm_text, const int64_t* wm_offsets,
+    const int32_t* doc_ids, const uint8_t* is_cont, int32_t n_docs,
+    const int32_t* fw_pos, const int32_t* fw_widx, const int64_t* fw_off) {
+    auto* b = (bulk::Builder*)h;
+    std::vector<uint32_t> padded;
+    std::vector<uint32_t> scratch;
+
+    for (int32_t d = 0; d < n_docs; d++) {
+        const int32_t doc = doc_ids[d];
+        const uint32_t* t = text + offsets[d];
+        const int64_t len = offsets[d + 1] - offsets[d];
+        const int32_t* bpos = fw_pos + fw_off[d];
+        const int32_t* bwidx = fw_widx + fw_off[d];
+        const int64_t nb = fw_off[d + 1] - fw_off[d];
+        const bool cont = is_cont[d] != 0;
+
+        if (len > 0) {
+            // ---- n-grams over the padded text -------------------------
+            padded.clear();
+            if (!cont)
+                padded.insert(padded.end(), (size_t)b->start_pad,
+                              bulk::PAD_START);
+            padded.insert(padded.end(), t, t + len);
+            padded.insert(padded.end(), (size_t)b->stop_pad, bulk::PAD_STOP);
+            const int64_t pn = (int64_t)padded.size();
+
+            // _effective_sizes
+            int32_t max_size =
+                b->sizes.empty() ? 0 : b->sizes[b->sizes.size() - 1];
+            if (!b->sizes.empty() && pn <= b->sizes[0]) max_size = b->sizes[0];
+            for (int32_t size : b->sizes) {
+                if (pn >= size) {
+                    for (int64_t i = 0; i + size <= pn; i++) {
+                        const uint32_t* g = padded.data() + i;
+                        bool all_pad = true;
+                        for (int32_t j = 0; j < size; j++) {
+                            if (g[j] != bulk::PAD_START &&
+                                g[j] != bulk::PAD_STOP) {
+                                all_pad = false;
+                                break;
+                            }
+                        }
+                        if (all_pad) continue;
+                        float fw = b->weight_at((int32_t)i, bpos, bwidx, nb);
+                        bulk::add_token(b, g, size, doc, fw);
+                    }
+                }
+                if (size == max_size) break;
+            }
+
+            // ---- whole words >= min n-gram size ------------------------
+            const int32_t base = cont ? 0 : b->start_pad;
+            const int32_t min_size = b->sizes.empty() ? 1 : b->sizes[0];
+            int64_t i = 0;
+            while (i < len) {
+                while (i < len && b->is_delim(t[i])) i++;
+                if (i >= len) break;
+                int64_t start = i;
+                while (i < len && !b->is_delim(t[i])) i++;
+                int64_t wl = i - start;
+                if (wl >= min_size) {
+                    float fw = b->weight_at((int32_t)(base + start), bpos,
+                                            bwidx, nb);
+                    bulk::add_token(b, t + start, (int32_t)wl, doc, fw);
+                }
+            }
+        }
+
+        // ---- short-query positional prefix index ----------------------
+        if (b->sq_enabled) {
+            const uint32_t* st = sq_text + sq_offsets[d];
+            const int64_t sl = sq_offsets[d + 1] - sq_offsets[d];
+            int64_t i = 0;
+            int32_t token_index = 0;
+            while (i < sl) {
+                while (i < sl && b->is_delim(st[i])) i++;
+                int64_t start = i;
+                while (i < sl && !b->is_delim(st[i])) i++;
+                int64_t wl = i - start;
+                if (wl > 0) {
+                    int32_t maxp = (int32_t)std::min<int64_t>(wl, b->sq_max);
+                    for (int32_t plen = b->sq_min; plen <= maxp; plen++) {
+                        bool added = false;
+                        int32_t id = b->sq_dict.get_or_add(st + start, plen,
+                                                           &added);
+                        if (added) b->sq_lists.emplace_back();
+                        b->sq_lists[(size_t)id].push_back(
+                            ((int64_t)doc << 32) | (uint32_t)token_index);
+                    }
+                    token_index++;
+                }
+            }
+        }
+
+        // ---- word matcher ---------------------------------------------
+        if (b->wm_enabled) {
+            const uint32_t* wt = wm_text + wm_offsets[d];
+            const int64_t wlen = wm_offsets[d + 1] - wm_offsets[d];
+            int64_t i = 0;
+            while (i < wlen) {
+                while (i < wlen && b->is_delim(wt[i])) i++;
+                if (i >= wlen) break;
+                int64_t start = i;
+                while (i < wlen && !b->is_delim(wt[i])) i++;
+                int32_t n = (int32_t)(i - start);
+                const uint32_t* w = wt + start;
+                if (n >= b->wm_min_exact && n <= b->wm_max_exact)
+                    b->wm_exact.add(w, n, doc);
+                if (b->wm_ld1 && n >= b->wm_min_ld1 && n <= b->wm_max_ld1) {
+                    scratch.resize((size_t)n - 1);
+                    for (int32_t del = 0; del < n; del++) {
+                        int32_t k = 0;
+                        for (int32_t j = 0; j < n; j++)
+                            if (j != del) scratch[(size_t)k++] = w[j];
+                        b->wm_ld1_map.add(scratch.data(), n - 1, doc);
+                    }
+                }
+                if (b->wm_affix && n >= b->wm_min_ld1)
+                    b->wm_affix_map.add(w, n, doc);
+            }
+        }
+    }
+}
+
+// ---- export: terms + CSR postings ----------------------------------
+
+int64_t infidex_bulk_num_terms(void* h) {
+    return (int64_t)((bulk::Builder*)h)->terms.keys.size();
+}
+
+int64_t infidex_bulk_terms_blob_len(void* h) {
+    auto* b = (bulk::Builder*)h;
+    int64_t n = 0;
+    for (auto& k : b->terms.keys) n += k.n;
+    return n;
+}
+
+void infidex_bulk_copy_terms(void* h, uint32_t* blob, int64_t* offsets) {
+    auto* b = (bulk::Builder*)h;
+    int64_t pos = 0;
+    int64_t i = 0;
+    for (auto& k : b->terms.keys) {
+        offsets[i++] = pos;
+        std::memcpy(blob + pos, k.p, (size_t)k.n * 4);
+        pos += k.n;
+    }
+    offsets[i] = pos;
+}
+
+int64_t infidex_bulk_postings_len(void* h) {
+    auto* b = (bulk::Builder*)h;
+    int64_t n = 0;
+    for (auto& p : b->postings)
+        if (p.df > 0) n += (int64_t)p.docs.size();
+    return n;
+}
+
+void infidex_bulk_copy_postings(void* h, int64_t* term_offsets,
+                                int32_t* docs, uint8_t* weights,
+                                int32_t* dfs) {
+    auto* b = (bulk::Builder*)h;
+    int64_t pos = 0;
+    for (size_t t = 0; t < b->postings.size(); t++) {
+        auto& p = b->postings[t];
+        term_offsets[t] = pos;
+        dfs[t] = (int32_t)p.df;
+        if (p.df > 0 && !p.docs.empty()) {
+            std::memcpy(docs + pos, p.docs.data(), p.docs.size() * 4);
+            std::memcpy(weights + pos, p.weights.data(), p.weights.size());
+            pos += (int64_t)p.docs.size();
+        }
+    }
+    term_offsets[b->postings.size()] = pos;
+}
+
+// ---- export: word-matcher maps (which: 0=exact 1=ld1 2=affix) -------
+
+static bulk::DocListMap* wm_map(void* h, int32_t which) {
+    auto* b = (bulk::Builder*)h;
+    if (which == 0) return &b->wm_exact;
+    if (which == 1) return &b->wm_ld1_map;
+    return &b->wm_affix_map;
+}
+
+int64_t infidex_bulk_wm_num_keys(void* h, int32_t which) {
+    return (int64_t)wm_map(h, which)->dict.keys.size();
+}
+
+int64_t infidex_bulk_wm_blob_len(void* h, int32_t which) {
+    int64_t n = 0;
+    for (auto& k : wm_map(h, which)->dict.keys) n += k.n;
+    return n;
+}
+
+int64_t infidex_bulk_wm_docs_len(void* h, int32_t which) {
+    int64_t n = 0;
+    for (auto& v : wm_map(h, which)->lists) n += (int64_t)v.size();
+    return n;
+}
+
+void infidex_bulk_copy_wm(void* h, int32_t which, uint32_t* blob,
+                          int64_t* key_offsets, int64_t* doc_offsets,
+                          int32_t* doc_ids) {
+    auto* m = wm_map(h, which);
+    int64_t bpos = 0, dpos = 0;
+    for (size_t i = 0; i < m->dict.keys.size(); i++) {
+        key_offsets[i] = bpos;
+        doc_offsets[i] = dpos;
+        auto& k = m->dict.keys[i];
+        std::memcpy(blob + bpos, k.p, (size_t)k.n * 4);
+        bpos += k.n;
+        auto& v = m->lists[i];
+        std::memcpy(doc_ids + dpos, v.data(), v.size() * 4);
+        dpos += (int64_t)v.size();
+    }
+    key_offsets[m->dict.keys.size()] = bpos;
+    doc_offsets[m->dict.keys.size()] = dpos;
+}
+
+// ---- export: short-query prefix index --------------------------------
+
+int64_t infidex_bulk_sq_num_keys(void* h) {
+    return (int64_t)((bulk::Builder*)h)->sq_dict.keys.size();
+}
+
+int64_t infidex_bulk_sq_blob_len(void* h) {
+    int64_t n = 0;
+    for (auto& k : ((bulk::Builder*)h)->sq_dict.keys) n += k.n;
+    return n;
+}
+
+int64_t infidex_bulk_sq_postings_len(void* h) {
+    int64_t n = 0;
+    for (auto& v : ((bulk::Builder*)h)->sq_lists) n += (int64_t)v.size();
+    return n;
+}
+
+void infidex_bulk_copy_sq(void* h, uint32_t* blob, int64_t* key_offsets,
+                          int64_t* post_offsets, int64_t* postings) {
+    auto* b = (bulk::Builder*)h;
+    int64_t bpos = 0, ppos = 0;
+    for (size_t i = 0; i < b->sq_dict.keys.size(); i++) {
+        key_offsets[i] = bpos;
+        post_offsets[i] = ppos;
+        auto& k = b->sq_dict.keys[i];
+        std::memcpy(blob + bpos, k.p, (size_t)k.n * 4);
+        bpos += k.n;
+        auto& v = b->sq_lists[i];
+        std::memcpy(postings + ppos, v.data(), v.size() * 8);
+        ppos += (int64_t)v.size();
+    }
+    key_offsets[b->sq_dict.keys.size()] = bpos;
+    post_offsets[b->sq_dict.keys.size()] = ppos;
+}
+
+}  // extern "C"
+
+// ===================================================================
+// Coverage token tables + per-doc word stats (ops/coverage_kernel.py
+// CoverageTables.build and VectorModel._build_word_idf_cache /
+// _build_document_metadata_cache loop replacements).
+// ===================================================================
+
+namespace bulk {
+
+static bool py_isspace(uint32_t c) {
+    // mirrors str.isspace() for the code points that can appear in
+    // delimiter gaps
+    if (c >= 0x09 && c <= 0x0D) return true;
+    if (c >= 0x1C && c <= 0x1F) return true;
+    if (c == 0x20 || c == 0x85 || c == 0xA0 || c == 0x1680) return true;
+    if (c >= 0x2000 && c <= 0x200A) return true;
+    if (c == 0x2028 || c == 0x2029 || c == 0x202F || c == 0x205F ||
+        c == 0x3000)
+        return true;
+    return false;
+}
+
+struct CovTables {
+    StrMap words;
+    std::vector<int32_t> doc_tokens, doc_offsets, doc_count, doc_text_len,
+        max_wlen;
+    std::vector<uint8_t> doc_adj, overflow;
+    int32_t d_max, l_max;
+};
+
+}  // namespace bulk
+
+extern "C" {
+
+void* infidex_cov_build(const uint32_t* text, const int64_t* offsets,
+                        int64_t n_docs, const uint32_t* delims,
+                        int32_t n_delims, int32_t d_max, int32_t l_max) {
+    auto* ct = new bulk::CovTables();
+    ct->d_max = d_max;
+    ct->l_max = l_max;
+    std::vector<uint32_t> sorted_delims(delims, delims + n_delims);
+    std::sort(sorted_delims.begin(), sorted_delims.end());
+    auto is_delim = [&](uint32_t c) {
+        return std::binary_search(sorted_delims.begin(), sorted_delims.end(),
+                                  c);
+    };
+    ct->doc_tokens.assign((size_t)n_docs * d_max, -1);
+    ct->doc_offsets.assign((size_t)n_docs * d_max, 0);
+    ct->doc_count.assign((size_t)n_docs, 0);
+    ct->doc_adj.assign((size_t)n_docs * d_max, 0);
+    ct->doc_text_len.assign((size_t)n_docs, 0);
+    ct->overflow.assign((size_t)n_docs, 0);
+    ct->max_wlen.assign((size_t)n_docs, 0);
+
+    std::vector<std::pair<int64_t, int64_t>> toks;  // (start, len)
+    for (int64_t d = 0; d < n_docs; d++) {
+        const uint32_t* t = text + offsets[d];
+        const int64_t ln = offsets[d + 1] - offsets[d];
+        ct->doc_text_len[(size_t)d] = (int32_t)ln;
+        toks.clear();
+        int64_t i = 0;
+        while (i < ln) {
+            while (i < ln && is_delim(t[i])) i++;
+            int64_t start = i;
+            while (i < ln && !is_delim(t[i])) i++;
+            if (i > start) toks.emplace_back(start, i - start);
+        }
+        if ((int64_t)toks.size() > ct->d_max) {
+            ct->overflow[(size_t)d] = 1;
+            toks.resize((size_t)ct->d_max);
+        }
+        ct->doc_count[(size_t)d] = (int32_t)toks.size();
+        for (size_t j = 0; j < toks.size(); j++) {
+            int64_t off = toks[j].first;
+            int64_t wl = toks[j].second;
+            if (wl > ct->l_max) {
+                ct->overflow[(size_t)d] = 1;
+                wl = ct->l_max;
+            }
+            if ((int32_t)wl > ct->max_wlen[(size_t)d])
+                ct->max_wlen[(size_t)d] = (int32_t)wl;
+            int32_t code = ct->words.get_or_add(t + off, (int32_t)wl,
+                                                nullptr);
+            ct->doc_tokens[(size_t)d * ct->d_max + j] = code;
+            ct->doc_offsets[(size_t)d * ct->d_max + j] = (int32_t)off;
+            if (j + 1 < toks.size()) {
+                bool adj = true;
+                for (int64_t g = off + wl; g < toks[j + 1].first; g++)
+                    if (!bulk::py_isspace(t[g])) { adj = false; break; }
+                ct->doc_adj[(size_t)d * ct->d_max + j] = adj ? 1 : 0;
+            }
+        }
+    }
+    return ct;
+}
+
+int64_t infidex_cov_num_words(void* h) {
+    return (int64_t)((bulk::CovTables*)h)->words.keys.size();
+}
+
+void infidex_cov_copy(void* h, int32_t* word_chars, int32_t* word_chars_rev,
+                      int32_t* word_lens, int32_t* doc_tokens,
+                      int32_t* doc_offsets, int32_t* doc_count,
+                      uint8_t* doc_adj, int32_t* doc_text_len,
+                      uint8_t* overflow, int32_t* max_wlen) {
+    auto* ct = (bulk::CovTables*)h;
+    const int32_t L = ct->l_max;
+    for (size_t c = 0; c < ct->words.keys.size(); c++) {
+        auto& k = ct->words.keys[c];
+        word_lens[c] = k.n;
+        for (int32_t i = 0; i < k.n; i++) {
+            word_chars[c * (size_t)L + i] = (int32_t)k.p[i];
+            word_chars_rev[c * (size_t)L + (k.n - 1 - i)] = (int32_t)k.p[i];
+        }
+    }
+    std::memcpy(doc_tokens, ct->doc_tokens.data(),
+                ct->doc_tokens.size() * 4);
+    std::memcpy(doc_offsets, ct->doc_offsets.data(),
+                ct->doc_offsets.size() * 4);
+    std::memcpy(doc_count, ct->doc_count.data(), ct->doc_count.size() * 4);
+    std::memcpy(doc_adj, ct->doc_adj.data(), ct->doc_adj.size());
+    std::memcpy(doc_text_len, ct->doc_text_len.data(),
+                ct->doc_text_len.size() * 4);
+    std::memcpy(overflow, ct->overflow.data(), ct->overflow.size());
+    std::memcpy(max_wlen, ct->max_wlen.data(), ct->max_wlen.size() * 4);
+}
+
+void infidex_cov_free(void* h) { delete (bulk::CovTables*)h; }
+
+// ---- per-doc word stats: word df (unique docs) + first token + count --
+
+void* infidex_wordstats_build(const uint32_t* text, const int64_t* offsets,
+                              int64_t n_docs, const uint32_t* delims,
+                              int32_t n_delims, const uint8_t* skip) {
+    // skip[d] != 0 -> doc excluded (deleted / empty)
+    auto* m = new bulk::DocListMap();
+    std::vector<uint32_t> sorted_delims(delims, delims + n_delims);
+    std::sort(sorted_delims.begin(), sorted_delims.end());
+    auto is_delim = [&](uint32_t c) {
+        return std::binary_search(sorted_delims.begin(), sorted_delims.end(),
+                                  c);
+    };
+    for (int64_t d = 0; d < n_docs; d++) {
+        if (skip && skip[d]) continue;
+        const uint32_t* t = text + offsets[d];
+        const int64_t ln = offsets[d + 1] - offsets[d];
+        int64_t i = 0;
+        while (i < ln) {
+            while (i < ln && is_delim(t[i])) i++;
+            int64_t start = i;
+            while (i < ln && !is_delim(t[i])) i++;
+            if (i > start)
+                m->add(t + start, (int32_t)(i - start), (int32_t)d);
+        }
+    }
+    return m;
+}
+
+int64_t infidex_wordstats_num(void* h) {
+    return (int64_t)((bulk::DocListMap*)h)->dict.keys.size();
+}
+
+int64_t infidex_wordstats_blob_len(void* h) {
+    int64_t n = 0;
+    for (auto& k : ((bulk::DocListMap*)h)->dict.keys) n += k.n;
+    return n;
+}
+
+void infidex_wordstats_copy(void* h, uint32_t* blob, int64_t* key_offsets,
+                            int64_t* dfs) {
+    auto* m = (bulk::DocListMap*)h;
+    int64_t bpos = 0;
+    for (size_t i = 0; i < m->dict.keys.size(); i++) {
+        key_offsets[i] = bpos;
+        auto& k = m->dict.keys[i];
+        std::memcpy(blob + bpos, k.p, (size_t)k.n * 4);
+        bpos += k.n;
+        dfs[i] = (int64_t)m->lists[i].size();
+    }
+    key_offsets[m->dict.keys.size()] = bpos;
+}
+
+void infidex_wordstats_free(void* h) { delete (bulk::DocListMap*)h; }
+
+}  // extern "C"

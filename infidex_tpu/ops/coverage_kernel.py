@@ -113,6 +113,29 @@ class CoverageTables:
     @staticmethod
     def build(doc_texts, delimiters) -> "CoverageTables":
         """Encode normalized lowercase doc texts into token tables."""
+        try:
+            from ..native.bulk import build_coverage_arrays
+
+            arrays = build_coverage_arrays(list(doc_texts), delimiters,
+                                           D_MAX, L_MAX)
+        except Exception:
+            arrays = None
+        if arrays is not None:
+            (word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
+             doc_count, doc_adj, doc_text_len, overflow, max_wlen) = arrays
+            return CoverageTables(
+                word_chars=jnp.asarray(word_chars),
+                word_chars_rev=jnp.asarray(word_chars_rev),
+                word_lens=jnp.asarray(word_lens),
+                doc_tokens=jnp.asarray(doc_tokens),
+                doc_tok_offsets=jnp.asarray(doc_offsets),
+                doc_tok_count=jnp.asarray(doc_count),
+                doc_adj_ws=jnp.asarray(doc_adj),
+                doc_text_len=jnp.asarray(doc_text_len),
+                overflow=overflow,
+                tok_count_host=doc_count,
+                max_wlen_host=max_wlen,
+            )
         delims = set(delimiters)
         word_to_code = {}
         words = []

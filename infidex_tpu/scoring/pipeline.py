@@ -125,6 +125,10 @@ class SearchPipeline:
         self._word_matcher = word_matcher
         self._synonym_map = synonym_map
         self._sorted_vocab = None
+        #: cumulative count of coverage candidates scored on the host
+        #: because their docs exceed the device table shape caps
+        self.coverage_host_fallback_count = 0
+        self.coverage_device_count = 0
 
         if self._coverage_engine is not None:
             self._rewire_coverage()
@@ -554,8 +558,7 @@ class SearchPipeline:
                         if leftovers:
                             leftover_work.append((job, leftovers))
                         cand = _tuples_to_arrays(tuples)
-                    if trace:
-                        n_cands += cand["ids"].size
+                    n_cands += int(cand["ids"].size)
                     tc = tok_counts[cand["ids"]]
                     small = ((tc <= D_CAP_SMALL)
                              & (max_wlens[cand["ids"]] <= L_CAP_SMALL)
@@ -613,12 +616,27 @@ class SearchPipeline:
         t_host = (_time.perf_counter() - t0) if trace else 0.0
         t0 = _time.perf_counter() if trace else 0.0
         self._device_collect(pending)
+        # Host-fallback accounting: candidates that bypassed the device
+        # kernel because their doc exceeds the table shape caps (a silent
+        # cliff otherwise — VERDICT r01 weak #7). Cumulative on the
+        # pipeline so serving dashboards can watch the rate.
+        n_fallback = 0
+        for job, leftovers in leftover_work:
+            n_fallback += (int(leftovers[0].size) if job.get("fast")
+                           else len(leftovers))
+        for job in jobs:
+            if job.get("_host_all"):
+                n_fallback += (int(job["worklist_ids"].size)
+                               if job.get("fast") else len(job["worklist"]))
+        self.coverage_host_fallback_count += n_fallback
+        self.coverage_device_count += n_cands
         if trace:
             t_collect = _time.perf_counter() - t0
             print(f"[PIPE]   cov-detail: resolve={t_resolve*1000:.1f}ms "
                   f"dispatch={t_dispatch*1000:.1f}ms host={t_host*1000:.1f}ms "
                   f"collect={t_collect*1000:.1f}ms "
-                  f"chunks={n_chunks} cands={n_cands}", flush=True)
+                  f"chunks={n_chunks} cands={n_cands} "
+                  f"host_fallback={n_fallback}", flush=True)
 
     # ------------------------------------------------------------------
     def _coverage_begin(self, search_text: str, coverage_setup: CoverageSetup,

@@ -128,3 +128,36 @@ def test_stage1_device_batch_matches_single(engine):
         # ids may tie-break differently only where scores tie; require
         # exact equality where scores are distinct
         np.testing.assert_array_equal(s_id, b_id)
+
+
+def test_split_batch_by_lanes(engine):
+    """Lane-capped batch splitting: groups respect the cap, order is
+    contiguous, and split results equal unsplit results."""
+    from infidex_tpu.index.device import split_batch_by_lanes
+
+    model = engine.vector_model
+    preps = []
+    for q in ["shawshank", "new york", "star wars", "the godfather"]:
+        p = model.prepare_stage1(q)
+        assert p is not None
+        preps.append(p)
+
+    assert split_batch_by_lanes(model.built, preps) == [(0, len(preps))]
+    groups = split_batch_by_lanes(model.built, preps, cap=1)
+    assert [g for g in groups] == [(i, i + 1) for i in range(len(preps))]
+
+    base = model.device.search_batch(preps, 10,
+                                     total_docs=model.documents.count)
+    import infidex_tpu.index.device as dev_mod
+    old = dev_mod._MAX_L_PER_CALL
+    dev_mod._MAX_L_PER_CALL = 1
+    try:
+        split = model.device.search_batch(preps, 10,
+                                          total_docs=model.documents.count)
+    finally:
+        dev_mod._MAX_L_PER_CALL = old
+    for (s1, i1), (s2, i2) in zip(base, split):
+        import numpy as np
+
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+        np.testing.assert_array_equal(i1, i2)
