@@ -23,9 +23,11 @@ SCHOOLS_JSON = "/root/reference/src/Infidex.Tests/schools.json"
 pytestmark = pytest.mark.skipif(
     not os.path.exists(SCHOOLS_JSON), reason="schools.json corpus not present")
 
-# Smaller slice keeps CPU test time sane while retaining every name the
-# assertions reference (the reference suite indexes all 7629).
-CORPUS_LIMIT = int(os.environ.get("INFIDEX_TPU_SCHOOL_LIMIT", "2000"))
+# Default = the full 7,629-name corpus, matching the reference suite's
+# scale (IDF and rankings shift with corpus size, so the slice must be
+# the whole thing for the assertions to mean what the reference's do).
+# Set INFIDEX_TPU_SCHOOL_LIMIT to shrink during quick local iteration.
+CORPUS_LIMIT = int(os.environ.get("INFIDEX_TPU_SCHOOL_LIMIT", "7629"))
 
 
 @pytest.fixture(scope="module")
