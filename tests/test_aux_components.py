@@ -229,3 +229,20 @@ class TestObservability:
         f.word_hits = 2
         packed1 = calculate_ranked_score(f, 2, 0)
         assert (packed1 >> 8) & 32  # strict-whole in bit 5 for single term
+
+
+def test_coverage_fallback_counters():
+    """The pipeline counts device-scored vs host-fallback coverage
+    candidates (shape-cap overflows were a silent cliff)."""
+    from infidex_tpu import Document, Query, SearchEngine
+
+    eng = SearchEngine.create_default()
+    docs = [Document(i, f"alpha bravo charlie delta word{i % 40}")
+            for i in range(120)]
+    # one pathological doc beyond the kernel's D_MAX token cap
+    docs.append(Document(999, " ".join(f"tok{j}" for j in range(200))))
+    eng.index_documents(docs)
+    eng.search_batch([Query("alpha bravo", 10), Query("tok3 tok5", 10)])
+    pipe = eng._pipeline
+    assert pipe.coverage_device_count > 0
+    assert pipe.coverage_host_fallback_count >= 1  # the 200-token doc
