@@ -240,7 +240,7 @@ def bench_multifield(n_docs=10_000, n_queries=200):
           qps)
 
 
-def bench_filters(n_docs=100_000, n_queries=200):
+def bench_filters(n_docs=1_000_000, n_queries=200):
     """Config 4: compiled-bytecode filters + facets over attributed docs."""
     from infidex_tpu import (Document, DocumentFields, Field, Filter, Query,
                              SearchEngine, Weight)

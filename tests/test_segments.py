@@ -128,3 +128,95 @@ class TestFlushIntegration:
         r2 = [(e.document_id, round(e.score, 3))
               for e in eng2.search(Query("redemption sh", 5)).records]
         assert r1 == r2
+
+
+class TestBlockPostings:
+    """IFTS2 block format: variable 64-256-doc blocks, density-adaptive
+    flush, per-block max-weight skip table, skip-table Advance
+    (BlockPostingsWriter.cs:26-116, MMapBlockPostingsEnum.cs)."""
+
+    def _write(self, tmp_path, docs, weights, term="term"):
+        from infidex_tpu.index.segments import SegmentReader, SegmentWriter
+
+        path = str(tmp_path / "seg.bin")
+        SegmentWriter().write_segment({term: (docs, weights)},
+                                      doc_count=max(docs) + 1 if docs else 0,
+                                      doc_base=0, path=path)
+        return SegmentReader(path)
+
+    def test_roundtrip_multi_block(self, tmp_path):
+        import numpy as np
+
+        docs = list(range(0, 2000, 2))          # 1000 dense postings
+        weights = [(d * 7) % 256 for d in docs]
+        r = self._write(tmp_path, docs, weights)
+        got_d, got_w = r.get_postings("term")
+        np.testing.assert_array_equal(got_d, docs)
+        np.testing.assert_array_equal(got_w, weights)
+        mins, maxs, counts, max_w, offs = r.block_table(0)
+        assert mins.size > 1                     # actually split into blocks
+        assert counts.max() <= 256
+        # skip-table metadata is exact
+        pos = 0
+        for b in range(mins.size):
+            seg_w = weights[pos : pos + int(counts[b])]
+            assert int(max_w[b]) == max(seg_w)
+            assert int(mins[b]) == docs[pos]
+            assert int(maxs[b]) == docs[pos + int(counts[b]) - 1]
+            pos += int(counts[b])
+        r.close()
+
+    def test_density_adaptive_flush(self, tmp_path):
+        # 64 dense docs then a huge gap: the sparse continuation must not
+        # stretch the first block's spread
+        docs = list(range(64)) + [100000 + i * 5000 for i in range(80)]
+        weights = [1] * len(docs)
+        r = self._write(tmp_path, docs, weights)
+        mins, maxs, counts, _, _ = r.block_table(0)
+        assert counts[0] >= 64
+        assert int(maxs[0]) < 100000              # gap starts a new block
+        r.close()
+
+    def test_block_enum_advance_skips_blocks(self, tmp_path):
+        from infidex_tpu.index.postings_enum import NO_MORE_DOCS
+
+        docs = list(range(0, 5000, 2))
+        weights = [(d % 200) + 1 for d in docs]
+        r = self._write(tmp_path, docs, weights)
+        e = r.postings_enum("term")
+        assert e.cost() == len(docs)
+        assert e.next_doc() == 0
+        assert e.freq() == weights[0]
+        assert e.advance(3001) == 3002            # first doc >= target
+        assert e.freq() == weights[docs.index(3002)]
+        assert e.advance(10**9) == NO_MORE_DOCS
+        assert e.advance_calls == 2
+        # per-block max-weight metadata is available for max-score bounds
+        assert e.max_weight() == max(weights)
+        r.close()
+
+    def test_block_enum_iterates_everything(self, tmp_path):
+        docs = sorted({(i * 37) % 10000 for i in range(900)})
+        weights = [1 + (d % 255) for d in docs]
+        r = self._write(tmp_path, docs, weights)
+        e = r.postings_enum("term")
+        seen = []
+        d = e.next_doc()
+        from infidex_tpu.index.postings_enum import NO_MORE_DOCS
+
+        while d != NO_MORE_DOCS:
+            seen.append((d, e.freq()))
+            d = e.next_doc()
+        assert [s[0] for s in seen] == docs
+        assert [int(s[1]) for s in seen] == weights
+        r.close()
+
+    def test_terms_with_newline_roundtrip(self, tmp_path):
+        # length-prefixed vocabulary: any term content survives
+        import numpy as np
+
+        r = self._write(tmp_path, [1, 2, 3], [9, 9, 9], term="we\nird")
+        got = r.get_postings("we\nird")
+        assert got is not None
+        np.testing.assert_array_equal(got[0], [1, 2, 3])
+        r.close()
