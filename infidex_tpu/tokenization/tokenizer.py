@@ -37,11 +37,17 @@ DEFAULT_DELIMITERS = (
 
 @dataclass
 class TokenizerSetup:
-    """Word-splitting configuration (TokenizerSetup.cs)."""
+    """Word-splitting configuration (TokenizerSetup.cs).
+
+    ``search_token_cache_size`` > 0 opts search-path tokenization into an
+    LRU cache (TokenCache.cs — dormant in the reference's main path; here
+    the opt-in wires it to ``tokenize_for_search``, the hot repeated-query
+    path)."""
 
     delimiters: Tuple[str, ...] = DEFAULT_DELIMITERS
     high_resolution_mode: bool = False
     remove_duplicate_tokens: bool = True
+    search_token_cache_size: int = 0
 
     def __post_init__(self) -> None:
         self.delimiters = tuple(self.delimiters)
@@ -70,6 +76,13 @@ class Tokenizer:
         self.tokenizer_setup = tokenizer_setup
         self._start_padding = START_PAD_CHAR * start_pad_size
         self._stop_padding = STOP_PAD_CHAR * stop_pad_size
+        self.search_token_cache = None
+        if (tokenizer_setup is not None
+                and getattr(tokenizer_setup, "search_token_cache_size", 0) > 0):
+            from .token_cache import TokenCache
+
+            self.search_token_cache = TokenCache(
+                tokenizer_setup.search_token_cache_size)
 
     @property
     def min_index_size(self) -> int:
@@ -137,6 +150,12 @@ class Tokenizer:
 
     def tokenize_for_search(self, text: str) -> List[str]:
         """Tokens for the query side: words first, then shingles (Tokenizer.cs:144-267)."""
+        if self.search_token_cache is not None:
+            return self.search_token_cache.get_or_compute(
+                text, self._tokenize_for_search_uncached)
+        return self._tokenize_for_search_uncached(text)
+
+    def _tokenize_for_search_uncached(self, text: str) -> List[str]:
         if self.text_normalizer is not None:
             text = self.text_normalizer.normalize(text)
 

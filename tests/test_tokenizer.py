@@ -107,3 +107,24 @@ class TestCoverageWordTokens:
         t = make_tokenizer()
         words = t.word_tokens_for_coverage("The THE cat", 2)
         assert sorted(words) == ["cat", "the"]
+
+
+def test_search_token_cache_opt_in():
+    """TokenizerSetup.search_token_cache_size wires TokenCache into the
+    search tokenization path (dormant in the reference; opt-in here)."""
+    from infidex_tpu.tokenization.normalizer import TextNormalizer
+    from infidex_tpu.tokenization.tokenizer import Tokenizer, TokenizerSetup
+
+    setup = TokenizerSetup(search_token_cache_size=8)
+    tok = Tokenizer([3], 2, 0, TextNormalizer.create_default(), setup)
+    a = tok.tokenize_for_search("hello world")
+    b = tok.tokenize_for_search("hello world")
+    assert a == b
+    assert tok.search_token_cache.hits == 1
+    assert tok.search_token_cache.misses == 1
+    # cached result is identical to an uncached tokenizer's
+    plain = Tokenizer([3], 2, 0, TextNormalizer.create_default(),
+                      TokenizerSetup())
+    assert a == plain.tokenize_for_search("hello world")
+    # default stays dormant
+    assert plain.search_token_cache is None
