@@ -338,11 +338,19 @@ class ShardedDeviceIndex:
     ) -> list:
         """Mesh twin of ``DeviceIndex.search_batch`` — same host prep, same
         output convention, scoring sharded over the document axis."""
-        from ..index.device import prepare_batch_arrays
+        from ..index.device import prepare_batch_arrays, split_batch_by_lanes
 
         n_q = len(queries)
         if n_q == 0:
             return []
+        groups = split_batch_by_lanes(self.built, queries)
+        if len(groups) > 1:
+            out: list = []
+            for lo, hi in groups:
+                out.extend(self.search_batch(
+                    queries[lo:hi], top_k, total_docs=total_docs,
+                    stop_term_limit=stop_term_limit))
+            return out
         (n_q_pad, starts, lens, idfs, tq, l_pad, fz_starts, fz_lens,
          fz_group, grp_query, f_pad, n_grp) = prepare_batch_arrays(
             self.built, queries)
