@@ -291,11 +291,19 @@ def bench_incremental(n_docs=10_000, n_queries=200):
     stop = threading.Event()
 
     def writer():
+        # Stream documents continuously; re-finalize derived stats every
+        # ~2s (the reference's live incremental path is the same
+        # accumulate-then-CalculateWeights cycle, SearchEngine.cs:165-185;
+        # re-finalizing per document would hold the writer-priority lock
+        # continuously and starve every reader).
         i = 0
+        last_finalize = time.perf_counter()
         while not stop.is_set():
             engine.index_document(
                 Document(10**6 + i, f"streamed doc {i % 50}"))
-            engine.calculate_weights()
+            if time.perf_counter() - last_finalize > 2.0:
+                engine.calculate_weights()
+                last_finalize = time.perf_counter()
             i += 1
             time.sleep(0.05)
 
