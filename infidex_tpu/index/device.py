@@ -18,6 +18,18 @@ RoaringPostingsEnum's fixed Freq=1.0.
 
 All shapes are bucketed powers of two so XLA compiles a small, reusable set
 of programs.
+
+Kernel strategy (measured on the real chip, scripts/profile_stage1.py):
+the link round trip costs ~35ms/call and XLA's scatter-add ~12ns/lane, so
+at 10k-100k docs every formulation is latency-floor-bound and at 1M docs
+the win comes from not expanding millions of lanes at all — multi-term
+known-token queries route to the host tier pools (index/candidates.py)
+and device batches split at 4M lanes (also bounding remote compiles,
+~100s for a 16M-lane program). A hand-written Pallas scatter cannot beat
+XLA here: the TPU has no vectorized scatter primitive, so any in-kernel
+accumulation serializes on the scalar core; the sort+segment-sum
+reformulation measured 2.4x faster than scatter at 16M lanes but that
+regime no longer occurs after tiering/splitting.
 """
 
 from __future__ import annotations

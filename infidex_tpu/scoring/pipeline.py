@@ -129,6 +129,8 @@ class SearchPipeline:
         #: because their docs exceed the device table shape caps
         self.coverage_host_fallback_count = 0
         self.coverage_device_count = 0
+        self._t_wm = 0.0
+        self._t_prepq = 0.0
 
         if self._coverage_engine is not None:
             self._rewire_coverage()
@@ -283,6 +285,7 @@ class SearchPipeline:
         # Resolve every unknown token of the whole batch in ONE device
         # round trip (MXU signature matmul) before per-query prep.
         self._prime_fuzzy_tokens([t for t in tfidf_queries if t is not None])
+        _mark("  s1-prime")
 
         batch_items = []   # (query index, stage-1 prep tuple) -> device
         tier_jobs = []     # (query index, prep) -> host tiered Stage-1
@@ -297,6 +300,7 @@ class SearchPipeline:
                 tier_jobs.append((i, prep))
             else:
                 batch_items.append((i, prep))
+        _mark("  s1-prep")
 
         # Tiered queries run on host threads (numpy set ops release the
         # GIL) and OVERLAP the blocking device round trip below.
@@ -323,6 +327,7 @@ class SearchPipeline:
                     stage1[i] = model.finish_stage1_arrays(scores, ids)
                 else:
                     stage1[i] = model.finish_stage1(scores, ids, bsm[i])
+        _mark("  s1-device")
 
         if tier_futures:
             fallback = []
@@ -337,6 +342,7 @@ class SearchPipeline:
                 else:
                     stage1[i] = model.finish_stage1(scores, ids, bsm[i])
             pool.shutdown(wait=False)
+            _mark("  s1-tier")
             if fallback:
                 if model.device is None:
                     model.build_inverted_lists()
@@ -385,6 +391,10 @@ class SearchPipeline:
             jobs.append(job)
             job_of[i] = job
 
+        if trace:
+            print(f"[PIPE]   gate-detail: wm={self._t_wm*1000:.1f}ms "
+                  f"prep_query={self._t_prepq*1000:.1f}ms", flush=True)
+            self._t_wm = self._t_prepq = 0.0
         _mark("gate+begin")
         if jobs:
             self._coverage_run(jobs, coverage_setup)
@@ -820,16 +830,22 @@ class SearchPipeline:
                              coverage_setup: CoverageSetup,
                              coverage_depth: int,
                              s1: Stage1Arrays) -> dict:
+        import time as _time
+
         model = self._model
         s1 = s1.truncated(coverage_depth)
 
+        t0 = _time.perf_counter()
         wm_parts: List[np.ndarray] = []
         if self._word_matcher is not None:
             wm_parts = self._word_matcher.lookup_parts(
                 search_text, coverage_setup.cover_prefix_suffix)
         has_wm = any(p.size for p in wm_parts)
+        self._t_wm += _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
         context = self._coverage_engine.prepare_query(search_text)
+        self._t_prepq += _time.perf_counter() - t0
 
         # Overlap/unique partition from the sorted constituent lists —
         # see _coverage_begin for the equivalence argument.
