@@ -185,9 +185,17 @@ class WordMatcher:
                 matched_words.append(self._rev_to_word[r])
             budget -= take
 
-        return [np.asarray(docs, dtype=np.int32)
-                for docs in (self._affix_words.get(w) for w in matched_words)
-                if docs is not None and len(docs)]
+        lists = [docs
+                 for docs in (self._affix_words.get(w) for w in matched_words)
+                 if docs is not None and len(docs)]
+        if not lists:
+            return []
+        # One merged sorted part instead of up-to-4096 tiny ones: the
+        # roaring-union equivalent (ascending unique doc ids) — downstream
+        # consumers do per-part work, so part count is the cost driver.
+        merged = np.unique(np.concatenate(
+            [np.asarray(d, dtype=np.int32) for d in lists]))
+        return [merged.astype(np.int32)]
 
     # ------------------------------------------------------------------
     def lookup_query(self, query_text: str, cover_prefix_suffix: bool) -> np.ndarray:
