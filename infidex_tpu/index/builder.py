@@ -104,6 +104,16 @@ class TermDictionary:
         return self.postings[term_id].df
 
 
+#: device-lane champion cap per term: high-df terms ship only their top
+#: CAP postings by weight to the dense device kernels (impact-ordered
+#: truncation; the exact host paths — tier pools, oracle joins — always
+#: read the full CSR). 0 disables clipping.
+import os as _os
+
+DEVICE_TERM_CAP = int(_os.environ.get("INFIDEX_TPU_DEVICE_TERM_CAP",
+                                      "32768"))
+
+
 @dataclass
 class BuiltIndex:
     """Immutable flat CSR image of the inverted index (host numpy)."""
@@ -117,6 +127,15 @@ class BuiltIndex:
     doc_lengths: np.ndarray       # float32 [N]
     avgdl: float
     num_docs: int
+    # Champion extension (built lazily by ensure_champions): for terms
+    # with df > DEVICE_TERM_CAP, the top-CAP postings by weight (doc-id
+    # sorted) appended after the base CSR in ext_docs/ext_weights;
+    # champion_starts[t] = offset into the EXTENDED buffer, -1 = use the
+    # full base range. The device uploads base+extension as one buffer.
+    champion_starts: Optional[np.ndarray] = None   # int64 [T]
+    champion_len: int = 0
+    ext_docs: Optional[np.ndarray] = None
+    ext_weights: Optional[np.ndarray] = None
 
     def postings_for(self, term_id: int) -> Tuple[np.ndarray, np.ndarray]:
         s, e = self.term_offsets[term_id], self.term_offsets[term_id + 1]
@@ -124,6 +143,49 @@ class BuiltIndex:
 
     def get_id(self, term: str) -> int:
         return self.term_to_id.get(term, -1)
+
+    def ensure_champions(self, cap: int = 0) -> None:
+        """Build the per-term weight-champion extension (one-time).
+
+        The TPU analogue of impact-ordered index truncation: a term with
+        df far beyond the candidate budget contributes its best-tf docs;
+        the dense kernels then expand bounded lanes for every term.
+        Exactness note: docs outside a clipped term's champions lose that
+        term's Stage-1 contribution only — coverage reranking and the
+        other query terms still see them; bench recall@10 quantifies it.
+        """
+        if self.champion_starts is not None:
+            return
+        cap = cap or DEVICE_TERM_CAP
+        starts = np.full(len(self.terms), -1, dtype=np.int64)
+        if cap <= 0:
+            self.champion_starts = starts
+            self.ext_docs = self.postings_docs
+            self.ext_weights = self.postings_weights
+            return
+        ext_d: List[np.ndarray] = [self.postings_docs]
+        ext_w: List[np.ndarray] = [self.postings_weights]
+        pos = int(self.postings_docs.size)
+        big = np.nonzero(self.df > cap)[0]
+        for t in big:
+            s, e = int(self.term_offsets[t]), int(self.term_offsets[t + 1])
+            if e - s <= cap:
+                continue
+            w = self.postings_weights[s:e]
+            # top-cap by weight, ties toward lower doc id (stable sort on
+            # descending weight keeps ascending-doc order within a weight)
+            part = np.argsort(-w.astype(np.int16), kind="stable")[:cap]
+            part.sort()
+            ext_d.append(self.postings_docs[s:e][part])
+            ext_w.append(w[part])
+            starts[t] = pos
+            pos += cap
+        self.champion_starts = starts
+        self.champion_len = cap
+        self.ext_docs = (np.concatenate(ext_d) if len(ext_d) > 1
+                         else self.postings_docs)
+        self.ext_weights = (np.concatenate(ext_w) if len(ext_w) > 1
+                            else self.postings_weights)
 
 
 def finalize_postings(term_dict: TermDictionary, num_docs: int) -> BuiltIndex:

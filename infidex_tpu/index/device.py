@@ -274,15 +274,23 @@ def split_batch_by_lanes(built: BuiltIndex, queries,
     cap. A single query may exceed the cap (it gets its own group and the
     larger bucket). Returns [(0, len(queries))] when no split is needed."""
     cap = cap or _MAX_L_PER_CALL
+    built.ensure_champions()
     offsets = built.term_offsets
+    cs, clen = built.champion_starts, built.champion_len
+
+    def lane_count(ids: np.ndarray) -> int:
+        if ids.size == 0:
+            return 0
+        full = (offsets[ids + 1] - offsets[ids]).astype(np.int64)
+        if cs is not None:
+            full = np.where(cs[ids] >= 0, clen, full)
+        return int(full.sum())
+
     lanes = []
     for term_ids, _idf, fuzzy_groups in queries:
-        tid = np.asarray(term_ids, dtype=np.int64)
-        n = int((offsets[tid + 1] - offsets[tid]).sum()) if tid.size else 0
+        n = lane_count(np.asarray(term_ids, dtype=np.int64))
         for grp in (fuzzy_groups or ()):
-            g = np.asarray(grp, dtype=np.int64)
-            if g.size:
-                n += int((offsets[g + 1] - offsets[g]).sum())
+            n += lane_count(np.asarray(grp, dtype=np.int64))
         lanes.append(n)
     if sum(lanes) <= cap:
         return [(0, len(queries))]
@@ -295,6 +303,16 @@ def split_batch_by_lanes(built: BuiltIndex, queries,
         acc += n
     groups.append((lo, len(queries)))
     return groups
+
+
+def term_device_range(built: BuiltIndex, tid: int):
+    """(start, len) of the term's device lanes: champion range for
+    clipped high-df terms, full CSR range otherwise."""
+    cs = built.champion_starts
+    if cs is not None and cs[tid] >= 0:
+        return int(cs[tid]), built.champion_len
+    s = int(built.term_offsets[tid])
+    return s, int(built.term_offsets[tid + 1]) - s
 
 
 def prepare_batch_arrays(built: BuiltIndex, queries):
@@ -310,12 +328,15 @@ def prepare_batch_arrays(built: BuiltIndex, queries):
     starts_l, lens_l, idfs_l, tq_l = [], [], [], []
     fz_starts_p, fz_lens_p, fz_group_p = [], [], []
     grp_query_l: list = []
+    built.ensure_champions()
     offsets = built.term_offsets
+    cs = built.champion_starts
+    clen = built.champion_len
     for qi, (term_ids, term_idf, fuzzy_groups) in enumerate(queries):
         for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
-            s, e = offsets[tid], offsets[tid + 1]
+            s, n = term_device_range(built, int(tid))
             starts_l.append(s)
-            lens_l.append(e - s)
+            lens_l.append(n)
             idfs_l.append(term_idf[i])
             tq_l.append(qi)
         for grp in (fuzzy_groups or ()):
@@ -324,9 +345,15 @@ def prepare_batch_arrays(built: BuiltIndex, queries):
                 continue
             g = len(grp_query_l)
             grp_query_l.append(qi)
-            s = offsets[grp]
+            s = offsets[grp].astype(np.int64)
+            n = (offsets[grp + 1] - s).astype(np.int64)
+            if cs is not None:
+                champ = cs[grp]
+                use = champ >= 0
+                s = np.where(use, champ, s)
+                n = np.where(use, clen, n)
             fz_starts_p.append(s.astype(np.int32))
-            fz_lens_p.append((offsets[grp + 1] - s).astype(np.int32))
+            fz_lens_p.append(n.astype(np.int32))
             fz_group_p.append(np.full(grp.size, g, np.int32))
 
     qt = max(len(starts_l), 1)
@@ -375,6 +402,7 @@ class DeviceIndex:
 
     def __init__(self, built: BuiltIndex, deleted: Optional[np.ndarray] = None):
         self.built = built
+        built.ensure_champions()
         n = built.num_docs
         self.num_docs = n
         # Pad the doc axis so scatter targets and top-k are aligned; the last
@@ -387,11 +415,13 @@ class DeviceIndex:
                 f"corpus too large for the packed f32 id path: n_pad="
                 f"{self.n_pad} >= 2^24; shard the index across devices")
 
+        # base CSR + champion extension in ONE buffer: clipped terms'
+        # lanes point at their champion range (prepare_batch_arrays)
         self.postings_docs = jnp.asarray(
-            built.postings_docs if built.postings_docs.size else np.zeros(1, np.int32)
+            built.ext_docs if built.ext_docs.size else np.zeros(1, np.int32)
         )
         self.postings_weights = jnp.asarray(
-            built.postings_weights if built.postings_weights.size else np.zeros(1, np.uint8)
+            built.ext_weights if built.ext_weights.size else np.zeros(1, np.uint8)
         )
         dl = np.zeros(self.n_pad, dtype=np.float32)
         dl[:n] = built.doc_lengths
@@ -437,9 +467,9 @@ class DeviceIndex:
         lens = np.zeros(q_pad, dtype=np.int32)
         idfs = np.zeros(q_pad, dtype=np.float32)
         for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
-            s, e = built.term_offsets[tid], built.term_offsets[tid + 1]
+            s, n_lanes = term_device_range(built, int(tid))
             starts[i] = s
-            lens[i] = e - s
+            lens[i] = n_lanes
             idfs[i] = term_idf[i]
 
         total = int(lens.sum())

@@ -277,11 +277,12 @@ class ShardedDeviceIndex:
         repl = NamedSharding(self.mesh, P())
         doc_sharded = NamedSharding(self.mesh, P(DOC_AXIS))
 
+        built.ensure_champions()
         self.postings_docs = jax.device_put(
-            jnp.asarray(built.postings_docs if built.postings_docs.size
+            jnp.asarray(built.ext_docs if built.ext_docs.size
                         else np.zeros(1, np.int32)), repl)
         self.postings_weights = jax.device_put(
-            jnp.asarray(built.postings_weights if built.postings_weights.size
+            jnp.asarray(built.ext_weights if built.ext_weights.size
                         else np.zeros(1, np.uint8)), repl)
 
         dl = np.zeros(self.n_pad, np.float32)
@@ -313,9 +314,12 @@ class ShardedDeviceIndex:
         starts = np.zeros(q_pad, np.int32)
         lens = np.zeros(q_pad, np.int32)
         idfs = np.zeros(q_pad, np.float32)
+        from ..index.device import term_device_range
+
         for i, tid in enumerate(np.asarray(term_ids, dtype=np.int64)):
-            starts[i] = built.term_offsets[tid]
-            lens[i] = built.term_offsets[tid + 1] - built.term_offsets[tid]
+            s, n_lanes = term_device_range(built, int(tid))
+            starts[i] = s
+            lens[i] = n_lanes
             idfs[i] = term_idf[i]
         l_pad = 1024
         total = int(lens.sum())

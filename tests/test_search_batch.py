@@ -161,3 +161,49 @@ def test_split_batch_by_lanes(engine):
 
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
         np.testing.assert_array_equal(i1, i2)
+
+
+def test_champion_clipping_bounds_device_lanes():
+    """High-df terms ship only their top-CAP-by-weight postings to the
+    device (impact-ordered truncation); the best-tf docs must survive and
+    the full CSR stays intact for the exact host paths."""
+    import numpy as np
+
+    from infidex_tpu.core.documents import Document
+    from infidex_tpu.index.device import term_device_range
+    from infidex_tpu.index.vector_model import VectorModel
+    from infidex_tpu.tokenization.normalizer import TextNormalizer
+    from infidex_tpu.tokenization.tokenizer import Tokenizer, TokenizerSetup
+
+    from infidex_tpu.api.fields import DocumentFields, Field, Weight
+
+    tok = Tokenizer([3], 2, 0, TextNormalizer.create_default(),
+                    TokenizerSetup())
+    m = VectorModel(tok)
+    # every doc contains "common"; doc 7 carries it in a HIGH-weight field
+    for i in range(300):
+        f = DocumentFields()
+        f.add_field(Field("t", f"common word{i}",
+                          Weight.HIGH if i == 7 else Weight.LOW))
+        m.index_document(Document(i, f))
+    m.build_inverted_lists()
+    built = m.built
+    tid = built.get_id("common")
+    assert tid >= 0 and built.df[tid] >= 300
+
+    # DeviceIndex already ran ensure_champions() at the default cap
+    # (no-op here); rebuild the lazy extension at a small test cap.
+    built.champion_starts = None
+    built.ensure_champions(cap=64)
+    s, n = term_device_range(built, tid)
+    assert n == 64
+    champ_docs = built.ext_docs[s : s + n]
+    champ_w = built.ext_weights[s : s + n]
+    assert np.all(np.diff(champ_docs) > 0)          # doc-id sorted
+    assert 7 in champ_docs                           # best-tf doc survives
+    assert champ_w.min() >= np.sort(
+        built.postings_weights[built.term_offsets[tid]:
+                               built.term_offsets[tid + 1]])[-64]
+    # full CSR untouched for exact host paths
+    full_docs, _ = built.postings_for(tid)
+    assert full_docs.size == built.df[tid]
