@@ -58,6 +58,11 @@ class TermPostings:
         """Append/accumulate a posting (Term.FirstCycleAdd, Term.cs:71-122)."""
         if self.df < 0:
             return
+        if type(self.doc_ids) is not list:
+            # Loaded snapshots back postings with CSR array views; convert
+            # to mutable lists on first write (copy-on-write).
+            self.doc_ids = self.doc_ids.tolist()
+            self.weights = self.weights.tolist()
         if len(self.weights) >= stop_term_limit:
             self.df = -1
             self.doc_ids.clear()
@@ -102,6 +107,25 @@ class TermDictionary:
 
     def df(self, term_id: int) -> int:
         return self.postings[term_id].df
+
+    def load_csr_image(self, terms, dfs, offsets, docs, weights) -> None:
+        """Bulk-restore from a snapshot's CSR image: postings become array
+        views over the shared buffers (no per-term materialization; the
+        write path converts a term to lists on first append)."""
+        base = len(self.terms)
+        self.terms.extend(terms)
+        t2i = self.term_to_id
+        postings = self.postings
+        for i, term in enumerate(terms):
+            t2i[term] = base + i
+        append = postings.append
+        for i in range(len(terms)):
+            p = TermPostings()
+            p.df = dfs[i]
+            s, e = offsets[i], offsets[i + 1]
+            p.doc_ids = docs[s:e]
+            p.weights = weights[s:e]
+            append(p)
 
 
 #: device-lane champion cap per term: high-df terms ship only their top
@@ -206,7 +230,7 @@ def finalize_postings(term_dict: TermDictionary, num_docs: int) -> BuiltIndex:
     weights = np.zeros(P, dtype=np.uint8)
     for t in range(T):
         p = term_dict.postings[t]
-        if p.df > 0 and p.doc_ids:
+        if p.df > 0 and len(p.doc_ids):
             s = offsets[t]
             docs[s : s + len(p.doc_ids)] = p.doc_ids
             weights[s : s + len(p.weights)] = p.weights

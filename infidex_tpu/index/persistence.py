@@ -29,7 +29,12 @@ import numpy as np
 from ..utils.safe_codec import CodecError, decode as _codec_decode, encode as _codec_encode
 
 MAGIC = b"IFDXTPU2"
-VERSION = 3
+VERSION = 4          # written; version 3 files remain readable
+_READABLE = (3, 4)
+
+# Field flag bitmask for the columnar document payload (v4).
+_FF_INDEXABLE, _FF_FILTERABLE, _FF_SORTABLE, _FF_FACETABLE = 1, 2, 4, 8
+_FF_WORD_INDEXING, _FF_OPTIONAL, _FF_IS_ARRAY, _FF_PRELOAD = 16, 32, 64, 128
 
 
 class IndexFormatError(Exception):
@@ -75,6 +80,210 @@ def _restore_doc(state) -> "Document":
     return doc
 
 
+def _doc_columns(documents) -> dict:
+    """Columnar image of the document collection (v4).
+
+    One array per scalar attribute plus flattened field records — decoding
+    per-document tuples/dicts cost ~25s at 1M docs (3.5M codec dispatches);
+    the columnar image decodes in a handful of array reads.
+    """
+    n = len(documents)
+    keys = np.empty(n, np.int64)
+    segments = np.empty(n, np.int32)
+    deleted = np.zeros(n, np.uint8)
+    texts: list = [None] * n
+    client_info: list = [None] * n
+    key_field_names: list = [None] * n
+    field_counts = np.zeros(n, np.int32)
+
+    name_table: list = []
+    name_ids_of: dict = {}
+    f_name_ids: list = []
+    f_weights: list = []
+    f_flags: list = []
+    f_wfloats: list = []
+    f_vkinds: list = []
+    f_vstrs: list = []
+    f_vints: list = []
+    f_vfloats: list = []
+    f_vother: list = []
+
+    any_client_info = False
+    for i in range(n):
+        doc = documents.get_document(i)
+        keys[i] = doc.document_key
+        segments[i] = doc.segment_number
+        deleted[i] = bool(doc.deleted)
+        texts[i] = doc.indexed_text or ""
+        ci = doc.document_client_information
+        if ci is not None:
+            any_client_info = True
+        client_info[i] = ci
+        key_field_names[i] = doc.fields.name_of_document_key_field or ""
+        flist = doc.fields.get_field_list()
+        field_counts[i] = len(flist)
+        for f in flist:
+            nid = name_ids_of.get(f.name)
+            if nid is None:
+                nid = name_ids_of[f.name] = len(name_table)
+                name_table.append(f.name)
+            f_name_ids.append(nid)
+            f_weights.append(int(f.weight))
+            flags = ((_FF_INDEXABLE if f.indexable else 0)
+                     | (_FF_FILTERABLE if f.filterable else 0)
+                     | (_FF_SORTABLE if f.sortable else 0)
+                     | (_FF_FACETABLE if f.facetable else 0)
+                     | (_FF_WORD_INDEXING if f.word_indexing else 0)
+                     | (_FF_OPTIONAL if f.optional else 0)
+                     | (_FF_IS_ARRAY if f.is_array else 0)
+                     | (_FF_PRELOAD if f.preload_filters else 0))
+            f_flags.append(flags)
+            f_wfloats.append(np.nan if f.weight_as_float is None
+                             else float(f.weight_as_float))
+            v = f.value
+            if v is None:
+                f_vkinds.append(0)
+            elif v is True:
+                f_vkinds.append(4)
+            elif v is False:
+                f_vkinds.append(5)
+            elif type(v) is str:
+                f_vkinds.append(1)
+                f_vstrs.append(v)
+            elif isinstance(v, int):
+                f_vkinds.append(2)
+                f_vints.append(v)
+            elif isinstance(v, float):
+                f_vkinds.append(3)
+                f_vfloats.append(v)
+            else:
+                f_vkinds.append(6)
+                f_vother.append(v)
+
+    uniform_kfn = key_field_names and all(
+        k == key_field_names[0] for k in key_field_names)
+    return {
+        "keys": keys, "segments": segments, "deleted": deleted,
+        "texts": texts,
+        "client_info": client_info if any_client_info else None,
+        "key_field_names": (key_field_names[0] if uniform_kfn
+                            else key_field_names),
+        "field_counts": field_counts,
+        "field_name_table": name_table,
+        "field_name_ids": np.asarray(f_name_ids, np.int32),
+        "field_weights": np.asarray(f_weights, np.int8),
+        "field_flags": np.asarray(f_flags, np.uint8),
+        "field_weight_floats": np.asarray(f_wfloats, np.float64),
+        "field_value_kinds": np.asarray(f_vkinds, np.uint8),
+        "field_value_strs": f_vstrs,
+        "field_value_ints": np.asarray(f_vints, np.int64),
+        "field_value_floats": np.asarray(f_vfloats, np.float64),
+        "field_value_other": f_vother,
+    }
+
+
+def _restore_doc_columns(model, cols) -> None:
+    """Rebuild the document collection from the columnar image."""
+    from ..api.fields import DocumentFields, Field, JsonKind, Weight
+    from ..core.documents import Document
+
+    keys = cols["keys"].tolist()
+    segments = cols["segments"].tolist()
+    deleted = cols["deleted"].tolist()
+    texts = cols["texts"]
+    n = len(keys)
+    client_info = cols["client_info"] or ([None] * n)
+    kfn = cols["key_field_names"]
+    uniform_kfn = isinstance(kfn, str)
+    field_counts = cols["field_counts"].tolist()
+    name_table = cols["field_name_table"]
+    f_name_ids = cols["field_name_ids"].tolist()
+    f_weights = cols["field_weights"].tolist()
+    f_flags = cols["field_flags"].tolist()
+    f_wfloats = cols["field_weight_floats"]
+    f_vkinds = cols["field_value_kinds"].tolist()
+    it_strs = iter(cols["field_value_strs"])
+    it_ints = iter(cols["field_value_ints"].tolist())
+    it_floats = iter(cols["field_value_floats"].tolist())
+    it_other = iter(cols["field_value_other"])
+
+    weight_of = {int(w): Weight(int(w)) for w in (0, 1, 2)}
+    kind_of = {0: JsonKind.NULL, 1: JsonKind.STRING, 2: JsonKind.NUMBER,
+               3: JsonKind.NUMBER, 4: JsonKind.TRUE, 5: JsonKind.FALSE}
+
+    collection = model.documents
+    docs_list = collection._documents
+    key_to_ids = collection._key_to_ids
+    base = len(docs_list)
+    fpos = 0
+    from ..api.fields import _infer_kind
+
+    for i in range(n):
+        doc = Document.__new__(Document)
+        doc.id = base + i
+        doc.document_key = keys[i]
+        doc.segment_number = segments[i]
+        doc.indexed_text = texts[i]
+        doc.document_client_information = client_info[i]
+        doc.reserved = ""
+        doc.json_index = 0
+        doc.deleted = bool(deleted[i])
+        doc._norm_cache = None
+        fields = DocumentFields.__new__(DocumentFields)
+        fields.name_of_document_key_field = kfn if uniform_kfn else kfn[i]
+        fdict = {}
+        for _ in range(field_counts[i]):
+            kind = f_vkinds[fpos]
+            if kind == 0:
+                value = None
+            elif kind == 1:
+                value = next(it_strs)
+            elif kind == 2:
+                value = next(it_ints)
+            elif kind == 3:
+                value = next(it_floats)
+            elif kind == 4:
+                value = True
+            elif kind == 5:
+                value = False
+            else:
+                value = next(it_other)
+            flags = f_flags[fpos]
+            wf = float(f_wfloats[fpos])
+            fld = Field.__new__(Field)
+            fld.__dict__.update(
+                name=name_table[f_name_ids[fpos]],
+                value=value,
+                weight=weight_of[f_weights[fpos]],
+                indexable=bool(flags & _FF_INDEXABLE),
+                filterable=bool(flags & _FF_FILTERABLE),
+                sortable=bool(flags & _FF_SORTABLE),
+                facetable=bool(flags & _FF_FACETABLE),
+                word_indexing=bool(flags & _FF_WORD_INDEXING),
+                optional=bool(flags & _FF_OPTIONAL),
+                is_array=bool(flags & _FF_IS_ARRAY),
+                weight_as_float=None if wf != wf else wf,
+                preload_filters=bool(flags & _FF_PRELOAD),
+                type=kind_of.get(kind) or _infer_kind(value),
+            )
+            fdict[fld.name] = fld
+            fpos += 1
+        fields._fields = fdict
+        doc.fields = fields
+
+        docs_list.append(doc)
+        if not doc.deleted:
+            collection.count += 1
+        ids = key_to_ids.setdefault(doc.document_key, None)
+        if ids is None:
+            key_to_ids[doc.document_key] = [doc.id]
+            if doc.segment_number > 0:
+                collection.multi_segment = True
+        else:
+            ids.append(doc.id)
+            collection.multi_segment = True
+
+
 def _wm_state_encodable(state: dict) -> dict:
     """WordMatcher state with the setup dataclass flattened to a dict."""
     state = dict(state)
@@ -92,15 +301,15 @@ def save_engine(engine, file_path: str) -> None:
     # Persist the UNIFIED vocabulary (memory + any flushed segments): a
     # loaded engine is a consolidated in-memory index, mirroring the
     # reference's save of the memory image.
-    term_state = [(term, int(model.built.df[tid]))
-                  for tid, term in enumerate(model.built.terms)]
+    term_state = list(model.built.terms)
+    term_dfs = np.asarray(model.built.df, np.int64)
 
     payload = {
         "version": VERSION,
         "engine_config": engine._engine_config,
-        "documents": [_doc_state(model.documents.get_document(i))
-                      for i in range(len(model.documents))],
+        "doc_cols": _doc_columns(model.documents),
         "terms": term_state,
+        "term_dfs": term_dfs,
         "term_offsets": model.built.term_offsets,
         "postings_docs": model.built.postings_docs,
         "postings_weights": model.built.postings_weights,
@@ -142,7 +351,7 @@ def load_engine(file_path: str, **engine_kwargs):
         if magic != MAGIC:
             raise IndexFormatError(f"bad magic: {magic!r}")
         version, checksum = struct.unpack("<II", fh.read(8))
-        if version != VERSION:
+        if version not in _READABLE:
             raise IndexFormatError(f"unsupported version {version}")
         (length,) = struct.unpack("<Q", fh.read(8))
         blob = fh.read(length)
@@ -173,21 +382,26 @@ def load_engine(file_path: str, **engine_kwargs):
     model = engine.vector_model
 
     # Restore documents
-    for state in payload["documents"]:
-        model.documents.add_document(_restore_doc(state))
+    if "doc_cols" in payload:
+        _restore_doc_columns(model, payload["doc_cols"])
+    else:  # version 3
+        for state in payload["documents"]:
+            model.documents.add_document(_restore_doc(state))
 
-    # Restore terms + raw postings from the CSR image
+    # Restore terms + raw postings from the CSR image. Postings stay as
+    # array views over the CSR buffers (zero copies); the incremental
+    # write path converts a term's views to mutable lists on first append
+    # (builder.Posting.add).
     offsets = payload["term_offsets"]
-    docs = payload["postings_docs"]
-    weights = payload["postings_weights"]
-    for tid, (term, df) in enumerate(payload["terms"]):
-        new_id, _ = model.term_dict.get_or_add(term)
-        assert new_id == tid
-        p = model.term_dict.postings[tid]
-        p.df = df
-        s, e = int(offsets[tid]), int(offsets[tid + 1])
-        p.doc_ids = docs[s:e].tolist()
-        p.weights = weights[s:e].tolist()
+    docs = np.ascontiguousarray(payload["postings_docs"])
+    weights = np.ascontiguousarray(payload["postings_weights"])
+    if "term_dfs" in payload:
+        terms = payload["terms"]
+        dfs = payload["term_dfs"].tolist()
+    else:  # version 3: list of (term, df) tuples
+        terms = [t for t, _ in payload["terms"]]
+        dfs = [df for _, df in payload["terms"]]
+    model.term_dict.load_csr_image(terms, dfs, offsets, docs, weights)
 
     if payload["short_query_index"] is not None and model.short_query_index is not None:
         model.short_query_index.load_state_dict(payload["short_query_index"])

@@ -382,7 +382,7 @@ class VectorModel:
         terms_postings = {}
         for tid, term in enumerate(self.term_dict.terms):
             p = self.term_dict.postings[tid]
-            if p.df > 0 and p.doc_ids:
+            if p.df > 0 and len(p.doc_ids):
                 terms_postings[term] = (p.doc_ids, p.weights)
         doc_count = len(self.documents) - self._flushed_doc_count
         SegmentWriter().write_segment(
@@ -428,7 +428,7 @@ class VectorModel:
             if p.df == -1:
                 dfs[t] = -1
                 continue
-            if p.df > 0 and p.doc_ids:
+            if p.df > 0 and len(p.doc_ids):
                 chunks[t].append((np.asarray(p.doc_ids, np.int32),
                                   np.asarray(p.weights, np.uint8)))
             if dfs[t] >= 0:

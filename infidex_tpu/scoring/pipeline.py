@@ -131,6 +131,9 @@ class SearchPipeline:
         self.coverage_device_count = 0
         self._t_wm = 0.0
         self._t_prepq = 0.0
+        #: batch-scoped WordMatcher prefetch (query text -> Future of
+        #: lookup_parts), populated while Stage-1 device calls block
+        self._wm_prefetch: Dict[str, object] = {}
 
         if self._coverage_engine is not None:
             self._rewire_coverage()
@@ -282,6 +285,24 @@ class SearchPipeline:
                 tfidf_query = text
             tfidf_queries[i] = tfidf_query
 
+        # WordMatcher lookups depend only on query text; prefetch them on
+        # host threads so they overlap the Stage-1 device round trips
+        # below (numpy set ops release the GIL while device_get blocks).
+        # _coverage_begin(_fast) consumes self._wm_prefetch.
+        wm_pool = None
+        self._wm_prefetch = {}
+        if self._word_matcher is not None and self._word_matcher._finalized:
+            from concurrent.futures import ThreadPoolExecutor
+
+            live = [t for i, t in enumerate(texts)
+                    if t and not t.isspace() and out[i] is None]
+            if live:
+                wm_pool = ThreadPoolExecutor(max_workers=min(4, len(live)))
+                cps = coverage_setup.cover_prefix_suffix
+                for t in dict.fromkeys(live):
+                    self._wm_prefetch[t] = wm_pool.submit(
+                        self._word_matcher.lookup_parts, t, cps)
+
         # Resolve every unknown token of the whole batch in ONE device
         # round trip (MXU signature matmul) before per-query prep.
         self._prime_fuzzy_tokens([t for t in tfidf_queries if t is not None])
@@ -413,7 +434,23 @@ class SearchPipeline:
                           else s1)
             else:
                 out[i] = coverage_results
+        if wm_pool is not None:
+            wm_pool.shutdown(wait=False)
+        self._wm_prefetch = {}
         return [r if r is not None else [] for r in out]
+
+    # ------------------------------------------------------------------
+    def _wm_lookup_parts(self, search_text: str,
+                         cover_prefix_suffix: bool) -> List[np.ndarray]:
+        """WordMatcher parts for one query, via the batch prefetch when
+        one is in flight (keyed by exact query text)."""
+        if self._word_matcher is None:
+            return []
+        fut = self._wm_prefetch.get(search_text)
+        if fut is not None:
+            return fut.result()
+        return self._word_matcher.lookup_parts(search_text,
+                                               cover_prefix_suffix)
 
     # ------------------------------------------------------------------
     def _prime_fuzzy_tokens(self, query_texts: List[str]) -> None:
@@ -664,10 +701,8 @@ class SearchPipeline:
         if coverage_setup.enable_lexical_prescreen and top_candidates:
             top_candidates = self._lexical_prescreen(search_text, top_candidates, coverage_setup)
 
-        wm_parts: List[np.ndarray] = []
-        if self._word_matcher is not None:
-            wm_parts = self._word_matcher.lookup_parts(
-                search_text, coverage_setup.cover_prefix_suffix)
+        wm_parts = self._wm_lookup_parts(
+            search_text, coverage_setup.cover_prefix_suffix)
         has_wm = any(p.size for p in wm_parts)
 
         context = self._coverage_engine.prepare_query(search_text)
@@ -836,10 +871,8 @@ class SearchPipeline:
         s1 = s1.truncated(coverage_depth)
 
         t0 = _time.perf_counter()
-        wm_parts: List[np.ndarray] = []
-        if self._word_matcher is not None:
-            wm_parts = self._word_matcher.lookup_parts(
-                search_text, coverage_setup.cover_prefix_suffix)
+        wm_parts = self._wm_lookup_parts(
+            search_text, coverage_setup.cover_prefix_suffix)
         has_wm = any(p.size for p in wm_parts)
         self._t_wm += _time.perf_counter() - t0
 

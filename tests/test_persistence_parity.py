@@ -88,3 +88,76 @@ class TestPersistenceParity:
         again = SearchEngine.load(p2)
         for q in ["freshly added", "shawshank"]:
             assert _records(mem, q) == _records(again, q), q
+
+
+class TestColumnarDocPayload:
+    """v4 columnar document image: rich fields, aliases, deletions
+    (IndexPersistence.cs stores an equivalent per-document record set)."""
+
+    @pytest.fixture(scope="class")
+    def rich_engines(self, tmp_path_factory):
+        from infidex_tpu import DocumentFields, Field, Filter, Weight
+
+        mem = SearchEngine.create_default()
+        docs = []
+        for i, title in enumerate(TITLES):
+            f = DocumentFields()
+            f.add_field("title", title, weight=Weight.HIGH)
+            f.add_field("genre", ["drama", "sci-fi", "crime"][i % 3],
+                        indexable=False, filterable=True, facetable=True)
+            f.add_field("year", 1980 + i, indexable=False, filterable=True,
+                        sortable=True)
+            f.add_field("rating", 5.0 + (i % 5), indexable=False,
+                        filterable=True)
+            f.add_field("tags", ["a", "b"], indexable=False, is_array=True,
+                        facetable=True)
+            f.add_field("missing", None, indexable=False, optional=True)
+            d = Document(i, f, document_client_information=f"info-{i}"
+                         if i % 4 == 0 else None)
+            docs.append(d)
+        mem.index_documents(docs)
+        mem.delete_documents(3)
+        # Finalize after the delete: save/load ranking identity is a
+        # contract of FINALIZED indexes (Load recomputes derived stats,
+        # SearchEngine.cs:422-426; an unfinalized in-memory engine serves
+        # stale ones by design, same as the reference).
+        mem.calculate_weights()
+        path = str(tmp_path_factory.mktemp("persist4") / "rich.bin")
+        mem.save(path)
+        return mem, SearchEngine.load(path)
+
+    def test_ranking_and_fields_identical(self, rich_engines):
+        mem, loaded = rich_engines
+        for q in QUERIES:
+            assert _records(mem, q) == _records(loaded, q), q
+
+    def test_field_attributes_roundtrip(self, rich_engines):
+        mem, loaded = rich_engines
+        for i in range(len(TITLES)):
+            dm = mem.vector_model.documents.get_document(i)
+            dl = loaded.vector_model.documents.get_document(i)
+            assert dm.document_client_information == dl.document_client_information
+            assert dm.deleted == dl.deleted
+            for fm in dm.fields.get_field_list():
+                fl = dl.fields.get_field(fm.name)
+                assert fl is not None
+                assert fm.value == fl.value
+                assert fm.weight == fl.weight
+                assert fm.filterable == fl.filterable
+                assert fm.facetable == fl.facetable
+                assert fm.sortable == fl.sortable
+                assert fm.is_array == fl.is_array
+                assert fm.optional == fl.optional
+                assert fm.type == fl.type
+
+    def test_filters_and_facets_after_load(self, rich_engines):
+        from infidex_tpu import Filter
+
+        mem, loaded = rich_engines
+        q = Query("the", 20)
+        q.filter = Filter.parse("year >= 1985 && genre = 'drama'")
+        q.enable_facets = True
+        rm, rl = mem.search(q), loaded.search(q)
+        assert [x.document_id for x in rm.records] == \
+               [x.document_id for x in rl.records]
+        assert rm.facets == rl.facets
