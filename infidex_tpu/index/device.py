@@ -229,42 +229,114 @@ def _stage1_kernel_batch(
     scores = scores.reshape(n_q, n_pad)
 
     if f_pad > 0 and n_grp > 0:
-        fcum = jnp.cumsum(fz_lens)
-        ftotal = fcum[-1]
-        flane = jnp.arange(f_pad, dtype=jnp.int32)
-        fboundary = jnp.zeros((f_pad,), jnp.int32).at[fcum].add(1, mode="drop")
-        f_of = jnp.cumsum(fboundary)
-        ft = fz_lens.shape[0]
-        f_of_c = jnp.minimum(f_of, ft - 1)
-        fprev = jnp.where(f_of_c > 0, fcum[jnp.maximum(f_of_c - 1, 0)], 0)
-        fidx = fz_starts[f_of_c] + (flane - fprev)
-        fvalid = flane < ftotal
-        fidx = jnp.where(fvalid, fidx, 0)
-        fdoc = postings_docs[fidx]
-        fgrp = fz_group[f_of_c]
-        gflat = fgrp * n_pad + fdoc
-        # scatter-max of {0,1}: invalid lanes contribute 0, so the parking
-        # position never inflates a group's df.
-        presence = jnp.zeros((n_grp * n_pad,), jnp.float32).at[gflat].max(
-            jnp.where(fvalid, 1.0, 0.0), mode="drop")
-        presence = presence.reshape(n_grp, n_pad)
-        # virtual-term df = distinct posting docs (deleted included, like
-        # the host union over raw postings); exact in f32 below 2^24.
-        df = presence.sum(axis=1)
-        ratio = (total_docs - df + jnp.float32(0.5)) / (df + jnp.float32(0.5))
-        fidf = jnp.where((df > 0) & (df <= stop_limit) & (ratio > 0),
-                         jnp.log1p(jnp.maximum(ratio, 0.0)), 0.0)
-        dl_all = jnp.where(doc_lengths <= 0.0, 1.0, doc_lengths)
-        fnorm = K1 * (1.0 - B + B * (dl_all / avgdl))
-        doc_fac = (K1 + 1.0) / (1.0 + fnorm) + DELTA          # tf = 1.0
-        own = grp_query[None, :] == jnp.arange(n_q, dtype=jnp.int32)[:, None]
-        wsum = jnp.where(own, fidf[None, :], 0.0)             # [n_q, n_grp]
-        scores = scores + wsum @ (presence * doc_fac[None, :])
+        scores = _fuzzy_block(scores, postings_docs, doc_lengths,
+                              fz_starts, fz_lens, fz_group, grp_query,
+                              total_docs, stop_limit, avgdl,
+                              f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
     top_scores, top_ids = jax.lax.top_k(scores, k)
     # One packed output = one host transfer (tunneled links pay a full
     # round trip per array). Doc ids are exact in f32 up to 2^24.
+    return jnp.stack([top_scores, top_ids.astype(jnp.float32)])
+
+
+def _fuzzy_block(scores, postings_docs, doc_lengths, fz_starts, fz_lens,
+                 fz_group, grp_query, total_docs, stop_limit, avgdl,
+                 *, f_pad: int, n_grp: int, n_q: int):
+    """On-device fuzzy virtual-term scoring (see _stage1_kernel_batch
+    docstring): expand matched vocab terms' postings into a [n_grp, N]
+    presence matrix, derive per-group df/idf, and add the per-query
+    contribution with one MXU matmul. Shared by the XLA and Pallas-chunked
+    Stage-1 kernels."""
+    n_pad = doc_lengths.shape[0]
+    fcum = jnp.cumsum(fz_lens)
+    ftotal = fcum[-1]
+    flane = jnp.arange(f_pad, dtype=jnp.int32)
+    fboundary = jnp.zeros((f_pad,), jnp.int32).at[fcum].add(1, mode="drop")
+    f_of = jnp.cumsum(fboundary)
+    ft = fz_lens.shape[0]
+    f_of_c = jnp.minimum(f_of, ft - 1)
+    fprev = jnp.where(f_of_c > 0, fcum[jnp.maximum(f_of_c - 1, 0)], 0)
+    fidx = fz_starts[f_of_c] + (flane - fprev)
+    fvalid = flane < ftotal
+    fidx = jnp.where(fvalid, fidx, 0)
+    fdoc = postings_docs[fidx]
+    fgrp = fz_group[f_of_c]
+    gflat = fgrp * n_pad + fdoc
+    # scatter-max of {0,1}: invalid lanes contribute 0, so the parking
+    # position never inflates a group's df.
+    presence = jnp.zeros((n_grp * n_pad,), jnp.float32).at[gflat].max(
+        jnp.where(fvalid, 1.0, 0.0), mode="drop")
+    presence = presence.reshape(n_grp, n_pad)
+    # virtual-term df = distinct posting docs (deleted included, like
+    # the host union over raw postings); exact in f32 below 2^24.
+    df = presence.sum(axis=1)
+    ratio = (total_docs - df + jnp.float32(0.5)) / (df + jnp.float32(0.5))
+    fidf = jnp.where((df > 0) & (df <= stop_limit) & (ratio > 0),
+                     jnp.log1p(jnp.maximum(ratio, 0.0)), 0.0)
+    dl_all = jnp.where(doc_lengths <= 0.0, 1.0, doc_lengths)
+    fnorm = K1 * (1.0 - B + B * (dl_all / avgdl))
+    doc_fac = (K1 + 1.0) / (1.0 + fnorm) + DELTA          # tf = 1.0
+    own = grp_query[None, :] == jnp.arange(n_q, dtype=jnp.int32)[:, None]
+    wsum = jnp.where(own, fidf[None, :], 0.0)             # [n_q, n_grp]
+    return scores + wsum @ (presence * doc_fac[None, :])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c_pad", "f_pad", "k", "n_q", "n_grp"),
+)
+def _stage1_kernel_batch_chunked(
+    postings_docs: jax.Array,     # int32 [P + CHUNK]
+    cfac: jax.Array,              # f32 [P + CHUNK] per-posting BM25 factor
+    doc_lengths: jax.Array,       # f32 [N_pad]
+    live_mask: jax.Array,         # f32 [N_pad]
+    chunk_off: jax.Array,         # int32 [c_pad] (ALIGN-aligned)
+    chunk_vstart: jax.Array,      # int32 [c_pad] valid-window start
+    chunk_vend: jax.Array,        # int32 [c_pad] valid-window end
+    chunk_idf: jax.Array,         # f32 [c_pad]
+    chunk_base: jax.Array,        # int32 [c_pad] (query * n_pad)
+    fz_starts: jax.Array,
+    fz_lens: jax.Array,
+    fz_group: jax.Array,
+    grp_query: jax.Array,
+    total_docs: jax.Array,
+    stop_limit: jax.Array,
+    avgdl: jax.Array,
+    *,
+    c_pad: int,
+    f_pad: int,
+    k: int,
+    n_q: int,
+    n_grp: int,
+) -> jax.Array:
+    """Pallas-expanded variant of ``_stage1_kernel_batch``: the ragged
+    lane expansion + per-posting math run as a chunk-DMA Pallas kernel
+    (ops/stage1_lanes.py — measured 2x faster end-to-end than the XLA
+    boundary-cumsum + gather formulation at 4M lanes on a v5e); the
+    scatter-add, fuzzy block and top-k stay in XLA. Scores match up to
+    f32 scatter accumulation order (top-k ids identical in measurement;
+    see stage1_lanes.py)."""
+    from ..ops.stage1_lanes import expand_lanes
+
+    n_pad = doc_lengths.shape[0]
+    park = n_q * n_pad - 1
+    keys, contrib = expand_lanes(chunk_off, chunk_vstart, chunk_vend,
+                                 chunk_idf, chunk_base, postings_docs,
+                                 cfac, park)
+    scores = jnp.zeros((n_q * n_pad,), dtype=jnp.float32)
+    scores = scores.at[keys].add(contrib, mode="drop")
+    scores = scores.reshape(n_q, n_pad)
+
+    if f_pad > 0 and n_grp > 0:
+        scores = _fuzzy_block(scores, postings_docs, doc_lengths,
+                              fz_starts, fz_lens, fz_group, grp_query,
+                              total_docs, stop_limit, avgdl,
+                              f_pad=f_pad, n_grp=n_grp, n_q=n_q)
+
+    scores = scores * live_mask[None, :]
+    top_scores, top_ids = jax.lax.top_k(scores, k)
     return jnp.stack([top_scores, top_ids.astype(jnp.float32)])
 
 
@@ -416,13 +488,19 @@ class DeviceIndex:
                 f"{self.n_pad} >= 2^24; shard the index across devices")
 
         # base CSR + champion extension in ONE buffer: clipped terms'
-        # lanes point at their champion range (prepare_batch_arrays)
-        self.postings_docs = jnp.asarray(
-            built.ext_docs if built.ext_docs.size else np.zeros(1, np.int32)
-        )
-        self.postings_weights = jnp.asarray(
-            built.ext_weights if built.ext_weights.size else np.zeros(1, np.uint8)
-        )
+        # lanes point at their champion range (prepare_batch_arrays).
+        # CHUNK trailing zeros keep the Pallas expansion's fixed-size DMAs
+        # in bounds on the last chunk of a range (stage1_lanes.py).
+        from ..ops.stage1_lanes import CHUNK as _CHUNK
+
+        ext_d = built.ext_docs if built.ext_docs.size else np.zeros(1, np.int32)
+        ext_w = (built.ext_weights if built.ext_weights.size
+                 else np.zeros(1, np.uint8))
+        self.postings_docs = jnp.asarray(np.concatenate(
+            [ext_d, np.zeros(_CHUNK, np.int32)]))
+        self.postings_weights = jnp.asarray(np.concatenate(
+            [ext_w, np.zeros(_CHUNK, np.uint8)]))
+        self._cfac = None  # lazy per-posting BM25 factor (Pallas path)
         dl = np.zeros(self.n_pad, dtype=np.float32)
         dl[:n] = built.doc_lengths
         self.doc_lengths = jnp.asarray(dl)
@@ -439,6 +517,25 @@ class DeviceIndex:
             jnp.zeros((0,), jnp.int32),
             jnp.zeros((0,), jnp.float32),
         )
+        # Pallas chunk-DMA lane expansion (stage1_lanes.py): on for real
+        # TPU backends; the XLA formulation serves CPU/test runs (where
+        # Mosaic kernels would need interpret mode) unless forced.
+        flag = __import__("os").environ.get("INFIDEX_TPU_CHUNKED", "auto")
+        if flag == "auto":
+            self.use_chunked = jax.default_backend() in ("tpu", "axon")
+        else:
+            self.use_chunked = flag not in ("0", "off", "false")
+
+    def _ensure_cfac(self):
+        """Per-posting BM25 document factors for the Pallas path (lazy,
+        computed on device once per index image)."""
+        if self._cfac is None:
+            from ..ops.stage1_lanes import posting_cfac
+
+            self._cfac = jax.jit(posting_cfac)(
+                self.postings_docs, self.postings_weights,
+                self.doc_lengths, self.avgdl)
+        return self._cfac
 
     def set_deleted(self, deleted: np.ndarray) -> None:
         live = np.zeros(self.n_pad, dtype=np.float32)
@@ -539,13 +636,69 @@ class DeviceIndex:
                     stop_term_limit=stop_term_limit))
             return out
 
+        import os as _os
+        import time as _time
+        trace = _os.environ.get("INFIDEX_TPU_TRACE")
+        t0 = _time.perf_counter() if trace else 0.0
+
         (n_q_pad, starts, lens, idfs, tq, l_pad, fz_starts, fz_lens,
          fz_group, grp_query, f_pad, n_grp) = prepare_batch_arrays(
             built, queries)
+        t_prep = (_time.perf_counter() - t0) if trace else 0.0
 
         td = np.float32(total_docs if total_docs is not None
                         else self.num_docs)
         k = min(int(top_k), self.n_pad)
+        if self.use_chunked:
+            from ..ops.stage1_lanes import build_chunk_table
+
+            off, vstart, vend, idf_c, base = build_chunk_table(
+                starts, lens, idfs, tq, self.n_pad)
+            c_pad = _bucket(max(off.size, 1), 64)
+            co = np.zeros(c_pad, np.int32)
+            cvs = np.zeros(c_pad, np.int32)
+            cve = np.zeros(c_pad, np.int32)
+            ci = np.zeros(c_pad, np.float32)
+            cb = np.zeros(c_pad, np.int32)
+            co[:off.size] = off
+            cvs[:off.size] = vstart
+            cve[:off.size] = vend
+            ci[:off.size] = idf_c
+            cb[:off.size] = base
+            out = _stage1_kernel_batch_chunked(
+                self.postings_docs,
+                self._ensure_cfac(),
+                self.doc_lengths,
+                self.live_mask,
+                jnp.asarray(co),
+                jnp.asarray(cvs),
+                jnp.asarray(cve),
+                jnp.asarray(ci),
+                jnp.asarray(cb),
+                jnp.asarray(fz_starts),
+                jnp.asarray(fz_lens),
+                jnp.asarray(fz_group),
+                jnp.asarray(grp_query),
+                jnp.float32(td),
+                jnp.float32(stop_term_limit),
+                self.avgdl,
+                c_pad=c_pad,
+                f_pad=f_pad,
+                k=k,
+                n_q=n_q_pad,
+                n_grp=n_grp,
+            )
+            t1 = _time.perf_counter() if trace else 0.0
+            packed = jax.device_get(out)
+            if trace:
+                t2 = _time.perf_counter()
+                print(f"[PIPE]     s1-call: s1prep={t_prep*1000:.1f}ms "
+                      f"s1dispatch={(t1-t0-t_prep)*1000:.1f}ms "
+                      f"s1wait={(t2-t1)*1000:.1f}ms nq={n_q} c_pad={c_pad} "
+                      f"f_pad={f_pad} n_grp={n_grp}", flush=True)
+            scores = packed[0]
+            ids = packed[1].astype(np.int32)
+            return [(scores[b], ids[b]) for b in range(n_q)]
         out = _stage1_kernel_batch(
             self.postings_docs,
             self.postings_weights,
@@ -568,7 +721,14 @@ class DeviceIndex:
             n_q=n_q_pad,
             n_grp=n_grp,
         )
+        t1 = _time.perf_counter() if trace else 0.0
         packed = jax.device_get(out)
+        if trace:
+            t2 = _time.perf_counter()
+            print(f"[PIPE]     s1-call: s1prep={t_prep*1000:.1f}ms "
+                  f"s1dispatch={(t1-t0-t_prep)*1000:.1f}ms "
+                  f"s1wait={(t2-t1)*1000:.1f}ms nq={n_q} l_pad={l_pad} "
+                  f"f_pad={f_pad} n_grp={n_grp}", flush=True)
         scores = packed[0]
         ids = packed[1].astype(np.int32)
         return [(scores[b], ids[b]) for b in range(n_q)]

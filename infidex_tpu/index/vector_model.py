@@ -470,8 +470,12 @@ class VectorModel:
     def build_optimized_indexes(self) -> None:
         if self.short_query_index is not None:
             self.short_query_index.freeze()
-        self._build_document_metadata_cache()
+        # Coverage tables first: they materialize norm_texts (one
+        # normalize pass over the corpus) which the metadata cache and
+        # word-df builders reuse — at 1M docs the three independent
+        # normalize passes cost ~25s of load/build time.
         self._build_coverage_tables()
+        self._build_document_metadata_cache()
         if self._mesh is not None and self.coverage_tables is not None:
             from ..parallel.sharding import ShardedCoverageTables
 
@@ -543,12 +547,19 @@ class VectorModel:
             else {" "}
         )
         self.doc_metadata = []
+        nt = self.norm_texts
+        use_nt = nt is not None and nt.size >= len(self.documents)
         for i in range(len(self.documents)):
             doc = self.documents.get_document(i)
             if doc is None or doc.deleted or not doc.indexed_text:
                 self.doc_metadata.append(DocumentMetadata())
                 continue
-            text = self.normalize_doc_text(doc.indexed_text.lower())
+            # same recipe as the coverage tables (normalize -> canonicalize
+            # -> lower); reuse their pass when available
+            if use_nt:
+                text = nt[i]
+            else:
+                text = self.normalize_doc_text(doc.indexed_text.lower())
             first = ""
             count = 0
             j, L = 0, len(text)
@@ -601,6 +612,13 @@ class VectorModel:
         except Exception:
             return None
         norm = self.tokenizer.text_normalizer
+        # Word df runs on NON-canonicalized text (VectorModel.cs:864-908
+        # counts surface words); norm_texts is shareable only when no
+        # canonical synonym rewriting is active.
+        nt = self.norm_texts
+        use_nt = (nt is not None and nt.size >= len(self.documents)
+                  and not (self.synonym_map is not None
+                           and self.synonym_map.has_canonical_mappings))
         texts, skip = [], []
         for i in range(len(self.documents)):
             doc = self.documents.get_document(i)
@@ -608,10 +626,13 @@ class VectorModel:
                 texts.append("")
                 skip.append(1)
                 continue
-            text = doc.indexed_text.lower()
-            if norm is not None:
-                text = norm.normalize(text)
-            texts.append(text.lower())
+            if use_nt:
+                texts.append(nt[i])
+            else:
+                text = doc.indexed_text.lower()
+                if norm is not None:
+                    text = norm.normalize(text)
+                texts.append(text.lower())
             skip.append(0)
         return word_document_frequencies(
             texts, self.tokenizer.tokenizer_setup.delimiters, skip)
