@@ -165,7 +165,12 @@ def _recall_at_10(engine, queries, Query, n_docs, sample=32):
     generation) against a full-depth oracle: the same ranking pipeline
     with candidate depth = the whole corpus. Measures candidate-recall
     loss, the thing pruning/depth could cost (north-star metric is QPS at
-    matched recall@10)."""
+    matched recall@10).
+
+    The oracle shares the engine's champion clipping (it measures depth
+    truncation, which dominates). Clipping loss is measured separately:
+    at 300k docs, cap-2048 top-10s carry 0.92 of an UNCLIPPED engine's
+    top-10 with 40/48 identical rankings (scripts/clip_study.py)."""
     hits = total = 0
     # Cap oracle depth: 40x the production depth is enough to expose any
     # candidate-generation loss, and a 10^6-deep coverage pass per query
