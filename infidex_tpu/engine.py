@@ -329,12 +329,22 @@ class SearchEngine:
     # ------------------------------------------------------------------
     # Search
 
+    def _servable(self) -> bool:
+        """True when a finalized index image exists to serve from.
+
+        Incremental adds set ``_is_indexed = False`` (derived stats are
+        stale until ``calculate_weights``) but searches keep serving the
+        LAST finalized image, like the reference: a live engine must not
+        go dark between an add and the next finalize
+        (SearchEngine.cs:165-185 accumulate-then-CalculateWeights cycle)."""
+        return self._is_indexed or self._vector_model.built is not None
+
     def search(self, query: Query) -> Result:
         import time as _time
 
         t_start = _time.perf_counter()
         with self._rw_lock.read_lock():
-            if not self._is_indexed:
+            if not self._servable():
                 return Result.make_empty()
 
             q = query.copy()
@@ -389,7 +399,7 @@ class SearchEngine:
         from .scoring.segment_processor import calculate_lcs
 
         with self._rw_lock.read_lock():
-            if not self._is_indexed or self._coverage_engine is None:
+            if not self._servable() or self._coverage_engine is None:
                 return {}
             doc = self._vector_model.documents.get_document_by_public_key(
                 document_key)
@@ -443,7 +453,7 @@ class SearchEngine:
         it multiplies QPS by roughly the batch size.
         """
         with self._rw_lock.read_lock():
-            if not self._is_indexed:
+            if not self._servable():
                 return [Result.make_empty() for _ in queries]
 
             prepped: List[Query] = []

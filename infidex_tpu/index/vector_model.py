@@ -297,8 +297,12 @@ class VectorModel:
         if self.short_query_index is not None:
             self.short_query_index.index_document(index_text, doc.id)
 
-        # Derived structures are stale until the next finalize.
-        self.built = None
+        # Derived structures are stale until the next finalize, but the
+        # previous ``built`` image (an immutable CSR snapshot) keeps
+        # serving: a live engine must not go dark between an add and the
+        # next calculate_weights (reference: accumulate-then-
+        # CalculateWeights, SearchEngine.cs:165-185 — the new document
+        # becomes searchable at finalize).
         return doc
 
     def _field_weight_at(self, token_pos: int, boundaries) -> float:

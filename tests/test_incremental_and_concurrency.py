@@ -144,3 +144,25 @@ class TestThreadSafety:
         for t in threads:
             t.join()
         assert not errors
+
+
+def test_search_serves_during_unfinalized_add():
+    """A live engine must keep serving the last finalized image between
+    an incremental add and the next calculate_weights (the reference's
+    accumulate-then-CalculateWeights cycle never goes dark)."""
+    from infidex_tpu import Document, Query, SearchEngine
+
+    eng = SearchEngine.create_default()
+    eng.index_documents([Document(0, "The Shawshank Redemption"),
+                         Document(1, "Redemption Day")])
+    before = eng.search(Query("redemption", 5))
+    assert before.records
+    eng.index_document(Document(2, "Fresh Unfinalized Doc"))
+    during = eng.search(Query("redemption", 5))  # add not yet finalized
+    assert [r.document_id for r in during.records] == \
+        [r.document_id for r in before.records]
+    batch = eng.search_batch([Query("redemption", 5)])
+    assert batch[0].records
+    eng.calculate_weights()
+    after = eng.search(Query("unfinalized", 5))
+    assert any(r.document_id == 2 for r in after.records)
