@@ -490,16 +490,24 @@ class DeviceIndex:
         # base CSR + champion extension in ONE buffer: clipped terms'
         # lanes point at their champion range (prepare_batch_arrays).
         # CHUNK trailing zeros keep the Pallas expansion's fixed-size DMAs
-        # in bounds on the last chunk of a range (stage1_lanes.py).
+        # in bounds on the last chunk of a range (stage1_lanes.py), and
+        # the whole buffer is padded to a quadrupling bucket so the
+        # posting count is NOT a compiled-program shape: incremental
+        # serving re-finalizes every few seconds, and an exact-P buffer
+        # would invalidate every compiled kernel at each finalize
+        # (measured: config-5 p50 fell from 55s to interactive).
         from ..ops.stage1_lanes import CHUNK as _CHUNK
 
         ext_d = built.ext_docs if built.ext_docs.size else np.zeros(1, np.int32)
         ext_w = (built.ext_weights if built.ext_weights.size
                  else np.zeros(1, np.uint8))
-        self.postings_docs = jnp.asarray(np.concatenate(
-            [ext_d, np.zeros(_CHUNK, np.int32)]))
-        self.postings_weights = jnp.asarray(np.concatenate(
-            [ext_w, np.zeros(_CHUNK, np.uint8)]))
+        p_pad = _bucket(ext_d.size + _CHUNK, 1 << 16)
+        pd = np.zeros(p_pad, np.int32)
+        pd[:ext_d.size] = ext_d
+        pw = np.zeros(p_pad, np.uint8)
+        pw[:ext_w.size] = ext_w
+        self.postings_docs = jnp.asarray(pd)
+        self.postings_weights = jnp.asarray(pw)
         self._cfac = None  # lazy per-posting BM25 factor (Pallas path)
         dl = np.zeros(self.n_pad, dtype=np.float32)
         dl[:n] = built.doc_lengths

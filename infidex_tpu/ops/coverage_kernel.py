@@ -94,6 +94,48 @@ class CoverageConfig(NamedTuple):
         )
 
 
+def _pad_bucket(n: int, minimum: int = 1024) -> int:
+    b = minimum
+    while b < n:
+        b *= 4
+    return b
+
+
+def _tables_from_arrays(word_chars, word_chars_rev, word_lens, doc_tokens,
+                        doc_offsets, doc_count, doc_adj, doc_text_len,
+                        overflow, max_wlen) -> "CoverageTables":
+    """Bucket-pad the word and doc axes before upload: table sizes must
+    not be compiled-program shapes, or every incremental finalize would
+    invalidate every compiled coverage program (config-5 measured p50
+    55s from exactly that). Pad rows are invalid (-1 token codes) and
+    are never selected as candidates."""
+    n = doc_tokens.shape[0]
+    v = word_chars.shape[0]
+    n_pad = _pad_bucket(n)
+    v_pad = _pad_bucket(v)
+
+    def padded(arr, rows, fill=0):
+        if arr.shape[0] == rows:
+            return arr
+        out = np.full((rows,) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[: arr.shape[0]] = arr
+        return out
+
+    return CoverageTables(
+        word_chars=jnp.asarray(padded(word_chars, v_pad)),
+        word_chars_rev=jnp.asarray(padded(word_chars_rev, v_pad)),
+        word_lens=jnp.asarray(padded(word_lens, v_pad)),
+        doc_tokens=jnp.asarray(padded(doc_tokens, n_pad, fill=-1)),
+        doc_tok_offsets=jnp.asarray(padded(doc_offsets, n_pad)),
+        doc_tok_count=jnp.asarray(padded(doc_count, n_pad)),
+        doc_adj_ws=jnp.asarray(padded(doc_adj, n_pad)),
+        doc_text_len=jnp.asarray(padded(doc_text_len, n_pad)),
+        overflow=padded(overflow, n_pad),
+        tok_count_host=padded(doc_count, n_pad),
+        max_wlen_host=padded(max_wlen, n_pad),
+    )
+
+
 @dataclass
 class CoverageTables:
     """Device-resident doc token tables (+ overflow flags for host fallback)."""
@@ -123,19 +165,10 @@ class CoverageTables:
         if arrays is not None:
             (word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
              doc_count, doc_adj, doc_text_len, overflow, max_wlen) = arrays
-            return CoverageTables(
-                word_chars=jnp.asarray(word_chars),
-                word_chars_rev=jnp.asarray(word_chars_rev),
-                word_lens=jnp.asarray(word_lens),
-                doc_tokens=jnp.asarray(doc_tokens),
-                doc_tok_offsets=jnp.asarray(doc_offsets),
-                doc_tok_count=jnp.asarray(doc_count),
-                doc_adj_ws=jnp.asarray(doc_adj),
-                doc_text_len=jnp.asarray(doc_text_len),
-                overflow=overflow,
-                tok_count_host=doc_count,
-                max_wlen_host=max_wlen,
-            )
+            return _tables_from_arrays(
+                word_chars, word_chars_rev, word_lens, doc_tokens,
+                doc_offsets, doc_count, doc_adj, doc_text_len, overflow,
+                max_wlen)
         delims = set(delimiters)
         word_to_code = {}
         words = []
@@ -191,19 +224,9 @@ class CoverageTables:
                 word_chars[code, k] = ord(ch)
                 word_chars_rev[code, len(w) - 1 - k] = ord(ch)
 
-        return CoverageTables(
-            word_chars=jnp.asarray(word_chars),
-            word_chars_rev=jnp.asarray(word_chars_rev),
-            word_lens=jnp.asarray(word_lens),
-            doc_tokens=jnp.asarray(doc_tokens),
-            doc_tok_offsets=jnp.asarray(doc_offsets),
-            doc_tok_count=jnp.asarray(doc_count),
-            doc_adj_ws=jnp.asarray(doc_adj),
-            doc_text_len=jnp.asarray(doc_text_len),
-            overflow=overflow,
-            tok_count_host=doc_count,
-            max_wlen_host=max_wlen,
-        )
+        return _tables_from_arrays(
+            word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
+            doc_count, doc_adj, doc_text_len, overflow, max_wlen)
 
 
 def encode_query_tokens(tokens, max_tokens: int):
