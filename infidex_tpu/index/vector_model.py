@@ -339,7 +339,8 @@ class VectorModel:
             dtype=np.int64) if n else np.zeros(0, np.int64)
         self.device = DeviceIndex(self.built, deleted)
         self._build_word_idf_cache()
-        self._ld1_index = None  # rebuilt lazily
+        # _ld1_index survives finalizes: _ensure_ld1_index extends it
+        # append-only and self-checks for id remapping.
         self._sig_index = None
         self._tiered_stage1 = None
         self._fuzzy_cache = _LruCache(1000)
@@ -645,17 +646,44 @@ class VectorModel:
     # Fuzzy LD1 expansion
 
     def _ensure_ld1_index(self) -> Dict[str, List[int]]:
-        if self._ld1_index is None:
-            idx: Dict[str, List[int]] = {}
-            built = self.built
-            for tid, term in enumerate(built.terms):
-                if len(term) < 3 or built.df[tid] <= 0:
+        """Symmetric-delete LD1 dictionary, extended INCREMENTALLY.
+
+        The vocabulary is append-only across incremental finalizes
+        (term ids are stable), so only new terms get variants — a full
+        O(vocab x len) rebuild per finalize starves live serving.
+        Sample positions guard the append-only assumption: segment-merge
+        rebuilds that remap ids trigger a full rebuild. A term that
+        becomes a stop term stays in the dictionary; its matches are
+        df-gated to zero idf downstream (postings cleared), same result
+        as the reference's FST dropping it."""
+        built = self.built
+        idx = self._ld1_index
+        upto = getattr(self, "_ld1_upto", 0)
+        samples = getattr(self, "_ld1_samples", ())
+        if idx is not None:
+            if upto > len(built.terms) or any(
+                    built.terms[p] != t for p, t in samples):
+                idx = None  # ids remapped: rebuild
+        if idx is None:
+            idx = {}
+            upto = 0
+        if upto < len(built.terms):
+            df = built.df
+            terms = built.terms
+            for tid in range(upto, len(terms)):
+                term = terms[tid]
+                if len(term) < 3 or df[tid] <= 0:
                     continue
                 idx.setdefault(term, []).append(tid)
                 for v in _delete_variants(term):
                     idx.setdefault(v, []).append(tid)
-            self._ld1_index = idx
-        return self._ld1_index
+            upto = len(terms)
+        self._ld1_index = idx
+        self._ld1_upto = upto
+        self._ld1_samples = tuple(
+            (p, built.terms[p]) for p in {0, upto // 2, upto - 1}
+            if 0 <= p < upto)
+        return idx
 
     # Vocabularies above this size use the MXU signature matmul
     # (ops/fuzzy.py) instead of the host symmetric-delete dictionary,

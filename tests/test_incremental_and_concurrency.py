@@ -166,3 +166,20 @@ def test_search_serves_during_unfinalized_add():
     eng.calculate_weights()
     after = eng.search(Query("unfinalized", 5))
     assert any(r.document_id == 2 for r in after.records)
+
+
+def test_fuzzy_matches_terms_added_incrementally():
+    """The incrementally-extended LD1 dictionary must cover terms that
+    entered the vocabulary AFTER the initial build."""
+    from infidex_tpu import Document, Query, SearchEngine
+
+    eng = SearchEngine.create_default()
+    eng.index_documents([Document(i, t) for i, t in enumerate(
+        ["alpha beta", "gamma delta", "epsilon zeta"])])
+    assert eng.search(Query("quixotic", 5)).records == []
+    eng.index_document(Document(7, "quixotic venture"))
+    eng.calculate_weights()
+    exact = eng.search(Query("quixotic", 5))
+    assert any(r.document_id == 7 for r in exact.records)
+    fuzzy = eng.search(Query("quixtoic", 5))  # transposition typo
+    assert any(r.document_id == 7 for r in fuzzy.records)
