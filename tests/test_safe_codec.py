@@ -107,3 +107,34 @@ def test_load_rejects_tampered_payload(tmp_path):
     path.write_bytes(bytes(raw))
     with pytest.raises((IndexFormatError, KeyError, AssertionError)):
         load_engine(str(path))
+
+
+def test_string_list_fast_path_roundtrip():
+    """_T_STRLIST engages for homogeneous str lists >= 8 items; mixed or
+    short lists take the generic path. Both must round-trip exactly."""
+    from infidex_tpu.utils.safe_codec import decode, encode
+
+    cases = [
+        [],                                   # empty
+        ["a"],                                # below threshold
+        ["x"] * 7,                            # just below threshold
+        ["x"] * 8,                            # exactly at threshold
+        ["", "", "mixed-empty", ""] * 3,      # empties inside
+        ["é", "Zelená škola", "\U0001F600" * 3, "\ud800plain"] * 4,  # unicode + surrogate
+        ["word"] * 1000,                      # large
+        ["a", 1, "b"] * 4,                    # heterogeneous -> generic
+    ]
+    for case in cases:
+        assert decode(encode(case)) == case, case
+
+
+def test_string_list_tamper_detection():
+    from infidex_tpu.utils.safe_codec import CodecError, decode, encode
+
+    import pytest
+
+    blob = bytearray(encode(["hello"] * 16))
+    # corrupt a length byte inside the lengths table
+    blob[3] ^= 0xFF
+    with pytest.raises(CodecError):
+        decode(bytes(blob))
