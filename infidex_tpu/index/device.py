@@ -635,6 +635,18 @@ class DeviceIndex:
         if n_q == 0:
             return []
 
+        # Flat scatter keys are query*n_pad + doc in int32: cap the batch
+        # width so keys can't overflow into negatives (silently dropped
+        # by mode="drop" otherwise). n_pad < 2^24, so max_q >= 128.
+        max_q = max(1, ((1 << 31) - 1) // self.n_pad)
+        if n_q > max_q:
+            out = []
+            for lo in range(0, n_q, max_q):
+                out.extend(self.search_batch(
+                    queries[lo:lo + max_q], top_k, total_docs=total_docs,
+                    stop_term_limit=stop_term_limit))
+            return out
+
         groups = split_batch_by_lanes(built, queries)
         if len(groups) > 1:
             out: list = []

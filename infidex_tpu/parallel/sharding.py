@@ -347,6 +347,16 @@ class ShardedDeviceIndex:
         n_q = len(queries)
         if n_q == 0:
             return []
+        # int32 flat-key overflow cap, as in DeviceIndex.search_batch
+        shard_size = self.n_pad // max(self.mesh.shape[DOC_AXIS], 1)
+        max_q = max(1, ((1 << 31) - 1) // max(shard_size, 1))
+        if n_q > max_q:
+            out = []
+            for lo in range(0, n_q, max_q):
+                out.extend(self.search_batch(
+                    queries[lo:lo + max_q], top_k, total_docs=total_docs,
+                    stop_term_limit=stop_term_limit))
+            return out
         groups = split_batch_by_lanes(self.built, queries)
         if len(groups) > 1:
             out: list = []
