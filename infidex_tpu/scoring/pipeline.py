@@ -132,8 +132,12 @@ class SearchPipeline:
         self._t_wm = 0.0
         self._t_prepq = 0.0
         #: batch-scoped WordMatcher prefetch (query text -> Future of
-        #: lookup_parts), populated while Stage-1 device calls block
-        self._wm_prefetch: Dict[str, object] = {}
+        #: lookup_parts), populated while Stage-1 device calls block.
+        #: Thread-local: concurrent reader threads each run their own
+        #: batch and must not clear each other's in-flight prefetches.
+        import threading as _threading
+
+        self._wm_tls = _threading.local()
 
         if self._coverage_engine is not None:
             self._rewire_coverage()
@@ -290,7 +294,7 @@ class SearchPipeline:
         # below (numpy set ops release the GIL while device_get blocks).
         # _coverage_begin(_fast) consumes self._wm_prefetch.
         wm_pool = None
-        self._wm_prefetch = {}
+        self._wm_tls.prefetch = {}
         if self._word_matcher is not None and self._word_matcher._finalized:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -300,7 +304,7 @@ class SearchPipeline:
                 wm_pool = ThreadPoolExecutor(max_workers=min(4, len(live)))
                 cps = coverage_setup.cover_prefix_suffix
                 for t in dict.fromkeys(live):
-                    self._wm_prefetch[t] = wm_pool.submit(
+                    self._wm_tls.prefetch[t] = wm_pool.submit(
                         self._word_matcher.lookup_parts, t, cps)
 
         # Resolve every unknown token of the whole batch in ONE device
@@ -436,7 +440,7 @@ class SearchPipeline:
                 out[i] = coverage_results
         if wm_pool is not None:
             wm_pool.shutdown(wait=False)
-        self._wm_prefetch = {}
+        self._wm_tls.prefetch = {}
         return [r if r is not None else [] for r in out]
 
     # ------------------------------------------------------------------
@@ -446,7 +450,7 @@ class SearchPipeline:
         one is in flight (keyed by exact query text)."""
         if self._word_matcher is None:
             return []
-        fut = self._wm_prefetch.get(search_text)
+        fut = getattr(self._wm_tls, "prefetch", {}).get(search_text)
         if fut is not None:
             return fut.result()
         return self._word_matcher.lookup_parts(search_text,
