@@ -148,8 +148,13 @@ def _doc_columns(documents) -> dict:
             elif v is False:
                 f_vkinds.append(5)
             elif type(v) is str:
-                f_vkinds.append(1)
-                f_vstrs.append(v)
+                if v == doc.indexed_text:
+                    # single-content-field case: the value IS the indexed
+                    # text already stored in the texts column
+                    f_vkinds.append(7)
+                else:
+                    f_vkinds.append(1)
+                    f_vstrs.append(v)
             elif isinstance(v, int):
                 f_vkinds.append(2)
                 f_vints.append(v)
@@ -246,6 +251,8 @@ def _restore_doc_columns(model, cols) -> None:
                 value = True
             elif kind == 5:
                 value = False
+            elif kind == 7:
+                value = texts[i]
             else:
                 value = next(it_other)
             flags = f_flags[fpos]
@@ -284,12 +291,93 @@ def _restore_doc_columns(model, cols) -> None:
             collection.multi_segment = True
 
 
+def _encode_postings_gvi(docs: np.ndarray, offsets) -> "Optional[bytes]":
+    """Per-term delta transform + GroupVarInt bytes, or None if the
+    native codec is unavailable. Within each term the first doc id is
+    absolute and the rest are (sorted, non-negative) gaps, so one global
+    cumsum with per-term base subtraction inverts it exactly."""
+    try:
+        from .. import native as _nat
+        if not _nat.available:
+            return None
+    except Exception:
+        return None
+    if docs.size == 0:
+        return b""
+    vals = docs.astype(np.int64)
+    vals[1:] = vals[1:] - docs[:-1].astype(np.int64)
+    starts = np.asarray(offsets[:-1], np.int64)
+    lens = np.asarray(offsets, np.int64)
+    lens = lens[1:] - lens[:-1]
+    starts = starts[lens > 0]
+    vals[starts] = docs[starts]          # restart: absolute at term start
+    if vals.min() < 0:                   # unsorted postings: bail out
+        return None
+    from ..native import gvi_encode
+
+    return gvi_encode(vals.astype(np.uint32))
+
+
+def _decode_postings_gvi(blob: bytes, count: int, offsets) -> np.ndarray:
+    from ..native import gvi_decode
+
+    vals = gvi_decode(blob, count)[0].astype(np.int64)
+    if count == 0:
+        return np.zeros(0, np.int32)
+    c = np.cumsum(vals)
+    starts = np.asarray(offsets[:-1], np.int64)
+    lens = np.asarray(offsets, np.int64)
+    lens = lens[1:] - lens[:-1]
+    live = lens > 0
+    starts, lens = starts[live], lens[live]
+    # base for term t = cumsum just before its first element, minus the
+    # absolute restart value already present in c
+    base = np.where(starts > 0, c[starts - 1], 0)
+    docs = c - np.repeat(base, lens)
+    return docs.astype(np.int32)
+
+
+def _word_table_columns(table: dict) -> dict:
+    """word -> doc-id array dict, flattened columnar: at 40k docs the
+    LD1 table holds ~10^5 tiny arrays whose per-entry codec headers
+    cost more than the ids; one STRLIST + one concat array does not."""
+    words = list(table.keys())
+    counts = np.asarray([len(table[w]) for w in words], np.int32)
+    ids = (np.concatenate([np.asarray(table[w], np.int64) for w in words])
+           if words else np.zeros(0, np.int64)).astype(np.int32)
+    return {"__cols__": True, "words": words, "counts": counts, "ids": ids}
+
+
+def _word_table_restore(cols) -> dict:
+    if not (isinstance(cols, dict) and cols.get("__cols__")):
+        return cols  # legacy plain dict
+    out = {}
+    ids = cols["ids"]
+    pos = 0
+    for w, c in zip(cols["words"], cols["counts"].tolist()):
+        out[w] = ids[pos:pos + c]
+        pos += c
+    return out
+
+
 def _wm_state_encodable(state: dict) -> dict:
-    """WordMatcher state with the setup dataclass flattened to a dict."""
+    """WordMatcher state with the setup dataclass flattened to a dict
+    and the word->ids tables columnarized."""
     state = dict(state)
     setup = state.get("setup")
     if setup is not None and dataclasses.is_dataclass(setup):
         state["setup"] = dataclasses.asdict(setup)
+    for key in ("exact", "ld1", "affix"):
+        if isinstance(state.get(key), dict) and "__cols__" not in state[key]:
+            state[key] = _word_table_columns(state[key])
+    return state
+
+
+def _wm_state_decoded(state: dict) -> dict:
+    state = dict(state)
+    for key in ("exact", "ld1", "affix"):
+        if key in state:
+            state[key] = _word_table_restore(state[key])
     return state
 
 
@@ -311,7 +399,6 @@ def save_engine(engine, file_path: str) -> None:
         "terms": term_state,
         "term_dfs": term_dfs,
         "term_offsets": model.built.term_offsets,
-        "postings_docs": model.built.postings_docs,
         "postings_weights": model.built.postings_weights,
         "short_query_index": (model.short_query_index.state_dict()
                               if model.short_query_index is not None else None),
@@ -322,6 +409,18 @@ def save_engine(engine, file_path: str) -> None:
         "synonyms": (engine.synonym_map.state_dict()
                      if engine.synonym_map is not None else None),
     }
+
+    # Posting doc ids: per-term delta + GroupVarInt via the native codec
+    # (reference stores block-compressed postings too — README.md:497's
+    # "<5MB for 40k titles" depends on it). Falls back to the raw array
+    # when the native library is unavailable.
+    docs_arr = np.ascontiguousarray(model.built.postings_docs, np.int32)
+    gvi = _encode_postings_gvi(docs_arr, model.built.term_offsets)
+    if gvi is not None:
+        payload["postings_docs_gvi"] = gvi
+        payload["postings_count"] = int(docs_arr.size)
+    else:
+        payload["postings_docs"] = docs_arr
 
     blob = _codec_encode(payload)
     checksum = zlib.crc32(blob) & 0xFFFFFFFF
@@ -393,7 +492,11 @@ def load_engine(file_path: str, **engine_kwargs):
     # write path converts a term's views to mutable lists on first append
     # (builder.Posting.add).
     offsets = payload["term_offsets"]
-    docs = np.ascontiguousarray(payload["postings_docs"])
+    if "postings_docs_gvi" in payload:
+        docs = _decode_postings_gvi(payload["postings_docs_gvi"],
+                                    int(payload["postings_count"]), offsets)
+    else:
+        docs = np.ascontiguousarray(payload["postings_docs"])
     weights = np.ascontiguousarray(payload["postings_weights"])
     if "term_dfs" in payload:
         terms = payload["terms"]
@@ -407,7 +510,7 @@ def load_engine(file_path: str, **engine_kwargs):
         model.short_query_index.load_state_dict(payload["short_query_index"])
 
     if has_wm and engine.word_matcher is not None:
-        engine.word_matcher.load_state_dict(payload["word_matcher"])
+        engine.word_matcher.load_state_dict(_wm_state_decoded(payload["word_matcher"]))
     elif has_wm and engine.word_matcher is None:
         raise IndexFormatError(
             "index contains WordMatcher data but engine is configured without it")
