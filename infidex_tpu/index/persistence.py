@@ -206,6 +206,8 @@ def _restore_doc_columns(model, cols) -> None:
     f_weights = cols["field_weights"].tolist()
     f_flags = cols["field_flags"].tolist()
     f_wfloats = cols["field_weight_floats"]
+    # NaN != NaN would defeat the prototype cache: key on the bit pattern
+    f_wf_bits = f_wfloats.view(np.int64).tolist()
     f_vkinds = cols["field_value_kinds"].tolist()
     it_strs = iter(cols["field_value_strs"])
     it_ints = iter(cols["field_value_ints"].tolist())
@@ -214,7 +216,11 @@ def _restore_doc_columns(model, cols) -> None:
 
     weight_of = {int(w): Weight(int(w)) for w in (0, 1, 2)}
     kind_of = {0: JsonKind.NULL, 1: JsonKind.STRING, 2: JsonKind.NUMBER,
-               3: JsonKind.NUMBER, 4: JsonKind.TRUE, 5: JsonKind.FALSE}
+               3: JsonKind.NUMBER, 4: JsonKind.TRUE, 5: JsonKind.FALSE,
+               7: JsonKind.STRING}
+    # Field-attribute prototypes: most fields share (name, weight, flags,
+    # wfloat, kind); one dict copy per field beats rebuilding 13 kwargs.
+    proto_of: dict = {}
 
     collection = model.documents
     docs_list = collection._documents
@@ -255,25 +261,35 @@ def _restore_doc_columns(model, cols) -> None:
                 value = texts[i]
             else:
                 value = next(it_other)
-            flags = f_flags[fpos]
-            wf = float(f_wfloats[fpos])
+            pkey = (f_name_ids[fpos], f_weights[fpos], f_flags[fpos],
+                    f_wf_bits[fpos], kind)
+            proto = proto_of.get(pkey)
+            if proto is None:
+                flags = f_flags[fpos]
+                wf = float(f_wfloats[fpos])
+                proto = proto_of[pkey] = dict(
+                    name=name_table[f_name_ids[fpos]],
+                    value=None,
+                    weight=weight_of[f_weights[fpos]],
+                    indexable=bool(flags & _FF_INDEXABLE),
+                    filterable=bool(flags & _FF_FILTERABLE),
+                    sortable=bool(flags & _FF_SORTABLE),
+                    facetable=bool(flags & _FF_FACETABLE),
+                    word_indexing=bool(flags & _FF_WORD_INDEXING),
+                    optional=bool(flags & _FF_OPTIONAL),
+                    is_array=bool(flags & _FF_IS_ARRAY),
+                    weight_as_float=None if wf != wf else wf,
+                    preload_filters=bool(flags & _FF_PRELOAD),
+                    type=(kind_of.get(kind)
+                          if kind != 6 else None),
+                )
             fld = Field.__new__(Field)
-            fld.__dict__.update(
-                name=name_table[f_name_ids[fpos]],
-                value=value,
-                weight=weight_of[f_weights[fpos]],
-                indexable=bool(flags & _FF_INDEXABLE),
-                filterable=bool(flags & _FF_FILTERABLE),
-                sortable=bool(flags & _FF_SORTABLE),
-                facetable=bool(flags & _FF_FACETABLE),
-                word_indexing=bool(flags & _FF_WORD_INDEXING),
-                optional=bool(flags & _FF_OPTIONAL),
-                is_array=bool(flags & _FF_IS_ARRAY),
-                weight_as_float=None if wf != wf else wf,
-                preload_filters=bool(flags & _FF_PRELOAD),
-                type=kind_of.get(kind) or _infer_kind(value),
-            )
-            fdict[fld.name] = fld
+            d = dict(proto)
+            d["value"] = value
+            if d["type"] is None:
+                d["type"] = _infer_kind(value)
+            fld.__dict__ = d
+            fdict[d["name"]] = fld
             fpos += 1
         fields._fields = fdict
         doc.fields = fields
