@@ -52,9 +52,29 @@ class Query:
         self.sort_by: Optional[Field] = None
         self.sort_ascending = False
         self.remove_duplicates = True
-        self.time_out_limit_milliseconds = 1000
+        # Timeout default mirrors Api/Query.cs:75 (1000ms). The reference
+        # never enforces it (SearchEngine.cs:290 only clamps); we DO
+        # enforce deadlines, but only when the caller explicitly set one —
+        # enforcing the implicit default would change rankings under slow
+        # cold-compile conditions where the reference would not.
+        self._timeout_ms = 1000
+        self._timeout_explicit = False
         self.log_prefix = ""
         self.compiled_filter_bytecode: Optional[bytes] = None
+
+    @property
+    def time_out_limit_milliseconds(self) -> int:
+        return self._timeout_ms
+
+    @time_out_limit_milliseconds.setter
+    def time_out_limit_milliseconds(self, value: int) -> None:
+        self._timeout_ms = value
+        self._timeout_explicit = True
+
+    @property
+    def timeout_enforced(self) -> bool:
+        """True when the caller explicitly set a timeout (deadline active)."""
+        return self._timeout_explicit and self._timeout_ms > 0
 
     def copy(self) -> "Query":
         q = Query(self.text, self.max_number_of_records_to_return)
@@ -68,7 +88,8 @@ class Query:
         q.sort_by = self.sort_by
         q.sort_ascending = self.sort_ascending
         q.remove_duplicates = self.remove_duplicates
-        q.time_out_limit_milliseconds = self.time_out_limit_milliseconds
+        q._timeout_ms = self._timeout_ms
+        q._timeout_explicit = self._timeout_explicit
         q.log_prefix = self.log_prefix
         q.compiled_filter_bytecode = self.compiled_filter_bytecode
         return q

@@ -235,6 +235,14 @@ class SearchEngine:
                       if m.tokenizer.tokenizer_setup else (" ",))
             m.short_query_resolver = ShortQueryResolver(
                 m.short_query_index, m.documents, delims)
+            # Eager champion builds at finalize (ShortQueryResolver.cs:
+            # 113-204 builds all prefix lists in parallel at freeze) so the
+            # first short query per prefix pays no scan spike. Vectorized;
+            # the lazy per-prefix path remains as fallback/oracle.
+            import os as _os
+
+            if _os.environ.get("INFIDEX_TPU_EAGER_CHAMPIONS", "1") != "0":
+                m.short_query_resolver.build_all_champions()
 
     def _report_progress(self, percent: int,
                          progress: Optional[Callable[[int], None]]) -> None:
@@ -358,18 +366,26 @@ class SearchEngine:
                 q_text = self._synonym_map.canonicalize_text(
                     q_text, self._vector_model.tokenizer.tokenizer_setup.delimiters)
             q.text = q_text
-            q.time_out_limit_milliseconds = max(0, min(q.time_out_limit_milliseconds, 10000))
+            q._timeout_ms = max(0, min(q._timeout_ms, 10000))
 
             if (not q.text or q.text.isspace()) and q.enable_facets:
                 return self._handle_empty_query_with_facets(q)
             if not q.text or q.text.isspace():
                 return Result.make_empty()
 
+            # Deadline enforcement (Api/Query.cs:75 TimeOutLimitMilliseconds;
+            # 0 = unlimited): the pipeline checks between stages and per
+            # coverage chunk, returning partial results on expiry.
+            deadline = (t_start + q.time_out_limit_milliseconds / 1000.0
+                        if q.time_out_limit_milliseconds > 0 else None)
+            status: Dict[str, bool] = {}
             results = self._pipeline.execute(
                 q.text,
                 (q.coverage_setup or self._coverage_setup) if q.enable_coverage else None,
                 q.coverage_depth,
                 q.max_number_of_records_to_return,
+                deadline=deadline,
+                status=status,
             )
             results = self._apply_post_processing(results, q)
 
@@ -384,7 +400,7 @@ class SearchEngine:
                 facets=facets,
                 truncation_index=len(top) - 1 if top else 0,
                 truncation_score=top[-1].score if top else 0.0,
-                did_time_out=False,
+                did_time_out=status.get("timed_out", False),
                 total_candidates=len(results),
                 execution_time_ms=int(
                     (_time.perf_counter() - t_start) * 1000),
@@ -452,6 +468,9 @@ class SearchEngine:
         the high-throughput entry point: on links with high per-call latency
         it multiplies QPS by roughly the batch size.
         """
+        import time as _time
+
+        t_start = _time.perf_counter()
         with self._rw_lock.read_lock():
             if not self._servable():
                 return [Result.make_empty() for _ in queries]
@@ -470,8 +489,7 @@ class SearchEngine:
                     q_text = self._synonym_map.canonicalize_text(
                         q_text, self._vector_model.tokenizer.tokenizer_setup.delimiters)
                 q.text = q_text
-                q.time_out_limit_milliseconds = max(
-                    0, min(q.time_out_limit_milliseconds, 10000))
+                q._timeout_ms = max(0, min(q._timeout_ms, 10000))
                 if not q.text or q.text.isspace():
                     direct[i] = (self._handle_empty_query_with_facets(q)
                                  if q.enable_facets else Result.make_empty())
@@ -489,13 +507,20 @@ class SearchEngine:
                        q.max_number_of_records_to_return)
                 groups.setdefault(key, []).append(i)
 
+            statuses: List[Dict[str, bool]] = [{} for _ in prepped]
             results_by_query: Dict[int, List[ScoreEntry]] = {}
             for (_, depth, max_records), idxs in groups.items():
                 q0 = prepped[idxs[0]]
                 setup = (q0.coverage_setup or self._coverage_setup) \
                     if q0.enable_coverage else None
                 batch_out = self._pipeline.execute_batch(
-                    [prepped[i].text for i in idxs], setup, depth, max_records)
+                    [prepped[i].text for i in idxs], setup, depth, max_records,
+                    deadlines=[
+                        (t_start
+                         + prepped[i].time_out_limit_milliseconds / 1000.0)
+                        if prepped[i].time_out_limit_milliseconds > 0 else None
+                        for i in idxs],
+                    statuses=[statuses[i] for i in idxs])
                 for i, res in zip(idxs, batch_out):
                     results_by_query[i] = res
 
@@ -516,8 +541,10 @@ class SearchEngine:
                     facets=facets,
                     truncation_index=len(top) - 1 if top else 0,
                     truncation_score=top[-1].score if top else 0.0,
-                    did_time_out=False,
+                    did_time_out=statuses[i].get("timed_out", False),
                     total_candidates=len(results),
+                    execution_time_ms=int(
+                        (_time.perf_counter() - t_start) * 1000),
                 ))
             return out
 

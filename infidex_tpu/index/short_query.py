@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 from ..core.documents import DocumentCollection
 from .vector_model import ScoreEntry
 
@@ -242,3 +244,112 @@ class ShortQueryResolver:
         if not champions or len(champions) < max_results:
             return False, []
         return True, champions[:max_results]
+
+    # ------------------------------------------------------------------
+    # Eager (vectorized) champion builds — ShortQueryResolver.cs:113-204
+    # precomputes top-64 lists for ALL prefixes in parallel at freeze; the
+    # lazy scalar path above stays as the semantic oracle (parity pinned
+    # by tests/test_short_query_champions.py).
+
+    def build_all_champions(self) -> int:
+        """Build champion lists for every indexed prefix in one vectorized
+        pass; returns the number of prefixes built. Safe to call while
+        readers run: results publish per-prefix into the same dicts the
+        lazy path uses (identical entries)."""
+        tables = self._build_doc_tables()
+        built_lists: Dict[str, List[ScoreEntry]] = {}
+        for prefix, postings in self._prefix_index.all_prefixes():
+            if prefix in self._champion_built or len(postings) == 0:
+                continue
+            entries = self._champions_vec(prefix, postings, tables)
+            if entries:
+                built_lists[prefix] = entries
+        # publish (dict.update is atomic under the GIL; champions must be
+        # registered before the built-markers so a concurrent reader never
+        # sees "built" without the list)
+        self._champion_lists.update(built_lists)
+        self._champion_built.update(built_lists.keys())
+        return len(built_lists)
+
+    def _build_doc_tables(self) -> dict:
+        """One pass over the corpus: per-doc exact-token/first-token/title
+        equality sets for <=3-char strings + short-title flags, the
+        text-dependent precedence inputs of _calculate_final_score."""
+        docs = self._documents
+        n = docs.total_slots()
+        short_title = np.zeros(n, bool)
+        deleted = np.ones(n, bool)
+        doc_keys = np.zeros(n, np.int64)
+        any_map: Dict[str, List[int]] = {}
+        first_map: Dict[str, List[int]] = {}
+        title_map: Dict[str, List[int]] = {}
+        max_p = self._prefix_index.max_prefix_length
+        for doc in docs.all_documents():
+            i = doc.id
+            if i < 0 or i >= n:
+                continue
+            deleted[i] = doc.deleted
+            doc_keys[i] = doc.document_key
+            if doc.deleted:
+                continue
+            title = (doc.indexed_text or "").lower()
+            tokens = self._split(title)
+            if len(tokens) <= 3:
+                short_title[i] = True
+            if tokens and len(tokens[0]) <= max_p:
+                first_map.setdefault(tokens[0], []).append(i)
+            for t in set(tokens):
+                if len(t) <= max_p:
+                    any_map.setdefault(t, []).append(i)
+            s = title.strip()
+            if s and len(s) <= max_p:
+                title_map.setdefault(s, []).append(i)
+        to_arr = lambda m: {k: np.asarray(v, np.int64) for k, v in m.items()}
+        return dict(short_title=short_title, deleted=deleted,
+                    doc_keys=doc_keys, any_map=to_arr(any_map),
+                    first_map=to_arr(first_map), title_map=to_arr(title_map))
+
+    def _champions_vec(self, prefix: str, postings,
+                       tables: dict) -> List[ScoreEntry]:
+        """Vectorized _resolve_postings for one prefix; identical entries
+        (score, key, tie order) to the scalar path."""
+        arr = np.asarray(postings, np.int64)
+        if arr.ndim != 2:
+            arr = arr.reshape(-1, 2)
+        doc_col = arr[:, 0]
+        pos_col = arr[:, 1]
+        # freeze() sorts postings by (doc, pos): unique's first index is
+        # each doc's minimum position, matching the scalar accumulation.
+        docs_u, first_idx, counts = np.unique(
+            doc_col, return_index=True, return_counts=True)
+        n = tables["deleted"].size
+        ok = (docs_u >= 0) & (docs_u < n)
+        docs_u, first_idx, counts = docs_u[ok], first_idx[ok], counts[ok]
+        live = ~tables["deleted"][docs_u]
+        docs_u, first_idx, counts = (docs_u[live], first_idx[live],
+                                     counts[live])
+        if docs_u.size == 0:
+            return []
+        first_pos = pos_col[first_idx]
+
+        base = np.clip(255 - np.minimum(first_pos * 16, 240)
+                       + np.minimum(counts * 8, 32), 0, 255)
+        prec = np.full(docs_u.size, 128, np.int64)
+        prec |= np.where(first_pos == 0, 64, 0)
+        for key, bit in (("any_map", 32), ("first_map", 16),
+                         ("title_map", 8)):
+            a = tables[key].get(prefix)
+            if a is not None:
+                j = np.searchsorted(a, docs_u)
+                jc = np.minimum(j, a.size - 1)
+                hit = (j < a.size) & (a[jc] == docs_u)
+                prec |= np.where(hit, bit, 0)
+        prec |= np.where(tables["short_title"][docs_u], 32, 0)
+        score = ((prec << 8) | base).astype(np.float64)
+
+        # scalar tie order: stable sort desc over dict-insertion order
+        # (ascending doc id, since postings are sorted)
+        order = np.lexsort((docs_u, -score))[:CHAMPION_LIST_SIZE]
+        keys = tables["doc_keys"][docs_u[order]]
+        return [ScoreEntry(float(s), int(k))
+                for s, k in zip(score[order], keys)]

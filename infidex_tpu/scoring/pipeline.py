@@ -39,6 +39,26 @@ INT_MAX = 2**31 - 1
 DEVICE_COVERAGE_MIN_CANDIDATES = 24
 
 
+def _expired(deadline) -> bool:
+    """True when the query deadline (perf_counter seconds) has passed."""
+    if deadline is None:
+        return False
+    import time as _time
+
+    return _time.perf_counter() > deadline
+
+
+def _job_expired(job: dict) -> bool:
+    """Deadline check for one coverage job; flags the query's status dict
+    (engine surfaces it as Result.DidTimeOut) on first expiry."""
+    if not _expired(job.get("deadline")):
+        return False
+    st = job.get("status")
+    if st is not None:
+        st["timed_out"] = True
+    return True
+
+
 # Device-coverage chunk capacity. Each kernel call pays a ~35ms round-trip
 # floor on tunneled TPUs and transfers move at ~40MB/s, while the actual
 # kernel compute is essentially free (measured: 8 chained edit-distance
@@ -164,7 +184,15 @@ class SearchPipeline:
 
     # ------------------------------------------------------------------
     def execute(self, search_text: str, coverage_setup: Optional[CoverageSetup],
-                coverage_depth: int, max_results: int = INT_MAX) -> List[ScoreEntry]:
+                coverage_depth: int, max_results: int = INT_MAX,
+                deadline: Optional[float] = None,
+                status: Optional[dict] = None) -> List[ScoreEntry]:
+        """One query. ``deadline`` (perf_counter seconds) enforces
+        Query.TimeOutLimitMilliseconds (Api/Query.cs:75): work is checked
+        between stages and per coverage chunk; on expiry the best partial
+        results so far are returned and ``status['timed_out']`` is set
+        (Result.DidTimeOut, Api/Result.cs:34 — the reference wires the
+        field but never enforces it; we do)."""
         if not search_text or search_text.isspace():
             return []
 
@@ -182,9 +210,18 @@ class SearchPipeline:
         if not use_coverage:
             return short_circuit
 
+        if _expired(deadline):
+            # Partial results: Stage-1 ranking without the coverage rerank.
+            if status is not None:
+                status["timed_out"] = True
+            return (stage1_results.to_entries()
+                    if isinstance(stage1_results, Stage1Arrays)
+                    else stage1_results)
+
         coverage_results = self._execute_coverage_stage(
             search_text, coverage_setup, coverage_depth, max_results,
-            stage1_results, best_segments_map)
+            stage1_results, best_segments_map, deadline=deadline,
+            status=status)
 
         if not coverage_results and stage1_results:
             return stage1_results
@@ -236,7 +273,10 @@ class SearchPipeline:
     def execute_batch(self, search_texts: List[str],
                       coverage_setup: Optional[CoverageSetup],
                       coverage_depth: int,
-                      max_results: int = INT_MAX) -> List[List[ScoreEntry]]:
+                      max_results: int = INT_MAX,
+                      deadlines: Optional[List[Optional[float]]] = None,
+                      statuses: Optional[List[dict]] = None
+                      ) -> List[List[ScoreEntry]]:
         """Run B searches with batched device work.
 
         Semantics are identical to ``execute`` per query; the device calls
@@ -406,6 +446,15 @@ class SearchPipeline:
             if not use_coverage:
                 out[i] = short_circuit
                 continue
+            dl = deadlines[i] if deadlines is not None else None
+            if _expired(dl):
+                # Deadline already passed: partial (Stage-1-only) results.
+                if statuses is not None:
+                    statuses[i]["timed_out"] = True
+                out[i] = (stage1_results.to_entries()
+                          if isinstance(stage1_results, Stage1Arrays)
+                          else stage1_results)
+                continue
             if isinstance(stage1_results, Stage1Arrays):
                 job = self._coverage_begin_fast(
                     text, coverage_setup, coverage_depth, stage1_results)
@@ -413,6 +462,8 @@ class SearchPipeline:
                 job = self._coverage_begin(
                     text, coverage_setup, coverage_depth, stage1_results,
                     bsm[i])
+            job["deadline"] = dl
+            job["status"] = statuses[i] if statuses is not None else None
             jobs.append(job)
             job_of[i] = job
 
@@ -530,9 +581,12 @@ class SearchPipeline:
     def _execute_coverage_stage(self, search_text: str, coverage_setup: CoverageSetup,
                                 coverage_depth: int, max_results: int,
                                 top_candidates: List[ScoreEntry],
-                                best_segments_map) -> List[ScoreEntry]:
+                                best_segments_map, deadline=None,
+                                status=None) -> List[ScoreEntry]:
         job = self._coverage_begin(search_text, coverage_setup, coverage_depth,
                                    top_candidates, best_segments_map)
+        job["deadline"] = deadline
+        job["status"] = status
         self._coverage_run([job], coverage_setup)
         return self._coverage_finish(job, coverage_setup, coverage_depth,
                                      max_results)
@@ -547,6 +601,11 @@ class SearchPipeline:
         # Phase 1 — encode every eligible query (cheap, no candidate work).
         device_jobs = []
         for job in jobs:
+            if _job_expired(job):
+                # Deadline passed before any coverage work: skip the job
+                # entirely — empty coverage results fall back to Stage-1.
+                job["_host_all"] = False
+                continue
             n_work = (job["worklist_ids"].size if job.get("fast")
                       else len(job["worklist"]))
             enc = None
@@ -600,6 +659,8 @@ class SearchPipeline:
                 acc = {"small": [], "narrow": [], "wide": []}
                 t0 = _time.perf_counter() if trace else 0.0
                 for qi, (job, enc) in enumerate(wave):
+                    if _job_expired(job):
+                        continue   # per-chunk deadline: drop unscored work
                     if job.get("fast"):
                         cand, leftover = self._resolve_candidates_fast(job)
                         if leftover[0].size:
@@ -656,13 +717,18 @@ class SearchPipeline:
                     self._host_score_fast(job, job["worklist_ids"],
                                           job["worklist_base"])
                 else:
-                    for internal_id, base_score in job["worklist"]:
+                    for ci, (internal_id, base_score) in enumerate(
+                            job["worklist"]):
+                        if ci % 256 == 0 and _job_expired(job):
+                            break
                         job["process"](internal_id, base_score)
         for job, leftovers in leftover_work:
             if job.get("fast"):
                 self._host_score_fast(job, leftovers[0], leftovers[1])
             else:
-                for internal_id, base_score in leftovers:
+                for ci, (internal_id, base_score) in enumerate(leftovers):
+                    if ci % 256 == 0 and _job_expired(job):
+                        break
                     job["process"](internal_id, base_score)
         t_host = (_time.perf_counter() - t0) if trace else 0.0
         t0 = _time.perf_counter() if trace else 0.0
@@ -1008,7 +1074,9 @@ class SearchPipeline:
         t_l: List[int] = []
         k_l: List[int] = []
         i_l: List[int] = []
-        for iid, base in zip(ids.tolist(), bases.tolist()):
+        for ci, (iid, base) in enumerate(zip(ids.tolist(), bases.tolist())):
+            if ci % 256 == 0 and _job_expired(job):
+                break
             doc = model.documents.get_document(int(iid))
             if doc is None or doc.deleted:
                 continue
