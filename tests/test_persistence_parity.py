@@ -165,10 +165,10 @@ class TestColumnarDocPayload:
 
 def test_index_size_at_reference_scale(tmp_path):
     """PersistenceTests.cs:100-150 prints bytes/doc at the 40k-title
-    scale (README.md:497 cites "< 5 MB"). Ours measures 12.7MB / 318
-    bytes per doc with GVI-delta postings (see README for the breakdown
-    of the remaining gap); pin a generous ceiling so size regressions
-    fail loudly."""
+    scale (README.md:497 cites "< 5 MB"). v5 (derived WM/SQ tables +
+    deflated payload) measures ~1.9MB / ~48 bytes per doc — under the
+    reference's headline; pin the 5MB ceiling so regressions fail
+    loudly."""
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -182,7 +182,7 @@ def test_index_size_at_reference_scale(tmp_path):
     eng.save(path)
     size = os.path.getsize(path)
     print(f"40k snapshot: {size/1e6:.2f} MB, {size/40000:.0f} bytes/doc")
-    assert size < 16 * 1024 * 1024
+    assert size < 5 * 1024 * 1024
 
 
 def test_concurrent_searches_during_save(tmp_path):
