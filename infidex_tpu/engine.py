@@ -377,7 +377,7 @@ class SearchEngine:
             # 0 = unlimited): the pipeline checks between stages and per
             # coverage chunk, returning partial results on expiry.
             deadline = (t_start + q.time_out_limit_milliseconds / 1000.0
-                        if q.time_out_limit_milliseconds > 0 else None)
+                        if q.timeout_enforced else None)
             status: Dict[str, bool] = {}
             results = self._pipeline.execute(
                 q.text,
@@ -386,6 +386,7 @@ class SearchEngine:
                 q.max_number_of_records_to_return,
                 deadline=deadline,
                 status=status,
+                prefilter_mask=self._prefilter_mask(q.filter),
             )
             results = self._apply_post_processing(results, q)
 
@@ -504,12 +505,12 @@ class SearchEngine:
                 setup = (q.coverage_setup or self._coverage_setup) \
                     if q.enable_coverage else None
                 key = (id(setup), q.coverage_depth,
-                       q.max_number_of_records_to_return)
+                       q.max_number_of_records_to_return, id(q.filter))
                 groups.setdefault(key, []).append(i)
 
             statuses: List[Dict[str, bool]] = [{} for _ in prepped]
             results_by_query: Dict[int, List[ScoreEntry]] = {}
-            for (_, depth, max_records), idxs in groups.items():
+            for (_, depth, max_records, _fid), idxs in groups.items():
                 q0 = prepped[idxs[0]]
                 setup = (q0.coverage_setup or self._coverage_setup) \
                     if q0.enable_coverage else None
@@ -518,9 +519,10 @@ class SearchEngine:
                     deadlines=[
                         (t_start
                          + prepped[i].time_out_limit_milliseconds / 1000.0)
-                        if prepped[i].time_out_limit_milliseconds > 0 else None
+                        if prepped[i].timeout_enforced else None
                         for i in idxs],
-                    statuses=[statuses[i] for i in idxs])
+                    statuses=[statuses[i] for i in idxs],
+                    prefilter_mask=self._prefilter_mask(q0.filter))
                 for i, res in zip(idxs, batch_out):
                     results_by_query[i] = res
 
@@ -647,6 +649,46 @@ class SearchEngine:
         self._is_indexed = True
         self._pipeline.invalidate_caches()
         self._column_store = None
+
+    def _prefilter_mask(self, filt):
+        """Dense doc mask for PRE-filtering: selective filters intersect
+        into Stage-1 scoring (scores of non-matching docs zero before the
+        device top-k) instead of post-filtering the 500 covered candidates
+        — so a filter that keeps 1% of docs still fills the result page.
+        Post-filter semantics (ResultProcessor.cs:35-70) still run on the
+        output (idempotent here) and remain the ONLY filter for
+        DerivedFilter and sharded serving. Disable with
+        INFIDEX_TPU_PREFILTER=0."""
+        if filt is None:
+            return None
+        import os as _os
+
+        if _os.environ.get("INFIDEX_TPU_PREFILTER", "1") == "0":
+            return None
+        if self._vector_model.sharded is not None:
+            return None
+        from .filtering.columnar import contains_derived
+
+        if contains_derived(filt):
+            return None
+        try:
+            store = self._get_column_store()
+            cache = getattr(store, "_prefilter_masks", None)
+            if cache is None:
+                cache = store._prefilter_masks = {}
+            hit = cache.get(id(filt))
+            if hit is not None and hit[0] is filt:
+                mask = hit[1]
+            else:
+                mask = store.evaluate(filt)
+                if len(cache) >= 64:
+                    cache.clear()
+                cache[id(filt)] = (filt, mask)
+        except Exception:
+            return None   # unsupported columnar shape: post-filter only
+        if mask is None or mask.size < self._vector_model.doc_keys_arr.size:
+            return None
+        return mask
 
     def _get_column_store(self):
         """Lazily-built ColumnStore; a fully-built store is published with

@@ -201,7 +201,7 @@ class TieredStage1:
         lanes = int(sum(int(df[t]) for t in term_ids))
         return lanes > TIER_LANE_BUDGET
 
-    def run(self, term_ids, term_idf, top_k: int):
+    def run(self, term_ids, term_idf, top_k: int, mask=None):
         pool, tier = self._selector.select(
             [int(t) for t in term_ids], [float(i) for i in term_idf], top_k,
             want_union=False)
@@ -209,6 +209,15 @@ class TieredStage1:
             return None
         if self.deleted_arr is not None and self.deleted_arr.size:
             pool = pool[~self.deleted_arr[pool]]
+        if mask is not None:
+            # pre-filter: the pool was chosen without mask knowledge, so a
+            # heavily-filtered pool may miss matching docs deeper in the
+            # postings — fall back to the masked device disjunction, which
+            # is exact, whenever the surviving pool cannot fill top_k.
+            pool = pool[mask[pool]] if mask.size >= self.built.num_docs \
+                else pool[:0]
+            if pool.size < top_k:
+                return None
         if pool.size == 0:
             return None
         scores = score_pool(self.built, term_ids, term_idf, pool)

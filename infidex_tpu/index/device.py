@@ -525,6 +525,10 @@ class DeviceIndex:
             jnp.zeros((0,), jnp.int32),
             jnp.zeros((0,), jnp.float32),
         )
+        # filter-mask ∧ live-mask device buffers, keyed by mask identity
+        # (pre-filtering: selective filters zero non-matching docs BEFORE
+        # top-k instead of post-filtering 500 covered candidates)
+        self._mask_cache: Dict[int, tuple] = {}
         # Pallas chunk-DMA lane expansion (stage1_lanes.py): on for real
         # TPU backends; the XLA formulation serves CPU/test runs (where
         # Mosaic kernels would need interpret mode) unless forced.
@@ -550,6 +554,25 @@ class DeviceIndex:
         live[: self.num_docs] = np.where(deleted[: self.num_docs], 0.0, 1.0)
         live[self.n_pad - 1] = 0.0
         self.live_mask = jnp.asarray(live)
+        self._mask_cache.clear()
+
+    def masked_live(self, mask: Optional[np.ndarray]):
+        """live_mask ∧ filter-mask as a device buffer (cached per mask
+        object so repeated filtered batches upload the [N] mask once)."""
+        if mask is None:
+            return self.live_mask
+        key = id(mask)
+        hit = self._mask_cache.get(key)
+        if hit is not None and hit[0] is mask:
+            return hit[1]
+        m = np.zeros(self.n_pad, np.float32)
+        k = min(int(mask.size), self.num_docs)
+        m[:k] = mask[:k].astype(np.float32)
+        buf = jnp.asarray(m) * self.live_mask
+        if len(self._mask_cache) >= 16:
+            self._mask_cache.clear()
+        self._mask_cache[key] = (mask, buf)
+        return buf
 
     def search(
         self,
@@ -621,6 +644,7 @@ class DeviceIndex:
         top_k: int,
         total_docs: Optional[int] = None,
         stop_term_limit: int = 1_250_000,
+        live_override=None,   # device buffer from masked_live() (pre-filter)
     ) -> list:
         """Score B queries in ONE kernel call; returns [(scores, ids)] * B.
 
@@ -644,7 +668,8 @@ class DeviceIndex:
             for lo in range(0, n_q, max_q):
                 out.extend(self.search_batch(
                     queries[lo:lo + max_q], top_k, total_docs=total_docs,
-                    stop_term_limit=stop_term_limit))
+                    stop_term_limit=stop_term_limit,
+                    live_override=live_override))
             return out
 
         groups = split_batch_by_lanes(built, queries)
@@ -653,7 +678,8 @@ class DeviceIndex:
             for lo, hi in groups:
                 out.extend(self.search_batch(
                     queries[lo:hi], top_k, total_docs=total_docs,
-                    stop_term_limit=stop_term_limit))
+                    stop_term_limit=stop_term_limit,
+                    live_override=live_override))
             return out
 
         import os as _os
@@ -669,6 +695,7 @@ class DeviceIndex:
         td = np.float32(total_docs if total_docs is not None
                         else self.num_docs)
         k = min(int(top_k), self.n_pad)
+        live = live_override if live_override is not None else self.live_mask
         if self.use_chunked:
             from ..ops.stage1_lanes import build_chunk_table
 
@@ -689,7 +716,7 @@ class DeviceIndex:
                 self.postings_docs,
                 self._ensure_cfac(),
                 self.doc_lengths,
-                self.live_mask,
+                live,
                 jnp.asarray(co),
                 jnp.asarray(cvs),
                 jnp.asarray(cve),
@@ -723,7 +750,7 @@ class DeviceIndex:
             self.postings_docs,
             self.postings_weights,
             self.doc_lengths,
-            self.live_mask,
+            live,
             jnp.asarray(starts),
             jnp.asarray(lens),
             jnp.asarray(idfs),

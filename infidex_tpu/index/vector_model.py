@@ -885,11 +885,13 @@ class VectorModel:
         lanes = int(self.built.df[np.asarray(term_ids, dtype=np.int64)].sum())
         return lanes > TIER_LANE_BUDGET
 
-    def stage1_tiered_maybe(self, prep, top_k: int):
+    def stage1_tiered_maybe(self, prep, top_k: int, mask=None):
         """Host tiered Stage-1 (index/candidates.py) when the query's lane
         count makes the dense device scatter the slower option; returns
         (scores, ids) in the device output convention, or None to route
-        the query to the device kernel."""
+        the query to the device kernel. ``mask`` (pre-filter) intersects
+        the pool; a pool the mask shrinks below top_k routes to the
+        device, whose masked full disjunction is exact."""
         term_ids, idfs, fuzzy_groups = prep
         if self.built is None:
             return None
@@ -901,24 +903,33 @@ class VectorModel:
         tiered.deleted_arr = self.deleted_arr  # may be refreshed on delete
         if not tiered.applicable(term_ids, fuzzy_groups):
             return None
-        return tiered.run(term_ids, idfs, top_k)
+        return tiered.run(term_ids, idfs, top_k, mask=mask)
+
+    def stage1_live_override(self, mask):
+        """Device live-mask buffer for a pre-filter mask (single-chip
+        path only; the sharded path post-filters)."""
+        if mask is None or self.device is None or self.sharded is not None:
+            return None
+        return self.device.masked_live(mask)
 
     def search(
         self,
         query_text: str,
         top_k: int,
         best_segments_map: Optional[Dict[int, int]] = None,
+        prefilter_mask=None,
     ) -> List[ScoreEntry]:
         """Stage-1 BM25 search; returns entries sorted desc (score, -key)."""
         prep = self.prepare_stage1(query_text)
         if prep is None:
             return []
-        out = self.stage1_tiered_maybe(prep, top_k)
+        out = self.stage1_tiered_maybe(prep, top_k, mask=prefilter_mask)
         if out is None:
             if self.device is None:
                 self.build_inverted_lists()
             out = self.stage1_backend.search_batch(
                 [prep], top_k, total_docs=self.documents.count,
-                stop_term_limit=self.stop_term_limit)[0]
+                stop_term_limit=self.stop_term_limit,
+                live_override=self.stage1_live_override(prefilter_mask))[0]
         scores, ids = out
         return self.finish_stage1(scores, ids, best_segments_map)

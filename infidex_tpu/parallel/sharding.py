@@ -339,9 +339,15 @@ class ShardedDeviceIndex:
         top_k: int,
         total_docs: Optional[int] = None,
         stop_term_limit: int = 1_250_000,
+        live_override=None,   # unused: the sharded path post-filters
     ) -> list:
         """Mesh twin of ``DeviceIndex.search_batch`` — same host prep, same
-        output convention, scoring sharded over the document axis."""
+        output convention, scoring sharded over the document axis.
+
+        ``live_override`` (single-chip pre-filtering) is accepted for
+        interface parity but ignored: the engine disables pre-filtering
+        under sharded serving (stage1_live_override returns None) and
+        filtered queries post-filter, as the reference always does."""
         from ..index.device import prepare_batch_arrays, split_batch_by_lanes
 
         n_q = len(queries)

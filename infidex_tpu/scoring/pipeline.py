@@ -186,7 +186,8 @@ class SearchPipeline:
     def execute(self, search_text: str, coverage_setup: Optional[CoverageSetup],
                 coverage_depth: int, max_results: int = INT_MAX,
                 deadline: Optional[float] = None,
-                status: Optional[dict] = None) -> List[ScoreEntry]:
+                status: Optional[dict] = None,
+                prefilter_mask=None) -> List[ScoreEntry]:
         """One query. ``deadline`` (perf_counter seconds) enforces
         Query.TimeOutLimitMilliseconds (Api/Query.cs:75): work is checked
         between stages and per coverage chunk; on expiry the best partial
@@ -202,7 +203,8 @@ class SearchPipeline:
         best_segments_map: Dict[int, Tuple[float, int]] = {}
 
         stage1_entries = self._execute_relevancy_stage(
-            search_text, best_segments_map, coverage_depth, max_results)
+            search_text, best_segments_map, coverage_depth, max_results,
+            prefilter_mask=prefilter_mask)
         stage1_results = consolidate_segments(stage1_entries)
 
         use_coverage, short_circuit = self._coverage_gate(
@@ -221,7 +223,7 @@ class SearchPipeline:
         coverage_results = self._execute_coverage_stage(
             search_text, coverage_setup, coverage_depth, max_results,
             stage1_results, best_segments_map, deadline=deadline,
-            status=status)
+            status=status, prefilter_mask=prefilter_mask)
 
         if not coverage_results and stage1_results:
             return stage1_results
@@ -275,8 +277,8 @@ class SearchPipeline:
                       coverage_depth: int,
                       max_results: int = INT_MAX,
                       deadlines: Optional[List[Optional[float]]] = None,
-                      statuses: Optional[List[dict]] = None
-                      ) -> List[List[ScoreEntry]]:
+                      statuses: Optional[List[dict]] = None,
+                      prefilter_mask=None) -> List[List[ScoreEntry]]:
         """Run B searches with batched device work.
 
         Semantics are identical to ``execute`` per query; the device calls
@@ -322,7 +324,8 @@ class SearchPipeline:
                 text, self._model.tokenizer)
             if not can_use_ngrams:
                 stage1[i] = self._execute_relevancy_stage(
-                    text, bsm[i], coverage_depth, max_results)
+                    text, bsm[i], coverage_depth, max_results,
+                    prefilter_mask=prefilter_mask)
                 continue
             tfidf_query = long_words_text if has_mixed else text
             if not tfidf_query or tfidf_query.isspace():
@@ -378,7 +381,8 @@ class SearchPipeline:
             for i, prep in tier_jobs:
                 tier_futures.append(
                     (i, prep, pool.submit(model.stage1_tiered_maybe, prep,
-                                          coverage_depth)))
+                                          coverage_depth,
+                                          prefilter_mask)))
 
         if batch_items:
             if model.device is None:
@@ -386,7 +390,8 @@ class SearchPipeline:
             outs = model.stage1_backend.search_batch(
                 [prep for _, prep in batch_items], coverage_depth,
                 total_docs=model.documents.count,
-                stop_term_limit=model.stop_term_limit)
+                stop_term_limit=model.stop_term_limit,
+                live_override=model.stage1_live_override(prefilter_mask))
             for (i, _), (scores, ids) in zip(batch_items, outs):
                 if fast_ok:
                     stage1[i] = model.finish_stage1_arrays(scores, ids)
@@ -414,7 +419,8 @@ class SearchPipeline:
                 outs = model.stage1_backend.search_batch(
                     [prep for _, prep in fallback], coverage_depth,
                     total_docs=model.documents.count,
-                    stop_term_limit=model.stop_term_limit)
+                    stop_term_limit=model.stop_term_limit,
+                    live_override=model.stage1_live_override(prefilter_mask))
                 for (i, _), (scores, ids) in zip(fallback, outs):
                     if fast_ok:
                         stage1[i] = model.finish_stage1_arrays(scores, ids)
@@ -457,11 +463,12 @@ class SearchPipeline:
                 continue
             if isinstance(stage1_results, Stage1Arrays):
                 job = self._coverage_begin_fast(
-                    text, coverage_setup, coverage_depth, stage1_results)
+                    text, coverage_setup, coverage_depth, stage1_results,
+                    prefilter_mask=prefilter_mask)
             else:
                 job = self._coverage_begin(
                     text, coverage_setup, coverage_depth, stage1_results,
-                    bsm[i])
+                    bsm[i], prefilter_mask=prefilter_mask)
             job["deadline"] = dl
             job["status"] = statuses[i] if statuses is not None else None
             jobs.append(job)
@@ -554,7 +561,8 @@ class SearchPipeline:
     # ------------------------------------------------------------------
     def _execute_relevancy_stage(self, search_text: str,
                                  best_segments_map, coverage_depth: int,
-                                 max_results: int) -> List[ScoreEntry]:
+                                 max_results: int,
+                                 prefilter_mask=None) -> List[ScoreEntry]:
         can_use_ngrams, has_mixed, long_words_text = analyze_query(
             search_text, self._model.tokenizer)
 
@@ -575,16 +583,20 @@ class SearchPipeline:
         tfidf_query = long_words_text if has_mixed else search_text
         if not tfidf_query or tfidf_query.isspace():
             tfidf_query = search_text
-        return self._model.search(tfidf_query, coverage_depth, best_segments_map)
+        return self._model.search(tfidf_query, coverage_depth,
+                                  best_segments_map,
+                                  prefilter_mask=prefilter_mask)
 
     # ------------------------------------------------------------------
     def _execute_coverage_stage(self, search_text: str, coverage_setup: CoverageSetup,
                                 coverage_depth: int, max_results: int,
                                 top_candidates: List[ScoreEntry],
                                 best_segments_map, deadline=None,
-                                status=None) -> List[ScoreEntry]:
+                                status=None,
+                                prefilter_mask=None) -> List[ScoreEntry]:
         job = self._coverage_begin(search_text, coverage_setup, coverage_depth,
-                                   top_candidates, best_segments_map)
+                                   top_candidates, best_segments_map,
+                                   prefilter_mask=prefilter_mask)
         job["deadline"] = deadline
         job["status"] = status
         self._coverage_run([job], coverage_setup)
@@ -759,7 +771,7 @@ class SearchPipeline:
     def _coverage_begin(self, search_text: str, coverage_setup: CoverageSetup,
                         coverage_depth: int,
                         top_candidates: List[ScoreEntry],
-                        best_segments_map) -> dict:
+                        best_segments_map, prefilter_mask=None) -> dict:
         """Host-side setup shared by single and batched coverage execution.
 
         Returns a job dict with the worklist, memo tables, and the closures
@@ -773,6 +785,11 @@ class SearchPipeline:
 
         wm_parts = self._wm_lookup_parts(
             search_text, coverage_setup.cover_prefix_suffix)
+        if prefilter_mask is not None:
+            # pre-filter: WordMatcher candidates outside the filter can
+            # never be returned; dropping them here lets matching docs
+            # deeper in the lists into the coverage_depth budget.
+            wm_parts = [p[prefilter_mask[p]] for p in wm_parts]
         has_wm = any(p.size for p in wm_parts)
 
         context = self._coverage_engine.prepare_query(search_text)
@@ -934,7 +951,8 @@ class SearchPipeline:
     def _coverage_begin_fast(self, search_text: str,
                              coverage_setup: CoverageSetup,
                              coverage_depth: int,
-                             s1: Stage1Arrays) -> dict:
+                             s1: Stage1Arrays,
+                             prefilter_mask=None) -> dict:
         import time as _time
 
         model = self._model
@@ -943,6 +961,8 @@ class SearchPipeline:
         t0 = _time.perf_counter()
         wm_parts = self._wm_lookup_parts(
             search_text, coverage_setup.cover_prefix_suffix)
+        if prefilter_mask is not None:
+            wm_parts = [p[prefilter_mask[p]] for p in wm_parts]
         has_wm = any(p.size for p in wm_parts)
         self._t_wm += _time.perf_counter() - t0
 
