@@ -264,13 +264,20 @@ class SearchEngine:
             finally:
                 self.status = SearchEngineStatus.READY
 
-    def flush(self, segment_path: str) -> None:
+    def flush(self, segment_path: str, materialize: bool = True) -> None:
         """Roll the in-memory postings into an on-disk segment
-        (SearchEngine.Flush, SearchEngine.cs:211-222)."""
+        (SearchEngine.Flush, SearchEngine.cs:211-222).
+
+        ``materialize=False`` enables memory-bounded serving: the flushed
+        postings stay on disk (decoded lazily per query) instead of being
+        rebuilt into the HBM-resident unified CSR — the reference's
+        MMapBlockPostingsEnum.cs capability. Slower per query; bounded
+        resident memory."""
         with self._rw_lock.write_lock():
             self.status = SearchEngineStatus.INDEXING
             try:
-                self._vector_model.flush(segment_path)
+                self._vector_model.flush(segment_path,
+                                         materialize=materialize)
                 self._vector_model.build_inverted_lists()
                 self._pipeline.invalidate_caches()
                 self._column_store = None
@@ -667,6 +674,8 @@ class SearchEngine:
             return None
         if self._vector_model.sharded is not None:
             return None
+        if self._vector_model._mmap_stage1 is not None:
+            return None   # mmap serving scores on host: post-filter only
         from .filtering.columnar import contains_derived
 
         if contains_derived(filt):

@@ -399,6 +399,7 @@ def _wm_state_decoded(state: dict) -> dict:
 
 def save_engine(engine, file_path: str) -> None:
     model = engine.vector_model
+    model.materialize_segments()   # snapshots persist the unified image
     if model.built is None:
         model.build_inverted_lists()
 

@@ -163,6 +163,12 @@ class VectorModel:
         # On-disk segments created by flush() (index/segments.py)
         self._segments = []           # List[SegmentReader]
         self._flushed_doc_count = 0
+        # Memory-bounded segment serving (index/mmap_serving.py):
+        # flush(materialize=False) keeps flushed postings on disk.
+        self.mmap_serving = False
+        self._mmap_stage1 = None
+        self._segment_catalog = {}
+        self._flushed_doc_lengths = np.zeros(0, np.float32)
 
     # ------------------------------------------------------------------
     # Indexing
@@ -321,9 +327,16 @@ class VectorModel:
     def build_inverted_lists(self) -> None:
         """Finalize postings into CSR tensors + device upload + derived stats."""
         n = len(self.documents)  # internal id slots, incl. deleted
-        if self._segments:
+        if self._segments and self.mmap_serving:
+            from .mmap_serving import MmapStage1, build_union_index
+
+            self._materialize_bulk()
+            self.built = build_union_index(self, n)
+            self._mmap_stage1 = MmapStage1(self)
+        elif self._segments:
             self._materialize_bulk()
             self.built = self._build_unified_csr(n)
+            self._mmap_stage1 = None
         elif getattr(self, "_bulk_csr", None) is not None:
             self.built = self._built_from_bulk_csr(n)
         else:
@@ -371,32 +384,58 @@ class VectorModel:
             num_docs=num_docs,
         )
 
-    def flush(self, segment_path: str) -> None:
-        self._materialize_bulk()
+    def flush(self, segment_path: str, materialize: bool = True) -> None:
         """Roll the in-memory postings into an on-disk segment and free them.
 
-        The unified CSR is rebuilt from all segments + (new) memory postings
-        on the next build_inverted_lists, mirroring the reference's
-        per-segment search + merge with a repack program.
-        """
+        ``materialize=True`` (default): the unified CSR is rebuilt from all
+        segments + (new) memory postings on the next build_inverted_lists,
+        mirroring the reference's per-segment search + merge with a repack
+        program. ``materialize=False``: memory-bounded serving — flushed
+        postings stay on disk and are decoded lazily per query
+        (index/mmap_serving.py; MMapBlockPostingsEnum.cs capability)."""
+        self._materialize_bulk()
         from .builder import TermDictionary
         from .segments import SegmentReader, SegmentWriter
 
         if len(self.term_dict) == 0:
             return
         terms_postings = {}
+        lens = np.zeros(len(self.documents), np.float32)
         for tid, term in enumerate(self.term_dict.terms):
             p = self.term_dict.postings[tid]
             if p.df > 0 and len(p.doc_ids):
                 terms_postings[term] = (p.doc_ids, p.weights)
+                np.add.at(lens, np.asarray(p.doc_ids, np.int64),
+                          np.asarray(p.weights, np.float32))
         doc_count = len(self.documents) - self._flushed_doc_count
         SegmentWriter().write_segment(
             terms_postings, doc_count, self._flushed_doc_count, segment_path)
         self._segments.append(SegmentReader(segment_path))
         self._flushed_doc_count = len(self.documents)
+        # capture flushed docs' BM25 lengths before the postings are freed
+        # (mmap mode cannot recompute them without decoding every block)
+        if self._flushed_doc_lengths.size < lens.size:
+            grown = np.zeros(lens.size, np.float32)
+            grown[: self._flushed_doc_lengths.size] = self._flushed_doc_lengths
+            self._flushed_doc_lengths = grown
+        self._flushed_doc_lengths[: lens.size] += lens
         self.term_dict = TermDictionary()
         self.built = None
         self.device = None
+        if not materialize:
+            self.mmap_serving = True
+
+    def materialize_segments(self) -> None:
+        """Exit mmap serving: decode every segment into the unified CSR
+        (needed before save, which persists the unified image)."""
+        if not self.mmap_serving:
+            return
+        self.mmap_serving = False
+        self._mmap_stage1 = None
+        self._segment_catalog = {}
+        self.built = None
+        self.device = None
+        self.build_inverted_lists()
 
     @property
     def segments(self):
@@ -515,7 +554,10 @@ class VectorModel:
 
     @property
     def stage1_backend(self):
-        """The index image Stage-1 calls should use (sharded wins)."""
+        """The index image Stage-1 calls should use (mmap mode wins,
+        then sharded, then the single-chip device)."""
+        if self._mmap_stage1 is not None:
+            return self._mmap_stage1
         return self.sharded if self.sharded is not None else self.device
 
     def _build_coverage_tables(self) -> None:
@@ -880,7 +922,7 @@ class VectorModel:
         from .candidates import TIER_LANE_BUDGET
 
         if (TIER_LANE_BUDGET <= 0 or len(term_ids) < 2 or fuzzy_groups
-                or self.built is None):
+                or self.built is None or self._mmap_stage1 is not None):
             return False
         lanes = int(self.built.df[np.asarray(term_ids, dtype=np.int64)].sum())
         return lanes > TIER_LANE_BUDGET
@@ -893,7 +935,7 @@ class VectorModel:
         the pool; a pool the mask shrinks below top_k routes to the
         device, whose masked full disjunction is exact."""
         term_ids, idfs, fuzzy_groups = prep
-        if self.built is None:
+        if self.built is None or self._mmap_stage1 is not None:
             return None
         if self._tiered_stage1 is None:
             from .candidates import TieredStage1

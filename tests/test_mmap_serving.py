@@ -1,0 +1,98 @@
+"""Memory-bounded segment serving (flush(materialize=False)).
+
+Reference capability: MMapBlockPostingsEnum.cs:1-303 + SegmentReader.cs:
+33-125 — flushed postings are served from the memory-mapped segment file,
+decoded lazily per query, so resident postings are bounded by the live
+delta index. VERDICT r02 missing #2 / next-step #8."""
+
+import os
+
+import numpy as np
+import pytest
+
+from infidex_tpu import Document, Query, SearchEngine
+
+
+def _corpus(n=600):
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    return [f"{words[i % 10]} document {words[(i // 10) % 10]} {i}"
+            for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def engines(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("segs")
+    titles = _corpus()
+
+    mmap_eng = SearchEngine.create_default()
+    mmap_eng.index_documents([Document(i, t)
+                              for i, t in enumerate(titles[:500])])
+    mmap_eng.flush(str(tmp / "seg0.ifts"), materialize=False)
+    for i, t in enumerate(titles[500:]):
+        mmap_eng.index_document(Document(500 + i, t))
+    mmap_eng.calculate_weights()
+
+    uni_eng = SearchEngine.create_default()
+    uni_eng.index_documents([Document(i, t) for i, t in enumerate(titles)])
+    return mmap_eng, uni_eng
+
+
+def test_segment_postings_not_resident(engines):
+    mmap_eng, uni_eng = engines
+    m = mmap_eng.vector_model
+    assert m.mmap_serving
+    resident = int(m.built.postings_docs.size)
+    total = int(uni_eng.vector_model.built.postings_docs.size)
+    # resident CSR holds only the 100 post-flush docs' postings
+    assert resident < total / 4, (resident, total)
+    # union vocabulary + global df are still visible
+    assert len(m.built.terms) == len(uni_eng.vector_model.built.terms)
+
+
+def test_exact_query_spans_segment_and_memory(engines):
+    mmap_eng, _ = engines
+    res = mmap_eng.search(Query("alpha document", 20))
+    keys = {r.document_id for r in res.records}
+    assert any(k < 500 for k in keys), "segment docs missing"
+    assert res.records
+
+
+def test_ranking_matches_materialized_engine(engines):
+    # Host np.add.at and the XLA scatter accumulate f32 in different
+    # orders; massive exact-tie queries can reorder within a tie class,
+    # so parity is pinned on queries with distinct scores plus the
+    # top-result + score agreement for a tie-heavy one.
+    mmap_eng, uni_eng = engines
+    for text in ("alpha document", "charlie", "foxtrot echo"):
+        a = mmap_eng.search(Query(text, 10))
+        b = uni_eng.search(Query(text, 10))
+        assert [r.document_id for r in a.records] == \
+            [r.document_id for r in b.records], text
+    a = mmap_eng.search(Query("document 42", 10))
+    b = uni_eng.search(Query("document 42", 10))
+    assert a.records[0].document_id == b.records[0].document_id == 42
+    assert [round(r.score, 3) for r in a.records][:4] == \
+        [round(r.score, 3) for r in b.records][:4]
+
+
+def test_typo_query_reaches_segment_docs(engines):
+    mmap_eng, uni_eng = engines
+    a = mmap_eng.search(Query("charlei", 10))   # typo of charlie
+    b = uni_eng.search(Query("charlei", 10))
+    assert a.records
+    assert [r.document_id for r in a.records] == \
+        [r.document_id for r in b.records]
+
+
+def test_save_materializes_and_roundtrips(engines, tmp_path):
+    mmap_eng, _ = engines
+    before = [(r.document_id, round(r.score, 4))
+              for r in mmap_eng.search(Query("alpha", 10)).records]
+    p = str(tmp_path / "snap.bin")
+    mmap_eng.save(p)
+    assert not mmap_eng.vector_model.mmap_serving   # save materialized
+    loaded = SearchEngine.load(p)
+    after = [(r.document_id, round(r.score, 4))
+             for r in loaded.search(Query("alpha", 10)).records]
+    assert before == after
