@@ -22,9 +22,11 @@ import time
 
 # argv: [mode-name | n_docs] [n_queries] [batch]; mode names select the
 # BASELINE.md workload configs (see MODES at the bottom).
+# Default scale is the 300k-doc config: the north-star metric is defined
+# at corpus scale (BASELINE.json), not at the 10k smoke size.
 _argv_nums = [a for a in sys.argv[1:] if a.lstrip("-").isdigit()]
-N_DOCS = int(_argv_nums[0]) if len(_argv_nums) > 0 else 10_000
-N_QUERIES = int(_argv_nums[1]) if len(_argv_nums) > 1 else 200
+N_DOCS = int(_argv_nums[0]) if len(_argv_nums) > 0 else 300_000
+N_QUERIES = int(_argv_nums[1]) if len(_argv_nums) > 1 else 256
 BATCH = int(_argv_nums[2]) if len(_argv_nums) > 2 else 64
 # UNMEASURED provisional estimate of the C# engine's fuzzy-query QPS on a
 # 32-core host. The reference publishes no numbers (BASELINE.md) and this
@@ -122,9 +124,31 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def measure_link_floor():
+    """Per-call device link latency floor (ms): median of 5 tiny
+    round-trips. The covariate that explains run-to-run QPS swings on
+    tunneled TPUs (README: identical runs measured 335/254/191 QPS as the
+    tunnel degraded)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    x = jnp.ones((8,), jnp.float32)
+    _np.asarray(x + 1)       # compile outside the timing
+    samples = []
+    for _ in range(5):
+        t = _t.perf_counter()
+        _np.asarray(x + 1)
+        samples.append((_t.perf_counter() - t) * 1000.0)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
 def _measure(engine, queries, Query, max_results=10, make_query=None):
     """Warm every shape bucket with one full pass, then measure batched
-    serving throughput. Returns (qps, p50_ms)."""
+    serving throughput. Returns (qps, p50_ms, warmup_s)."""
     import time as _t
 
     if make_query is None:
@@ -136,7 +160,8 @@ def _measure(engine, queries, Query, max_results=10, make_query=None):
         if (i // BATCH) % 4 == 0:
             log(f"[bench] warmup batch {i // BATCH + 1}/{n_batches} "
                 f"({_t.perf_counter() - t0:.0f}s)")
-    log(f"[bench] warmup done in {_t.perf_counter() - t0:.0f}s")
+    warmup_s = _t.perf_counter() - t0
+    log(f"[bench] warmup done in {warmup_s:.0f}s")
 
     # Two batches in flight: one thread's host work (tokenize, candidate
     # resolution, post-processing) overlaps the other's device wait —
@@ -157,42 +182,64 @@ def _measure(engine, queries, Query, max_results=10, make_query=None):
             latencies.extend([dt] * n)
     wall = _t.perf_counter() - t0
     latencies.sort()
-    return len(queries) / wall, latencies[len(latencies) // 2] * 1000.0
+    return (len(queries) / wall, latencies[len(latencies) // 2] * 1000.0,
+            warmup_s)
 
 
-def _recall_at_10(engine, queries, Query, n_docs, sample=32):
+def _single_query_p50(engine, queries, Query, n=32):
+    """Sequential one-at-a-time ``search()`` latency (ms, p50): the
+    interactive contract (reference README: "search in milliseconds"),
+    as opposed to batched serving throughput."""
+    import time as _t
+
+    lat = []
+    for q in queries[:n]:
+        t = _t.perf_counter()
+        engine.search(Query(q, 10))
+        lat.append((_t.perf_counter() - t) * 1000.0)
+    lat.sort()
+    return lat[len(lat) // 2]
+
+
+def _recall_at_10(engine, queries, Query, n_docs, sample=128):
     """recall@10 of the production path (coverage_depth=500 candidate
     generation) against a full-depth oracle: the same ranking pipeline
-    with candidate depth = the whole corpus. Measures candidate-recall
+    with candidate depth = min(corpus, 20000). Measures candidate-recall
     loss, the thing pruning/depth could cost (north-star metric is QPS at
-    matched recall@10).
+    matched recall@10). Batched on both sides so >=128 samples stay
+    affordable at every scale.
 
     The oracle shares the engine's champion clipping (it measures depth
     truncation, which dominates). Clipping loss is measured separately:
     at 300k docs, cap-2048 top-10s carry 0.92 of an UNCLIPPED engine's
-    top-10 with 40/48 identical rankings (scripts/clip_study.py)."""
-    hits = total = 0
-    # Cap oracle depth: 40x the production depth is enough to expose any
-    # candidate-generation loss, and a 10^6-deep coverage pass per query
-    # would dominate the bench run.
+    top-10 with 40/48 identical rankings (scripts/clip_study.py).
+    Returns (recall, n_sampled)."""
     depth = min(max(n_docs, 500), 20_000)
-    if n_docs > 200_000:
-        sample = min(sample, 16)
-    for q in queries[:sample]:
-        prod = engine.search(Query(q, 10))
-        oracle_q = Query(q, 10)
-        oracle_q.coverage_depth = depth
-        oracle = engine.search(oracle_q)
-        want = [r.document_id for r in oracle.records]
+    qs = queries[:sample]
+    prod = []
+    orac = []
+    for i in range(0, len(qs), BATCH):
+        prod.extend(engine.search_batch(
+            [Query(q, 10) for q in qs[i : i + BATCH]]))
+    for i in range(0, len(qs), BATCH):
+        batch = []
+        for q in qs[i : i + BATCH]:
+            oq = Query(q, 10)
+            oq.coverage_depth = depth
+            batch.append(oq)
+        orac.extend(engine.search_batch(batch))
+    hits = total = 0
+    for pr, orr in zip(prod, orac):
+        want = [r.document_id for r in orr.records]
         if not want:
             continue
-        got = {r.document_id for r in prod.records}
+        got = {r.document_id for r in pr.records}
         hits += sum(1 for d in want if d in got)
         total += len(want)
-    return hits / total if total else 1.0
+    return (hits / total if total else 1.0), len(qs)
 
 
-def _emit(metric, qps, extra="", recall=None):
+def _emit(metric, qps, extra="", recall=None, **fields):
     out = {
         "metric": metric + extra,
         "value": round(qps, 2),
@@ -201,6 +248,7 @@ def _emit(metric, qps, extra="", recall=None):
     }
     if recall is not None:
         out["recall_at_10"] = round(recall, 4)
+    out.update(fields)
     print(json.dumps(out))
 
 
@@ -329,6 +377,8 @@ def main():
     from infidex_tpu import Document, Query, SearchEngine
 
     jax.devices()  # backend init (~10s on tunneled TPUs) outside the timer
+    link_floor = measure_link_floor()
+    log(f"[bench] link floor {link_floor:.1f}ms/call")
 
     titles = make_corpus(N_DOCS)
     engine = SearchEngine.create_default()
@@ -344,11 +394,17 @@ def main():
     # in device batches of BATCH (the device serializes work, so batching —
     # not thread concurrency — is what scales QPS). Per-query latency is the
     # wall time of the batch that served it.
-    qps, p50 = _measure(engine, queries, Query)
+    qps, p50, warmup_s = _measure(engine, queries, Query)
+    p50_single = _single_query_p50(engine, queries, Query)
+    log(f"[bench] single-query p50 {p50_single:.1f}ms")
     log("[bench] measuring recall@10 vs full-depth oracle")
-    recall = _recall_at_10(engine, queries, Query, N_DOCS)
+    recall, recall_n = _recall_at_10(engine, queries, Query, N_DOCS)
     _emit(f"fuzzy-query QPS ({N_DOCS} docs, batch={BATCH}, "
-          f"p50={p50:.1f}ms, index={index_secs:.1f}s)", qps, recall=recall)
+          f"p50={p50:.1f}ms, index={index_secs:.1f}s)", qps, recall=recall,
+          recall_n=recall_n, p50_batch_ms=round(p50, 1),
+          p50_single_ms=round(p50_single, 1),
+          link_floor_ms=round(link_floor, 2),
+          warmup_s=round(warmup_s, 1), n_docs=N_DOCS)
 
 
 MODES = {

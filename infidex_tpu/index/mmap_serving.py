@@ -56,18 +56,20 @@ class MmapStage1:
     # ------------------------------------------------------------------
     def search_batch(self, queries, top_k: int, total_docs=None,
                      stop_term_limit: int = 1_250_000,
-                     live_override=None) -> list:
+                     live_override=None, host_mask=None) -> list:
         """Same output convention as ``DeviceIndex.search_batch``:
         [(scores f32[k], ids int32[k])] per query, score-descending,
         non-positive score = padding. ``live_override`` (device-side
-        pre-filter buffer) is ignored — this mode post-filters."""
+        pre-filter buffer) is ignored — pass the numpy ``host_mask``
+        instead to pre-filter on this path."""
         td = int(total_docs if total_docs is not None
                  else self._model.documents.count)
-        return [self._search_one(prep, top_k, td, stop_term_limit)
+        return [self._search_one(prep, top_k, td, stop_term_limit,
+                                 host_mask=host_mask)
                 for prep in queries]
 
     def _search_one(self, prep, top_k: int, total_docs: int,
-                    stop_limit: int):
+                    stop_limit: int, host_mask=None):
         model = self._model
         built = model.built
         term_ids, idfs, fuzzy_groups = prep
@@ -107,6 +109,8 @@ class MmapStage1:
 
         if model.deleted_arr.size >= n:
             scores[model.deleted_arr[:n]] = 0.0
+        if host_mask is not None and host_mask.size >= n:
+            scores[~host_mask[:n]] = 0.0
 
         k = min(int(top_k), n)
         if k <= 0:

@@ -154,6 +154,8 @@ class VectorModel:
 
         # Device coverage tables (ops/coverage_kernel.CoverageTables)
         self.coverage_tables = None
+        # First-token candidate prior (index/first_token.py)
+        self.first_token_index = None
         # object-dtype array of normalized doc texts (set with the tables)
         self.norm_texts: Optional[np.ndarray] = None
 
@@ -167,6 +169,7 @@ class VectorModel:
         # flush(materialize=False) keeps flushed postings on disk.
         self.mmap_serving = False
         self._mmap_stage1 = None
+        self._host_stage1 = None
         self._segment_catalog = {}
         self._flushed_doc_lengths = np.zeros(0, np.float32)
 
@@ -520,11 +523,31 @@ class VectorModel:
         # normalize passes cost ~25s of load/build time.
         self._build_coverage_tables()
         self._build_document_metadata_cache()
+        self._build_first_token_index()
         if self._mesh is not None and self.coverage_tables is not None:
             from ..parallel.sharding import ShardedCoverageTables
 
             self.sharded_tables = ShardedCoverageTables(
                 self.coverage_tables, self._mesh)
+
+    def _build_first_token_index(self) -> None:
+        """Per-finalize first-token prior (index/first_token.py): maps a
+        word to the docs that START with it — the fusion scorer's
+        position-gated top classes for single-word queries."""
+        import os as _os
+
+        if _os.environ.get("INFIDEX_TPU_CLASS_PRIOR", "1") == "0":
+            self.first_token_index = None
+            return
+        if self.norm_texts is None:
+            self.first_token_index = None
+            return
+        from .first_token import FirstTokenIndex
+
+        delims = (self.tokenizer.tokenizer_setup.delimiters
+                  if self.tokenizer.tokenizer_setup else (" ",))
+        self.first_token_index = FirstTokenIndex.build(self.norm_texts,
+                                                       delims)
 
     def enable_sharding(self, mesh) -> None:
         """Serve Stage-1 + coverage sharded over *mesh* from now on.
@@ -947,6 +970,51 @@ class VectorModel:
             return None
         return tiered.run(term_ids, idfs, top_k, mask=mask)
 
+    #: lane/batch ceilings for routing Stage-1 to the exact host scorer
+    #: (single-query serving: a host pass over <=64k postings costs ~1ms
+    #: while the device call pays the full link round trip, ~30ms on the
+    #: tunnel). 0 disables host routing.
+    HOST_S1_MAX_LANES = int(__import__("os").environ.get(
+        "INFIDEX_TPU_HOST_S1_LANES", "65536"))
+    HOST_S1_MAX_BATCH = int(__import__("os").environ.get(
+        "INFIDEX_TPU_HOST_S1_BATCH", "2"))
+
+    @property
+    def host_stage1(self):
+        """Exact host Stage-1 (index/mmap_serving.MmapStage1 over the
+        unified CSR; no segments) for low-lane, low-batch queries."""
+        if self._host_stage1 is None:
+            from .mmap_serving import MmapStage1
+
+            self._host_stage1 = MmapStage1(self)
+        return self._host_stage1
+
+    def host_stage1_ok(self, preps, n_queries: int) -> bool:
+        """True when the whole (tiny) batch should score on the host:
+        fewer queries than the link-latency break-even and a raw lane
+        total small enough that numpy scatter beats the ~30ms round trip.
+        Host scoring uses FULL postings (no champion clipping) — exact,
+        never worse than the device path."""
+        if (self.HOST_S1_MAX_LANES <= 0
+                or n_queries > self.HOST_S1_MAX_BATCH
+                or self._mmap_stage1 is not None
+                or self.sharded is not None
+                or self.built is None):
+            return False
+        df = self.built.df
+        lanes = 0
+        for term_ids, _idf, fuzzy_groups in preps:
+            ids = np.asarray(term_ids, np.int64)
+            if ids.size:
+                lanes += int(np.maximum(df[ids], 0).sum())
+            for grp in (fuzzy_groups or ()):
+                g = np.asarray(grp, np.int64)
+                if g.size:
+                    lanes += int(np.maximum(df[g], 0).sum())
+            if lanes > self.HOST_S1_MAX_LANES:
+                return False
+        return True
+
     def stage1_live_override(self, mask):
         """Device live-mask buffer for a pre-filter mask (single-chip
         path only; the sharded path post-filters)."""
@@ -966,6 +1034,11 @@ class VectorModel:
         if prep is None:
             return []
         out = self.stage1_tiered_maybe(prep, top_k, mask=prefilter_mask)
+        if out is None and self.host_stage1_ok([prep], 1):
+            out = self.host_stage1.search_batch(
+                [prep], top_k, total_docs=self.documents.count,
+                stop_term_limit=self.stop_term_limit,
+                host_mask=prefilter_mask)[0]
         if out is None:
             if self.device is None:
                 self.build_inverted_lists()

@@ -387,11 +387,21 @@ class SearchPipeline:
         if batch_items:
             if model.device is None:
                 model.build_inverted_lists()
-            outs = model.stage1_backend.search_batch(
-                [prep for _, prep in batch_items], coverage_depth,
-                total_docs=model.documents.count,
-                stop_term_limit=model.stop_term_limit,
-                live_override=model.stage1_live_override(prefilter_mask))
+            preps_b = [prep for _, prep in batch_items]
+            if model.host_stage1_ok(preps_b, len(preps_b)):
+                # tiny batch, tiny lane count: the exact host scatter
+                # undercuts the device link round trip (single-query p50)
+                outs = model.host_stage1.search_batch(
+                    preps_b, coverage_depth,
+                    total_docs=model.documents.count,
+                    stop_term_limit=model.stop_term_limit,
+                    host_mask=prefilter_mask)
+            else:
+                outs = model.stage1_backend.search_batch(
+                    preps_b, coverage_depth,
+                    total_docs=model.documents.count,
+                    stop_term_limit=model.stop_term_limit,
+                    live_override=model.stage1_live_override(prefilter_mask))
             for (i, _), (scores, ids) in zip(batch_items, outs):
                 if fast_ok:
                     stage1[i] = model.finish_stage1_arrays(scores, ids)
@@ -513,6 +523,59 @@ class SearchPipeline:
             return fut.result()
         return self._word_matcher.lookup_parts(search_text,
                                                cover_prefix_suffix)
+
+    # ------------------------------------------------------------------
+    def _class_prior_ids(self, search_text: str, budget: int) -> np.ndarray:
+        """Candidate-selection prior: the docs the fusion scorer's TOP
+        precedence classes would rank first (see index/first_token.py).
+
+        Single-word queries: exact-start > prefix-start > fuzzy-start
+        docs, each ascending id (the fusion within-class tie order is
+        ascending key). Multi-word queries: the all-known-terms postings
+        intersection (coverage_tier-3 members). Applied identically at
+        every coverage depth, so deeper (oracle) candidate sets nest
+        production ones."""
+        if budget <= 0:
+            return np.zeros(0, np.int64)
+        model = self._model
+        fti = model.first_token_index
+        if fti is None or model.built is None:
+            return np.zeros(0, np.int64)
+        setup = model.tokenizer.tokenizer_setup
+        delims = setup.delimiter_set if setup else {" "}
+        words, cur = [], []
+        for ch in search_text:
+            if ch in delims:
+                if cur:
+                    words.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            words.append("".join(cur))
+        if not words:
+            return np.zeros(0, np.int64)
+        if len(words) == 1:
+            return fti.class_prior(words[0], budget)
+        # multi-word: ordered intersection of the words' posting lists
+        from ..index.candidates import _ordered_isect
+
+        built = model.built
+        parts = []
+        for w in words:
+            tid = built.term_to_id.get(w, -1)
+            if tid < 0 or built.df[tid] <= 0:
+                continue
+            parts.append(built.postings_for(int(tid))[0].astype(np.int64))
+        if len(parts) < 2:
+            return np.zeros(0, np.int64)
+        parts.sort(key=lambda a: a.size)
+        inter = parts[0]
+        for p_ in parts[1:]:
+            inter = _ordered_isect(inter, p_)
+            if inter.size == 0:
+                break
+        return inter[:budget]
 
     # ------------------------------------------------------------------
     def _prime_fuzzy_tokens(self, query_texts: List[str]) -> None:
@@ -825,14 +888,22 @@ class SearchPipeline:
             member |= (j < p.size) & (p[jc] == tfidf_arr)
         wm_overlapping = tfidf_arr[member].tolist()
         wm_limit = max(0, coverage_depth - len(wm_overlapping))
-        if has_wm and wm_limit > 0:
+        prior = self._class_prior_ids(search_text, wm_limit)
+        if prefilter_mask is not None and prior.size:
+            prior = prior[prefilter_mask[prior]]
+        if prior.size:
+            prior = prior[~np.isin(prior, tfidf_arr)][:wm_limit]
+        if has_wm and wm_limit > prior.size:
             k_head = wm_limit + len(wm_overlapping)
             heads = np.unique(np.concatenate(
                 [p[:k_head] for p in wm_parts if p.size]))
             outside = heads[~np.isin(heads, tfidf_arr)]
-            wm_unique = outside[:wm_limit].tolist()
+            if prior.size:
+                outside = outside[~np.isin(outside, prior)]
+            wm_unique = np.concatenate(
+                [prior, outside[: wm_limit - prior.size]]).tolist()
         else:
-            wm_unique = []
+            wm_unique = prior[:wm_limit].tolist()
 
         # Key index for LCS/word-hit memoization, over the docs that can
         # actually be scored (worklist members + Stage-1 candidates).
@@ -982,14 +1053,22 @@ class SearchPipeline:
             member |= (j < p.size) & (p[jc] == tfidf_arr)
         wm_overlapping = tfidf_arr[member]
         wm_limit = max(0, coverage_depth - int(wm_overlapping.size))
-        if has_wm and wm_limit > 0:
+        prior = self._class_prior_ids(search_text, wm_limit)
+        if prefilter_mask is not None and prior.size:
+            prior = prior[prefilter_mask[prior]]
+        if prior.size:
+            prior = prior[~np.isin(prior, tfidf_arr)][:wm_limit]
+        if has_wm and wm_limit > prior.size:
             k_head = wm_limit + int(wm_overlapping.size)
             heads = np.unique(np.concatenate(
                 [p[:k_head] for p in wm_parts if p.size]))
             outside = heads[~np.isin(heads, tfidf_arr)]
-            wm_unique = outside[:wm_limit]
+            if prior.size:
+                outside = outside[~np.isin(outside, prior)]
+            wm_unique = np.concatenate(
+                [prior, outside[: wm_limit - prior.size]])
         else:
-            wm_unique = np.zeros(0, np.int64)
+            wm_unique = prior[:wm_limit]
 
         # Memo index space: one slot per distinct reachable document key.
         wm_ids = np.concatenate([wm_overlapping, wm_unique]).astype(np.int64)
