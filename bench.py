@@ -124,6 +124,20 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _setup_cache():
+    """Persistent XLA compile cache for TPU runs: the remote compile
+    service takes minutes per big program when cold, while a disk hit
+    restores in ~20ms — a warm process meets the <60s warmup target.
+    (Round-2 note about the cache hanging the tunnel no longer
+    reproduces; verified healthy 2026-08-17.)"""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/infidex_jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def measure_link_floor():
     """Per-call device link latency floor (ms): median of 5 tiny
     round-trips. The covariate that explains run-to-run QPS swings on
@@ -416,6 +430,10 @@ MODES = {
 }
 
 if __name__ == "__main__":
+    import jax as _jax
+
+    _jax.devices()
+    _setup_cache()
     if len(sys.argv) > 1 and sys.argv[1] in MODES and MODES[sys.argv[1]]:
         kwargs = {}
         if len(_argv_nums) > 0:

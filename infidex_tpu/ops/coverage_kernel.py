@@ -505,12 +505,21 @@ def coverage_fusion_batch(
         return first_pos.at[i].set(jnp.where(cond, new, cur))
 
     # ---------------- 1. whole word matcher ----------------------------
+    # Every matcher loop below runs as a lax.fori_loop, NOT a Python
+    # unroll: iterations are sequential either way (single-consumption
+    # state), but unrolling Q=16 / D-1=63 bodies blew the program up to
+    # ~10k StableHLO lines and minutes-per-shape remote compiles; rolled
+    # loops keep the traced graph ~5x smaller at the same device cost
+    # (the kernel is link-latency-bound, not compute-bound).
     if config.cover_whole_words:
         p_increment = jnp.where(qcount > 1, 1.0, 0.0)      # [C]
 
-        for i in range(Q):
+        def whole_body(i, st):
+            (term_matched, term_has_whole, term_has_prefix, term_first_pos,
+             word_hits, num_whole, penalty, q_active, d_active) = st
             ql = qlens2[i]                                 # [C]
-            eqm = EQ[i] & d_active
+            eq_i = EQ[i]
+            eqm = eq_i & d_active
             any_m, j = first_true(eqm)
             m = any_m & q_active[i] & (i < qcount)
 
@@ -524,16 +533,29 @@ def coverage_fusion_batch(
             term_first_pos = note_pos(term_first_pos, i, at(offsets, j), m)
 
             sel = unique & (u_rank == i)
-            tok_i_eq = (sel & EQ[i]).any(axis=0)
+            tok_i_eq = (sel & eq_i).any(axis=0)
             exists = i < u_count
             penalty = penalty + jnp.where(m & ~(exists & tok_i_eq), 1, 0)
 
             q_active = q_active.at[i].set(q_active[i] & ~m)
             d_active = set_at_false(d_active, j, m)
+            return (term_matched, term_has_whole, term_has_prefix,
+                    term_first_pos, word_hits, num_whole, penalty,
+                    q_active, d_active)
+
+        (term_matched, term_has_whole, term_has_prefix, term_first_pos,
+         word_hits, num_whole, penalty, q_active, d_active) = \
+            jax.lax.fori_loop(0, Q, whole_body,
+                              (term_matched, term_has_whole,
+                               term_has_prefix, term_first_pos, word_hits,
+                               num_whole, penalty, q_active, d_active))
 
     # ---------------- 2. joined word matcher ---------------------------
     if config.cover_joined_words:
-        for i in range(Q - 1):
+        def qjoin_body(i, st):
+            (term_matched, term_has_joined, term_has_prefix,
+             term_first_pos, word_hits, num_joined, q_active,
+             d_active) = st
             cond_q = q_active[i] & q_active[i + 1] & (i + 1 < qcount)
             jl = qlens2[i] + qlens2[i + 1]                 # [C]
             dmask = d_active & (lens == jl[None, :]) & D_SW_Q[i] & \
@@ -554,9 +576,21 @@ def coverage_fusion_batch(
             q_active = q_active.at[i].set(q_active[i] & ~m)
             q_active = q_active.at[i + 1].set(q_active[i + 1] & ~m)
             d_active = set_at_false(d_active, j, m)
+            return (term_matched, term_has_joined, term_has_prefix,
+                    term_first_pos, word_hits, num_joined, q_active,
+                    d_active)
+
+        (term_matched, term_has_joined, term_has_prefix, term_first_pos,
+         word_hits, num_joined, q_active, d_active) = jax.lax.fori_loop(
+            0, Q - 1, qjoin_body,
+            (term_matched, term_has_joined, term_has_prefix,
+             term_first_pos, word_hits, num_joined, q_active, d_active))
 
         # doc-joined: adjacent ACTIVE doc pair == one query token
-        for i in range(D - 1):
+        def djoin_body(i, st):
+            (term_matched, term_has_joined, term_has_prefix,
+             term_first_pos, word_hits, num_joined, q_active,
+             d_active) = st
             di_active = d_active[i]
             later = d_active & (d_iota[:, None] > i)
             has_nxt, nxt = first_true(later)
@@ -565,8 +599,9 @@ def coverage_fusion_batch(
             len_i = lens[i]
             len_n = at(lens, nxt)
             jl = len_i + len_n
-            # q startswith d_i (static i) / q endswith d_nxt (one-hot D):
-            q_sw_di = _Q_SW_D[:, i, :]                          # [Q,C]
+            # q startswith d_i / q endswith d_nxt (one-hot D):
+            q_sw_di = jax.lax.dynamic_index_in_dim(
+                _Q_SW_D, i, axis=1, keepdims=False)             # [Q,C]
             q_ew_dn = (Q_EW_D &
                        (d_iota[:, None] == nxt[None, :])[None]).any(axis=1)
             qmask = q_active & (qlens2 == jl[None, :]) & q_sw_di & q_ew_dn
@@ -589,6 +624,15 @@ def coverage_fusion_batch(
             q_active = q_active & ~upd
             d_active = d_active.at[i].set(d_active[i] & ~m)
             d_active = set_at_false(d_active, nxt, m)
+            return (term_matched, term_has_joined, term_has_prefix,
+                    term_first_pos, word_hits, num_joined, q_active,
+                    d_active)
+
+        (term_matched, term_has_joined, term_has_prefix, term_first_pos,
+         word_hits, num_joined, q_active, d_active) = jax.lax.fori_loop(
+            0, D - 1, djoin_body,
+            (term_matched, term_has_joined, term_has_prefix,
+             term_first_pos, word_hits, num_joined, q_active, d_active))
 
     # ---------------- 3. prefix/suffix matcher -------------------------
     if config.cover_prefix_suffix:
@@ -611,7 +655,9 @@ def coverage_fusion_batch(
             return jnp.where(mask, arr_sdc, 0).sum(axis=0).astype(
                 arr_sdc.dtype)
 
-        for si in range(Q):
+        def ps_body(si, st):
+            (term_matched, term_has_prefix, term_first_pos, word_hits,
+             num_ps, q_active, d_active) = st
             qi = qsorted2[si]                              # [C]
             ql = at_q(qlens2, qi)                          # [C]
             qlc = ql[None, :]                              # [1,C]
@@ -647,8 +693,18 @@ def coverage_fusion_batch(
                 upd, jnp.where(m, new, cur)[None, :], term_first_pos)
             q_active = q_active & ~upd
             d_active = set_at_false(d_active, j, m)
+            return (term_matched, term_has_prefix, term_first_pos,
+                    word_hits, num_ps, q_active, d_active)
 
-        for si in range(Q):
+        (term_matched, term_has_prefix, term_first_pos, word_hits,
+         num_ps, q_active, d_active) = jax.lax.fori_loop(
+            0, Q, ps_body,
+            (term_matched, term_has_prefix, term_first_pos, word_hits,
+             num_ps, q_active, d_active))
+
+        def psfz_body(si, st):
+            (term_matched, term_first_pos, word_hits, num_ps, q_active,
+             d_active) = st
             qi = qsorted2[si]
             ql = at_q(qlens2, qi)
             qlc = ql[None, :]
@@ -681,6 +737,14 @@ def coverage_fusion_batch(
                 upd, jnp.where(m, new, cur)[None, :], term_first_pos)
             q_active = q_active & ~upd
             d_active = set_at_false(d_active, j, m)
+            return (term_matched, term_first_pos, word_hits, num_ps,
+                    q_active, d_active)
+
+        (term_matched, term_first_pos, word_hits, num_ps, q_active,
+         d_active) = jax.lax.fori_loop(
+            0, Q, psfz_body,
+            (term_matched, term_first_pos, word_hits, num_ps, q_active,
+             d_active))
 
     # ---------------- 4. fuzzy word matcher ----------------------------
     if config.cover_fuzzy_words:
@@ -704,7 +768,10 @@ def coverage_fusion_batch(
             round_on = (edit_dist <= max_edit) & ~all_full
             dist_all = dam1 if edit_dist == 1 else dam2
 
-            for i in range(Q):
+            def fuzzy_body(i, st, edit_dist=edit_dist, round_on=round_on,
+                           dist_all=dist_all):
+                (term_matched, term_first_pos, word_hits, num_fuzzy,
+                 q_active, d_active) = st
                 ql = qlens2[i]                             # [C]
                 qa = q_active[i] & (i < qcount) & round_on
                 if config.min_word_size > 0:
@@ -740,9 +807,18 @@ def coverage_fusion_batch(
                 word_hits = word_hits + m
                 num_fuzzy = num_fuzzy + credit
                 term_matched = term_matched.at[i].add(credit)
-                term_first_pos = note_pos(term_first_pos, i, at(offsets, j), m)
+                term_first_pos = note_pos(term_first_pos, i,
+                                          at(offsets, j), m)
                 q_active = q_active.at[i].set(q_active[i] & ~m)
                 d_active = set_at_false(d_active, j, m)
+                return (term_matched, term_first_pos, word_hits,
+                        num_fuzzy, q_active, d_active)
+
+            (term_matched, term_first_pos, word_hits, num_fuzzy,
+             q_active, d_active) = jax.lax.fori_loop(
+                0, Q, fuzzy_body,
+                (term_matched, term_first_pos, word_hits, num_fuzzy,
+                 q_active, d_active))
 
     # ================== CoverageScorer =================================
     lcs_eff = lcs_vals if config.cover_whole_query else jnp.zeros_like(lcs_vals)
