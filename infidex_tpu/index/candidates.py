@@ -226,4 +226,28 @@ class TieredStage1:
         out_ids = np.zeros(top_k, np.int32)
         out_scores[: order.size] = scores[order]
         out_ids[: order.size] = pool[order]
-        return out_scores, out_ids
+        return out_scores, out_ids, self._lim_ids(term_ids, mask)
+
+    def _lim_ids(self, term_ids, mask=None) -> np.ndarray:
+        """Low-id matcher ids (device.py LIM rows, host twin): the
+        lowest LIM_K ids within LIM_WINDOW carrying any query term, from
+        the same device lanes (champion ranges for clipped terms)."""
+        from .device import LIM_K, LIM_WINDOW, term_device_range
+
+        built = self.built
+        heads = []
+        for t in term_ids:
+            s, n = term_device_range(built, int(t))
+            docs = built.postings_docs[s:s + n]
+            if docs.size > LIM_K:
+                docs = np.partition(docs, LIM_K)[:LIM_K]
+            heads.append(docs)
+        if not heads:
+            return np.zeros(0, np.int64)
+        lim = np.unique(np.concatenate(heads)).astype(np.int64)
+        lim = lim[lim < LIM_WINDOW]
+        if self.deleted_arr is not None and self.deleted_arr.size:
+            lim = lim[~self.deleted_arr[lim]]
+        if mask is not None and mask.size >= self.built.num_docs:
+            lim = lim[mask[lim]]
+        return lim[:LIM_K]

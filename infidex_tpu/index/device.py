@@ -72,6 +72,32 @@ def compute_idf(total_docs: int, df: int) -> float:
     return float(np.log1p(ratio, dtype=np.float32))
 
 
+#: low-id matcher window/count: alongside the score top-k, Stage-1 also
+#: returns the LIM_K lowest doc ids (within the first LIM_WINDOW ids)
+#: whose score is positive. Fusion resolves large quality-tie classes by
+#: ascending key (ScoreEntry ordering), so a deep coverage pass surfaces
+#: the lowest-key members of the winning class — docs BM25 order cannot
+#: predict. Shipping the lowest-id matchers into the candidate budget
+#: closes that gap at a fraction of a full-corpus second top-k: the
+#: window bounds the top_k operand to [B, 65536].
+LIM_WINDOW = int(__import__("os").environ.get(
+    "INFIDEX_TPU_LIM_WINDOW", 65536))
+LIM_K = int(__import__("os").environ.get("INFIDEX_TPU_LIM_K", 256))
+
+
+def _lim_rows(scores, k: int):
+    """[n_q, k] lowest doc ids with positive score (f32; pad 2^24)."""
+    n_pad = scores.shape[-1]
+    w = min(LIM_WINDOW, n_pad)
+    k2 = min(LIM_K, k)
+    m = scores[:, :w] > 0.0
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+    key = jnp.where(m, iota_w[None, :], jnp.int32(1 << 24))
+    low = -jax.lax.top_k(-key, k2)[0]                  # smallest keys
+    pad = jnp.full((scores.shape[0], k - k2), 1 << 24, jnp.int32)
+    return jnp.concatenate([low, pad], axis=1).astype(jnp.float32)
+
+
 def _bucket(n: int, minimum: int) -> int:
     """Quadrupling shape buckets: few distinct compiled programs, at most
     4x padding overhead (bandwidth-bound work tolerates it; compile time on
@@ -238,7 +264,8 @@ def _stage1_kernel_batch(
     top_scores, top_ids = jax.lax.top_k(scores, k)
     # One packed output = one host transfer (tunneled links pay a full
     # round trip per array). Doc ids are exact in f32 up to 2^24.
-    return jnp.stack([top_scores, top_ids.astype(jnp.float32)])
+    return jnp.stack([top_scores, top_ids.astype(jnp.float32),
+                      _lim_rows(scores, k)])
 
 
 def _fuzzy_block(scores, postings_docs, doc_lengths, fz_starts, fz_lens,
@@ -337,7 +364,8 @@ def _stage1_kernel_batch_chunked(
 
     scores = scores * live_mask[None, :]
     top_scores, top_ids = jax.lax.top_k(scores, k)
-    return jnp.stack([top_scores, top_ids.astype(jnp.float32)])
+    return jnp.stack([top_scores, top_ids.astype(jnp.float32),
+                      _lim_rows(scores, k)])
 
 
 def split_batch_by_lanes(built: BuiltIndex, queries,
@@ -745,7 +773,8 @@ class DeviceIndex:
                       f"f_pad={f_pad} n_grp={n_grp}", flush=True)
             scores = packed[0]
             ids = packed[1].astype(np.int32)
-            return [(scores[b], ids[b]) for b in range(n_q)]
+            lim = packed[2].astype(np.int32)
+            return [(scores[b], ids[b], lim[b]) for b in range(n_q)]
         out = _stage1_kernel_batch(
             self.postings_docs,
             self.postings_weights,
@@ -778,4 +807,5 @@ class DeviceIndex:
                   f"f_pad={f_pad} n_grp={n_grp}", flush=True)
         scores = packed[0]
         ids = packed[1].astype(np.int32)
-        return [(scores[b], ids[b]) for b in range(n_q)]
+        lim = packed[2].astype(np.int32)
+        return [(scores[b], ids[b], lim[b]) for b in range(n_q)]

@@ -114,7 +114,8 @@ class MmapStage1:
 
         k = min(int(top_k), n)
         if k <= 0:
-            return (np.zeros(0, np.float32), np.zeros(0, np.int32))
+            return (np.zeros(0, np.float32), np.zeros(0, np.int32),
+                    np.zeros(0, np.int32))
         idx = np.argpartition(-scores, k - 1)[:k] if k < n \
             else np.arange(n)
         order = np.lexsort((idx, -scores[idx]))   # desc, lower id wins tie
@@ -122,7 +123,12 @@ class MmapStage1:
         out_ids = np.zeros(k, np.int32)
         out_scores[: order.size] = scores[idx[order]]
         out_ids[: order.size] = idx[order]
-        return out_scores, out_ids
+        # low-id matchers (device.py LIM rows, host twin)
+        from .device import LIM_K, LIM_WINDOW
+
+        w = min(LIM_WINDOW, n)
+        lim = np.flatnonzero(scores[:w] > 0.0)[: min(LIM_K, k)]
+        return out_scores, out_ids, lim.astype(np.int32)
 
 
 def build_union_index(model, n_docs: int):

@@ -1028,8 +1028,11 @@ class VectorModel:
         top_k: int,
         best_segments_map: Optional[Dict[int, int]] = None,
         prefilter_mask=None,
+        lim_out: Optional[list] = None,
     ) -> List[ScoreEntry]:
-        """Stage-1 BM25 search; returns entries sorted desc (score, -key)."""
+        """Stage-1 BM25 search; returns entries sorted desc (score, -key).
+        ``lim_out``, when a list, receives the low-id matcher ids
+        (device.py LIM rows) for the coverage candidate budget."""
         prep = self.prepare_stage1(query_text)
         if prep is None:
             return []
@@ -1046,5 +1049,7 @@ class VectorModel:
                 [prep], top_k, total_docs=self.documents.count,
                 stop_term_limit=self.stop_term_limit,
                 live_override=self.stage1_live_override(prefilter_mask))[0]
-        scores, ids = out
+        scores, ids = out[0], out[1]
+        if lim_out is not None and len(out) > 2:
+            lim_out.append(out[2])
         return self.finish_stage1(scores, ids, best_segments_map)

@@ -240,7 +240,24 @@ def sharded_stage1_batch(
         all_i = jax.lax.all_gather(top_i, DOC_AXIS, tiled=True, axis=1)
         g_s, g_pos = jax.lax.top_k(all_s, k)
         g_i = jnp.take_along_axis(all_i, g_pos, axis=1)
-        return jnp.stack([g_s, g_i.astype(jnp.float32)])
+
+        # low-id matcher rows (device.py _lim_rows twin): per-shard
+        # lowest GLOBAL ids with positive score inside the window, merged
+        # over ICI — identical to the single-chip rows (parity pinned by
+        # tests/test_sharded_engine.py).
+        from ..index.device import LIM_K, LIM_WINDOW
+
+        k2 = min(LIM_K, k_local)
+        gids = base + jnp.arange(shard_size, dtype=jnp.int32)
+        keym = jnp.where((scores > 0.0) & (gids[None, :] < LIM_WINDOW),
+                         gids[None, :], jnp.int32(1 << 24))
+        low_l = -jax.lax.top_k(-keym, k2)[0]
+        all_low = jax.lax.all_gather(low_l, DOC_AXIS, tiled=True, axis=1)
+        k2g = min(LIM_K, k)
+        glow = -jax.lax.top_k(-all_low, k2g)[0]
+        pad = jnp.full((glow.shape[0], k - k2g), 1 << 24, jnp.int32)
+        lim_row = jnp.concatenate([glow, pad], axis=1).astype(jnp.float32)
+        return jnp.stack([g_s, g_i.astype(jnp.float32), lim_row])
 
     fn = shard_map(
         per_shard,
@@ -390,7 +407,8 @@ class ShardedDeviceIndex:
         packed = np.asarray(jax.device_get(out))
         scores = packed[0]
         ids = packed[1].astype(np.int32)
-        return [(scores[b], ids[b]) for b in range(n_q)]
+        lim = packed[2].astype(np.int32)
+        return [(scores[b], ids[b], lim[b]) for b in range(n_q)]
 
 
 # ======================================================================

@@ -202,9 +202,10 @@ class SearchPipeline:
 
         best_segments_map: Dict[int, Tuple[float, int]] = {}
 
+        lim_out: list = []
         stage1_entries = self._execute_relevancy_stage(
             search_text, best_segments_map, coverage_depth, max_results,
-            prefilter_mask=prefilter_mask)
+            prefilter_mask=prefilter_mask, lim_out=lim_out)
         stage1_results = consolidate_segments(stage1_entries)
 
         use_coverage, short_circuit = self._coverage_gate(
@@ -223,7 +224,8 @@ class SearchPipeline:
         coverage_results = self._execute_coverage_stage(
             search_text, coverage_setup, coverage_depth, max_results,
             stage1_results, best_segments_map, deadline=deadline,
-            status=status, prefilter_mask=prefilter_mask)
+            status=status, prefilter_mask=prefilter_mask,
+            lim_ids=lim_out[0] if lim_out else None)
 
         if not coverage_results and stage1_results:
             return stage1_results
@@ -315,6 +317,7 @@ class SearchPipeline:
         # ---- Stage 1: host prep per query, ONE batched device call -----
         bsm: List[Dict] = [dict() for _ in range(n)]
         stage1: List = [[] for _ in range(n)]   # entries or Stage1Arrays
+        lims: List[Optional[np.ndarray]] = [None] * n  # low-id matchers
         tfidf_queries: List[Optional[str]] = [None] * n
         for i, text in enumerate(texts):
             if not text or text.isspace():
@@ -326,7 +329,7 @@ class SearchPipeline:
                 stage1[i] = self._execute_relevancy_stage(
                     text, bsm[i], coverage_depth, max_results,
                     prefilter_mask=prefilter_mask)
-                continue
+                continue   # short-query paths have no LIM rows
             tfidf_query = long_words_text if has_mixed else text
             if not tfidf_query or tfidf_query.isspace():
                 tfidf_query = text
@@ -402,7 +405,10 @@ class SearchPipeline:
                     total_docs=model.documents.count,
                     stop_term_limit=model.stop_term_limit,
                     live_override=model.stage1_live_override(prefilter_mask))
-            for (i, _), (scores, ids) in zip(batch_items, outs):
+            for (i, _), o in zip(batch_items, outs):
+                scores, ids = o[0], o[1]
+                if len(o) > 2:
+                    lims[i] = o[2]
                 if fast_ok:
                     stage1[i] = model.finish_stage1_arrays(scores, ids)
                 else:
@@ -416,7 +422,9 @@ class SearchPipeline:
                 if out_t is None:
                     fallback.append((i, prep))
                     continue
-                scores, ids = out_t
+                scores, ids = out_t[0], out_t[1]
+                if len(out_t) > 2:
+                    lims[i] = out_t[2]
                 if fast_ok:
                     stage1[i] = model.finish_stage1_arrays(scores, ids)
                 else:
@@ -431,7 +439,10 @@ class SearchPipeline:
                     total_docs=model.documents.count,
                     stop_term_limit=model.stop_term_limit,
                     live_override=model.stage1_live_override(prefilter_mask))
-                for (i, _), (scores, ids) in zip(fallback, outs):
+                for (i, _), o in zip(fallback, outs):
+                    scores, ids = o[0], o[1]
+                    if len(o) > 2:
+                        lims[i] = o[2]
                     if fast_ok:
                         stage1[i] = model.finish_stage1_arrays(scores, ids)
                     else:
@@ -474,11 +485,12 @@ class SearchPipeline:
             if isinstance(stage1_results, Stage1Arrays):
                 job = self._coverage_begin_fast(
                     text, coverage_setup, coverage_depth, stage1_results,
-                    prefilter_mask=prefilter_mask)
+                    prefilter_mask=prefilter_mask, lim_ids=lims[i])
             else:
                 job = self._coverage_begin(
                     text, coverage_setup, coverage_depth, stage1_results,
-                    bsm[i], prefilter_mask=prefilter_mask)
+                    bsm[i], prefilter_mask=prefilter_mask,
+                    lim_ids=lims[i])
             job["deadline"] = dl
             job["status"] = statuses[i] if statuses is not None else None
             jobs.append(job)
@@ -578,6 +590,39 @@ class SearchPipeline:
         return inter[:budget]
 
     # ------------------------------------------------------------------
+    def _assemble_prior(self, search_text: str, budget: int,
+                        tfidf_arr: np.ndarray, prefilter_mask,
+                        lim_ids) -> np.ndarray:
+        """Fusion-class prior candidates ahead of the WordMatcher heads
+        (index/first_token.py), deduped against Stage-1 candidates and
+        clipped to the depth budget. Applied identically at every depth
+        (oracle candidate sets nest production ones)."""
+        prior = self._class_prior_ids(search_text, budget)
+        if prefilter_mask is not None and prior.size:
+            prior = prior[prefilter_mask[prior]]
+        if prior.size:
+            prior = prior[~np.isin(prior, tfidf_arr)][:budget]
+        return prior.astype(np.int64)
+
+    def _lim_tail(self, lim_ids, budget: int, tfidf_arr: np.ndarray,
+                  taken: np.ndarray) -> np.ndarray:
+        """Low-id matchers (device.py LIM rows) fill whatever depth
+        budget the WordMatcher heads left UNUSED — they rescue queries
+        whose WM union is small or empty (gram-only matches resolved by
+        ascending key in huge fusion tie classes) without displacing the
+        higher-precision WM candidates."""
+        if lim_ids is None or budget <= 0:
+            return np.zeros(0, np.int64)
+        lim = np.asarray(lim_ids, np.int64)
+        lim = lim[lim < self._model.doc_keys_arr.size]
+        if not lim.size:
+            return lim
+        lim = lim[~np.isin(lim, tfidf_arr)]
+        if taken.size:
+            lim = lim[~np.isin(lim, taken)]
+        return lim[:budget]
+
+    # ------------------------------------------------------------------
     def _prime_fuzzy_tokens(self, query_texts: List[str]) -> None:
         """Collect unknown (fuzzy-eligible) tokens across the batch and
         resolve them with one ``VectorModel.prime_fuzzy_cache`` call."""
@@ -625,7 +670,9 @@ class SearchPipeline:
     def _execute_relevancy_stage(self, search_text: str,
                                  best_segments_map, coverage_depth: int,
                                  max_results: int,
-                                 prefilter_mask=None) -> List[ScoreEntry]:
+                                 prefilter_mask=None,
+                                 lim_out: Optional[list] = None
+                                 ) -> List[ScoreEntry]:
         can_use_ngrams, has_mixed, long_words_text = analyze_query(
             search_text, self._model.tokenizer)
 
@@ -648,7 +695,8 @@ class SearchPipeline:
             tfidf_query = search_text
         return self._model.search(tfidf_query, coverage_depth,
                                   best_segments_map,
-                                  prefilter_mask=prefilter_mask)
+                                  prefilter_mask=prefilter_mask,
+                                  lim_out=lim_out)
 
     # ------------------------------------------------------------------
     def _execute_coverage_stage(self, search_text: str, coverage_setup: CoverageSetup,
@@ -656,10 +704,12 @@ class SearchPipeline:
                                 top_candidates: List[ScoreEntry],
                                 best_segments_map, deadline=None,
                                 status=None,
-                                prefilter_mask=None) -> List[ScoreEntry]:
+                                prefilter_mask=None,
+                                lim_ids=None) -> List[ScoreEntry]:
         job = self._coverage_begin(search_text, coverage_setup, coverage_depth,
                                    top_candidates, best_segments_map,
-                                   prefilter_mask=prefilter_mask)
+                                   prefilter_mask=prefilter_mask,
+                                   lim_ids=lim_ids)
         job["deadline"] = deadline
         job["status"] = status
         self._coverage_run([job], coverage_setup)
@@ -834,7 +884,8 @@ class SearchPipeline:
     def _coverage_begin(self, search_text: str, coverage_setup: CoverageSetup,
                         coverage_depth: int,
                         top_candidates: List[ScoreEntry],
-                        best_segments_map, prefilter_mask=None) -> dict:
+                        best_segments_map, prefilter_mask=None,
+                        lim_ids=None) -> dict:
         """Host-side setup shared by single and batched coverage execution.
 
         Returns a job dict with the worklist, memo tables, and the closures
@@ -888,11 +939,8 @@ class SearchPipeline:
             member |= (j < p.size) & (p[jc] == tfidf_arr)
         wm_overlapping = tfidf_arr[member].tolist()
         wm_limit = max(0, coverage_depth - len(wm_overlapping))
-        prior = self._class_prior_ids(search_text, wm_limit)
-        if prefilter_mask is not None and prior.size:
-            prior = prior[prefilter_mask[prior]]
-        if prior.size:
-            prior = prior[~np.isin(prior, tfidf_arr)][:wm_limit]
+        prior = self._assemble_prior(search_text, wm_limit, tfidf_arr,
+                                     prefilter_mask, lim_ids)
         if has_wm and wm_limit > prior.size:
             k_head = wm_limit + len(wm_overlapping)
             heads = np.unique(np.concatenate(
@@ -900,10 +948,15 @@ class SearchPipeline:
             outside = heads[~np.isin(heads, tfidf_arr)]
             if prior.size:
                 outside = outside[~np.isin(outside, prior)]
-            wm_unique = np.concatenate(
-                [prior, outside[: wm_limit - prior.size]]).tolist()
+            wm_u = np.concatenate(
+                [prior, outside[: wm_limit - prior.size]])
         else:
-            wm_unique = prior[:wm_limit].tolist()
+            wm_u = prior[:wm_limit]
+        lim_tail = self._lim_tail(lim_ids, wm_limit - wm_u.size,
+                                  tfidf_arr, wm_u)
+        if lim_tail.size:
+            wm_u = np.concatenate([wm_u, lim_tail])
+        wm_unique = wm_u.tolist()
 
         # Key index for LCS/word-hit memoization, over the docs that can
         # actually be scored (worklist members + Stage-1 candidates).
@@ -1023,7 +1076,8 @@ class SearchPipeline:
                              coverage_setup: CoverageSetup,
                              coverage_depth: int,
                              s1: Stage1Arrays,
-                             prefilter_mask=None) -> dict:
+                             prefilter_mask=None,
+                             lim_ids=None) -> dict:
         import time as _time
 
         model = self._model
@@ -1053,11 +1107,8 @@ class SearchPipeline:
             member |= (j < p.size) & (p[jc] == tfidf_arr)
         wm_overlapping = tfidf_arr[member]
         wm_limit = max(0, coverage_depth - int(wm_overlapping.size))
-        prior = self._class_prior_ids(search_text, wm_limit)
-        if prefilter_mask is not None and prior.size:
-            prior = prior[prefilter_mask[prior]]
-        if prior.size:
-            prior = prior[~np.isin(prior, tfidf_arr)][:wm_limit]
+        prior = self._assemble_prior(search_text, wm_limit, tfidf_arr,
+                                     prefilter_mask, lim_ids)
         if has_wm and wm_limit > prior.size:
             k_head = wm_limit + int(wm_overlapping.size)
             heads = np.unique(np.concatenate(
@@ -1069,6 +1120,10 @@ class SearchPipeline:
                 [prior, outside[: wm_limit - prior.size]])
         else:
             wm_unique = prior[:wm_limit]
+        lim_tail = self._lim_tail(lim_ids, wm_limit - wm_unique.size,
+                                  tfidf_arr, wm_unique)
+        if lim_tail.size:
+            wm_unique = np.concatenate([wm_unique, lim_tail])
 
         # Memo index space: one slot per distinct reachable document key.
         wm_ids = np.concatenate([wm_overlapping, wm_unique]).astype(np.int64)

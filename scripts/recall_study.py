@@ -72,9 +72,10 @@ def production_worklist(engine, text, depth=500):
         out = model.stage1_backend.search_batch(
             [prep], depth, total_docs=model.documents.count,
             stop_term_limit=model.stop_term_limit)[0]
-    s1 = model.finish_stage1_arrays(*out)
+    s1 = model.finish_stage1_arrays(out[0], out[1])
+    lim = out[2] if len(out) > 2 else None
     pipe._wm_tls.prefetch = {}
-    job = pipe._coverage_begin_fast(t, setup, depth, s1)
+    job = pipe._coverage_begin_fast(t, setup, depth, s1, lim_ids=lim)
     ids = job["worklist_ids"]
     ok = (ids >= 0) & (ids < model.doc_keys_arr.size)
     return set(model.doc_keys_arr[ids[ok]].tolist())

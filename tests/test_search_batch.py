@@ -123,7 +123,7 @@ def test_stage1_device_batch_matches_single(engine):
         singles.append(device.search(t, i, 16, ed, ei))
     batch = device.search_batch(preps, 16, total_docs=model.documents.count,
                                 stop_term_limit=model.stop_term_limit)
-    for (s_sc, s_id), (b_sc, b_id) in zip(singles, batch):
+    for (s_sc, s_id), (b_sc, b_id, _lim) in zip(singles, batch):
         np.testing.assert_allclose(s_sc, b_sc, rtol=1e-6)
         # ids may tie-break differently only where scores tie; require
         # exact equality where scores are distinct
@@ -156,7 +156,7 @@ def test_split_batch_by_lanes(engine):
                                           total_docs=model.documents.count)
     finally:
         dev_mod._MAX_L_PER_CALL = old
-    for (s1, i1), (s2, i2) in zip(base, split):
+    for (s1, i1, _l1), (s2, i2, _l2) in zip(base, split):
         import numpy as np
 
         np.testing.assert_allclose(s1, s2, rtol=1e-6)

@@ -124,6 +124,7 @@ def test_search_batch_chunked_equals_xla(seed):
     dev2 = DeviceIndex(built)
     dev2.use_chunked = True
     got = dev2.search_batch(queries, 50)
-    for (rs, ri), (gs, gi) in zip(ref, got):
+    for (rs, ri, rl), (gs, gi, gl) in zip(ref, got):
         assert np.array_equal(np.asarray(rs), np.asarray(gs))
         assert np.array_equal(np.asarray(ri), np.asarray(gi))
+        assert np.array_equal(np.asarray(rl), np.asarray(gl))

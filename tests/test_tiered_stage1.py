@@ -53,7 +53,7 @@ def _stage1_ids(model, text, top_k, force_tier):
         out = model.device.search_batch(
             [prep], top_k, total_docs=model.documents.count,
             stop_term_limit=model.stop_term_limit)[0]
-    scores, ids = out
+    scores, ids = out[0], out[1]
     n = int(np.sum(scores > 0))
     return ids[:n], scores[:n]
 
@@ -62,7 +62,7 @@ def test_pool_scores_match_device_kernel(engine):
     """score_pool == device scores for the docs the tier pool covers."""
     model = engine.vector_model
     prep = model.prepare_stage1("alpha bravo")
-    dev_scores, dev_ids = model.device.search_batch(
+    dev_scores, dev_ids, _dev_lim = model.device.search_batch(
         [prep], 400, total_docs=model.documents.count,
         stop_term_limit=model.stop_term_limit)[0]
     dev_map = {int(i): float(s) for s, i in zip(dev_scores, dev_ids) if s > 0}
@@ -70,7 +70,7 @@ def test_pool_scores_match_device_kernel(engine):
     tiered = TieredStage1(model.built, model.deleted_arr)
     out = tiered.run(prep[0], prep[1], 400)
     assert out is not None
-    t_scores, t_ids = out
+    t_scores, t_ids = out[0], out[1]
     for s, i in zip(t_scores, t_ids):
         if s <= 0:
             break
