@@ -302,11 +302,14 @@ def _pairwise_primitives(q_chars, q_lens, q_rev, chars_t, chars_rev_t,
     # (unrolled — every window is one fused compare+reduce).
     padded = jnp.concatenate(
         [chars_t, jnp.zeros((L, D, C), chars_t.dtype)], axis=0)  # [2L,D,C]
-    d_cont_q = jnp.zeros((S, D, C), bool)
-    for sw in range(L):
-        sh = padded[sw:sw + L][None]                   # [1,L,D,C]
+
+    def cont_step(sw, acc):
+        sh = jax.lax.dynamic_slice_in_dim(padded, sw, L, axis=0)[None]
         hit = ((sh == q_t) | (l4 >= ql4)).all(axis=1) & (sw + ql <= dl)
-        d_cont_q = d_cont_q | hit
+        return acc | hit
+
+    d_cont_q = jax.lax.fori_loop(0, L, cont_step,
+                                 jnp.zeros((S, D, C), bool))
     d_cont_q = d_cont_q & v
 
     both4 = jnp.minimum(ql4, dl4)
@@ -865,22 +868,27 @@ def coverage_fusion_batch(
 
     prefix_hit = term_has_prefix & has_term & (term_matched > 0)
 
-    run = jnp.zeros((C,), jnp.int32)
-    longest_run = jnp.zeros((C,), jnp.int32)
-    for i in range(Q):
+    def run_step(i, st):
+        run, longest = st
         hit = prefix_hit[i] & (i < qcount)
         run = jnp.where(hit, run + 1, 0)
-        longest_run = jnp.maximum(longest_run, run)
+        return run, jnp.maximum(longest, run)
 
-    suffix_run = jnp.zeros((C,), jnp.int32)
-    still = jnp.ones((C,), bool)
-    for k in range(Q):
+    _, longest_run = jax.lax.fori_loop(
+        0, Q, run_step, (jnp.zeros((C,), jnp.int32),
+                         jnp.zeros((C,), jnp.int32)))
+
+    def suf_step(k, st):
+        suffix_run, still = st
         i = jnp.clip(qcount - 1 - k, 0, Q - 1)                  # [C]
         hit = at_q(prefix_hit, i)
         in_range = k < qcount
         cont = still & hit & in_range
-        suffix_run = suffix_run + cont
-        still = jnp.where(in_range, cont, still)
+        return suffix_run + cont, jnp.where(in_range, cont, still)
+
+    suffix_run, _ = jax.lax.fori_loop(
+        0, Q, suf_step, (jnp.zeros((C,), jnp.int32),
+                         jnp.ones((C,), bool)))
 
     phrase_span = jnp.where(
         (min_pos != big_pos) & (max_pos >= min_pos) & (terms_with_any >= 2),
@@ -1056,10 +1064,10 @@ def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
     q_padded = jnp.concatenate(
         [q_chars, jnp.zeros((L, C), q_chars.dtype)], axis=0)  # [2L,C]
 
-    found_idx = jnp.full((D, C), -1, jnp.int32)
-    best_k = jnp.zeros((D, C), jnp.int32)
-    for sw in range(L):
-        q_sh = q_padded[sw:sw + L][:, None, :]                # [L,1,C]
+    def slide_step(sw, st):
+        found_idx, best_k = st
+        q_sh = jax.lax.dynamic_slice_in_dim(
+            q_padded, sw, L, axis=0)[:, None, :]              # [L,1,C]
         aligned_eq = q_sh == chars_t                          # [L,D,C]
         hit = (aligned_eq | (l3 >= dl3)).all(axis=0) & \
             (sw + lens <= q_len[None, :])
@@ -1071,7 +1079,11 @@ def _single_term_lexical_sim(q_chars, q_rev, q_len, dam2_q0,
         k = q_len[None, :] - sw                               # [1,C]
         ps_match = (k >= 2) & (k <= jnp.minimum(q_len[None, :], lens)) & \
             (run >= k)
-        best_k = jnp.maximum(best_k, jnp.where(ps_match, k, 0))
+        return found_idx, jnp.maximum(best_k, jnp.where(ps_match, k, 0))
+
+    found_idx, best_k = jax.lax.fori_loop(
+        0, L, slide_step, (jnp.full((D, C), -1, jnp.int32),
+                           jnp.zeros((D, C), jnp.int32)))
     sub_hit = found_idx >= 0
     len_frac = lens.astype(f32) / qlen_f
     pos_factor = 1.0 - found_idx.astype(f32) / qlen_f
@@ -1127,10 +1139,8 @@ def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
     target = jnp.where(last_oh, fq_chars[:, 0, :], 0).sum(axis=0)  # [C]
     enabled = last_len_is_1 & fq_last_is_alpha
 
-    d_index = jnp.zeros((C,), jnp.int32)
-    first_match = jnp.full((C,), -1, jnp.int32)
-    alive = jnp.full((C,), True)
-    for i in range(max(FQ - 1, 0)):
+    def prec_step(i, st):
+        d_index, first_match, alive = st
         is_prec = i < fq_count - 1
         contains = F_CONT[i]                                   # [D,C]
         eligible = contains & (d_iota[:, None] >= d_index[None, :])
@@ -1141,6 +1151,12 @@ def _single_char_last_boost(fq_lens, fq_count, fq_last_is_alpha, fq_chars,
                                 j, first_match)
         d_index = jnp.where(step_on & found, j, d_index)
         alive = jnp.where(step_on, alive & found, alive)
+        return d_index, first_match, alive
+
+    d_index, first_match, alive = jax.lax.fori_loop(
+        0, max(FQ - 1, 0), prec_step,
+        (jnp.zeros((C,), jnp.int32), jnp.full((C,), -1, jnp.int32),
+         jnp.full((C,), True)))
 
     nxt = d_index + 1
     nxt_oh = d_iota[:, None] == jnp.minimum(nxt, D - 1)[None, :]  # [D,C]

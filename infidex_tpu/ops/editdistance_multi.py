@@ -68,29 +68,37 @@ def batched_lev_multi(q_chars: jax.Array,   # int32 [Q, L] or [Q, L, C]
     row = jnp.minimum(row, big + 1)
 
     steps = min(L, l_max)
-    for j in range(steps):
+    off_j = jnp.asarray(off)
+
+    # Rolled DP recurrence (lax.fori_loop): the sweep is sequential either
+    # way, and unrolling `steps` copies of the band update dominated the
+    # coverage kernel's StableHLO size (remote compiles of the big shape
+    # classes took minutes). The only structural change is the per-step
+    # query-char gather (dynamic index instead of static slices).
+    def step(j, row):
         d_char = d_chars[j]                            # [D, C]
-        qi = j + off                                   # [W] static
-        qi_clip = np.clip(qi, 0, Lq - 1)
-        # [W, Q, 1, C]: query char at each band offset (static gather).
-        q_at_w = jnp.stack([q3[:, k, :] for k in qi_clip.tolist()],
-                           axis=0)[:, :, None, :]
+        qi_clip = jnp.clip(j + off_j, 0, Lq - 1)       # [W]
+        # [W, Q, 1, C]: query char at each band offset.
+        q_at_w = jnp.transpose(jnp.take(q3, qi_clip, axis=1),
+                               (1, 0, 2))[:, :, None, :]
         sub = jnp.where(q_at_w == d_char[None, None], 0, 1)
         diag = row + sub
         up = jnp.concatenate(
             [row[1:], jnp.full((1, Q, D, C), big + 1, jnp.int32)], axis=0) + 1
         base = jnp.minimum(diag, up)
-        i_here = (j + 1) + off                         # [W] static
-        zero_mask = jnp.asarray((i_here == 0))[:, None, None, None]
+        i_here = (j + 1) + off_j                       # [W]
+        zero_mask = (i_here == 0)[:, None, None, None]
         base = jnp.where(zero_mask, jnp.minimum(base, j + 1), base)
         new_row = _cummin_plus_axis0(base)
-        ih = jnp.asarray(i_here)[:, None, None]        # [W,1,1]
+        ih = i_here[:, None, None]                     # [W,1,1]
         iv = (ih >= 0) & (ih <= ql2[None])             # [W,Q,1|C]
         iv = iv[:, :, None] if iv.ndim == 3 else iv
         new_row = jnp.where(iv, new_row, big + 1)
         new_row = jnp.minimum(new_row, big + 1)
         d_valid = (j < d_len3)[None]                   # [1,1|Q,D,C]
-        row = jnp.where(d_valid, new_row, row)
+        return jnp.where(d_valid, new_row, row)
+
+    row = jax.lax.fori_loop(0, steps, step, row)
 
     o_iota = jnp.asarray(np.arange(W, dtype=np.int32))
     o_final = ql2[:, None, :] - d_len3 + B             # [Q,D,C]
