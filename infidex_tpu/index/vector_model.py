@@ -974,8 +974,11 @@ class VectorModel:
     #: (single-query serving: a host pass over <=64k postings costs ~1ms
     #: while the device call pays the full link round trip, ~30ms on the
     #: tunnel). 0 disables host routing.
+    #: kept at/below the champion-clipping threshold so no clipped term
+    #: can route here — host scoring then matches the device lanes
+    #: exactly (single-query vs batched results stay consistent).
     HOST_S1_MAX_LANES = int(__import__("os").environ.get(
-        "INFIDEX_TPU_HOST_S1_LANES", "65536"))
+        "INFIDEX_TPU_HOST_S1_LANES", "32768"))
     HOST_S1_MAX_BATCH = int(__import__("os").environ.get(
         "INFIDEX_TPU_HOST_S1_BATCH", "2"))
 

@@ -70,6 +70,15 @@ import os as _os
 
 DEVICE_COVERAGE_CHUNK = int(_os.environ.get("INFIDEX_TPU_COVERAGE_CHUNK",
                                             "32768"))
+
+# Additive candidate-budget reserve for the [class-prior, WordMatcher
+# heads, low-id matchers] chain. The reference's wm budget is
+# coverage_depth - |stage1 overlap| (SearchPipeline.cs:298-447), which
+# collapses to ZERO whenever Stage-1's candidates all lie in the WM union
+# (every exact-word query) — starving the prior classes that hold the
+# fusion winners. The reserve is depth-independent, so oracle (deep)
+# candidate sets still nest production ones.
+DEPTH_RESERVE = int(_os.environ.get("INFIDEX_TPU_DEPTH_RESERVE", "256"))
 DEVICE_COVERAGE_CHUNK_MIN = 2048
 
 # Fixed query-batch width of the coverage kernel call: qsel routes each
@@ -938,7 +947,8 @@ class SearchPipeline:
             jc = np.minimum(j, p.size - 1)
             member |= (j < p.size) & (p[jc] == tfidf_arr)
         wm_overlapping = tfidf_arr[member].tolist()
-        wm_limit = max(0, coverage_depth - len(wm_overlapping))
+        wm_limit = max(0, coverage_depth - len(wm_overlapping)) \
+            + DEPTH_RESERVE
         prior = self._assemble_prior(search_text, wm_limit, tfidf_arr,
                                      prefilter_mask, lim_ids)
         if has_wm and wm_limit > prior.size:
@@ -1106,7 +1116,8 @@ class SearchPipeline:
             jc = np.minimum(j, p.size - 1)
             member |= (j < p.size) & (p[jc] == tfidf_arr)
         wm_overlapping = tfidf_arr[member]
-        wm_limit = max(0, coverage_depth - int(wm_overlapping.size))
+        wm_limit = max(0, coverage_depth - int(wm_overlapping.size)) \
+            + DEPTH_RESERVE
         prior = self._assemble_prior(search_text, wm_limit, tfidf_arr,
                                      prefilter_mask, lim_ids)
         if has_wm and wm_limit > prior.size:
