@@ -1,0 +1,163 @@
+"""Token-conjunctive candidate tier for multi-word queries.
+
+Stage-1's disjunctive BM25 top-``coverage_depth`` under-serves multi-word
+queries: a document that matches EVERY query word — one of them only
+partially (a prefix, an LD1 typo, or a handful of n-grams) — is exactly
+what the coverage/fusion rerank ranks highest (coverage_tier 3,
+``scoring/fusion.py``), yet its *disjunctive* gram score often sits at
+Stage-1 rank 500–20000, behind thousands of documents that match a single
+common word perfectly.  The reference engine hides this class less often
+only because its Stage-1 is exact over all matched docs
+(``Scoring/SearchPipeline.cs`` CoverageDepth truncation); at TPU batch
+sizes we instead *generate* the class directly:
+
+  pool(query) = union over pivot tokens of
+      { docs with STRONG evidence for the pivot token }
+      filtered so that every OTHER token has ANY gram evidence
+
+  - strong evidence  = the token's WordMatcher lists (exact, LD1/FastSS,
+    prefix/suffix affix — ``index/word_matcher.py``), its fuzzy-expansion
+    matches for unknown tokens (``VectorModel.expand_missing_term_ids``),
+    and the postings of its *rare* grams (df ≤ num_docs/64) clipped to
+    weight champions.
+  - any gram evidence = membership in ≥1 posting list of any gram of the
+    token (full host CSR — unlike the device kernels this sees past the
+    per-term champion clipping, which is what buries these docs).
+
+The pool is ranked by exact BM25+ over the query's known terms
+(``candidates.score_pool`` — device-identical math) and clipped to
+``CONJ_CAP``; the pipeline feeds it into the candidate-prior chain
+(``SearchPipeline._assemble_prior``) after the exact-words class prior
+and ahead of the WordMatcher heads' unused-budget fill.  Ranking is
+deterministic (score desc, id asc) so deeper (oracle) candidate sets
+nest production ones at every coverage depth.
+
+Everything here is host numpy on sorted arrays; at batch time it runs on
+the WordMatcher prefetch pool and overlaps the Stage-1 device round trip.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .candidates import score_pool
+
+#: ranked-pool cap (constant across coverage depths: oracle nesting).
+CONJ_CAP = int(os.environ.get("INFIDEX_TPU_CONJ_CAP", "2048"))
+#: per-pivot anchor union cap — bounds probe cost on common-word pivots.
+ANCHOR_CLIP = int(os.environ.get("INFIDEX_TPU_CONJ_ANCHOR_CLIP", "16384"))
+#: a gram is "rare" (anchor-grade evidence) below num_docs // RARE_DIV.
+RARE_DIV = 64
+#: per-rare-gram champion clip (top postings by weight).
+GRAM_CHAMPIONS = 4096
+
+
+def _champions(built, tid: int, cap: int) -> np.ndarray:
+    """The term's ``cap`` best postings by byte-quantized tf, doc-id
+    ascending (same selection as TieredCandidateSelector._champions)."""
+    s = int(built.term_offsets[tid])
+    e = int(built.term_offsets[tid + 1])
+    docs = built.postings_docs[s:e]
+    if docs.size <= cap:
+        return docs
+    w = built.postings_weights[s:e]
+    part = np.argpartition(-w.astype(np.int16), cap - 1)[:cap]
+    return docs[np.sort(part)]
+
+
+def _member(sorted_postings: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``cand`` (any order) in a sorted postings
+    array — one vectorized binary search per call."""
+    j = np.searchsorted(sorted_postings, cand)
+    jc = np.minimum(j, sorted_postings.size - 1)
+    return (j < sorted_postings.size) & (sorted_postings[jc] == cand)
+
+
+class _TokenEvidence:
+    __slots__ = ("anchors", "gram_tids")
+
+    def __init__(self, anchors: List[np.ndarray], gram_tids: List[int]):
+        self.anchors = anchors
+        self.gram_tids = gram_tids
+
+
+def _token_evidence(model, word: str,
+                    wm_parts: Sequence[np.ndarray]) -> _TokenEvidence:
+    built = model.built
+    gram_tids: List[int] = []
+    for t in set(model.tokenizer.tokenize_for_search(word)):
+        tid = built.term_to_id.get(t, -1)
+        if tid >= 0 and built.df[tid] > 0:
+            gram_tids.append(tid)
+    anchors = [np.asarray(p) for p in wm_parts if len(p)]
+    wid = built.term_to_id.get(word, -1)
+    if (wid < 0 or built.df[wid] <= 0) and len(word) >= 4:
+        for tid in np.asarray(
+                model.expand_missing_term_ids(word)).tolist():
+            anchors.append(built.postings_for(int(tid))[0])
+            gram_tids.append(int(tid))
+    rare_cap = min(8192, max(64, built.num_docs // RARE_DIV))
+    for tid in gram_tids:
+        if 0 < built.df[tid] <= rare_cap:
+            anchors.append(_champions(built, tid, GRAM_CHAMPIONS))
+    return _TokenEvidence(anchors, gram_tids)
+
+
+def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray]]],
+                     prep: Optional[tuple]) -> np.ndarray:
+    """Ranked conjunctive candidates (internal doc ids, int64).
+
+    ``word_groups``: per query token, ``(word, wordmatcher_parts)`` as
+    produced by ``WordMatcher.lookup_parts_grouped``.  ``prep`` is the
+    query's ``VectorModel.prepare_stage1`` tuple (known term ids + idfs)
+    used for exact BM25 ranking of the pool; fuzzy-group contributions
+    are intentionally omitted (the pool exists to surface candidates —
+    the coverage/fusion rerank does the real ordering).
+    """
+    built = model.built
+    if built is None or len(word_groups) < 2:
+        return np.zeros(0, np.int64)
+
+    infos = [_token_evidence(model, w, parts) for w, parts in word_groups]
+    evidenced = [inf for inf in infos if inf.gram_tids or inf.anchors]
+    if len(evidenced) < 2:
+        return np.zeros(0, np.int64)
+
+    pools: List[np.ndarray] = []
+    for pi, inf in enumerate(infos):
+        if not inf.anchors:
+            continue
+        cand = np.unique(np.concatenate(inf.anchors))[:ANCHOR_CLIP]
+        cand = cand.astype(np.int64, copy=False)
+        for oi, other in enumerate(infos):
+            if oi == pi or not other.gram_tids:
+                continue
+            if cand.size == 0:
+                break
+            found = np.zeros(cand.size, bool)
+            # most-common gram first: each probe costs the same, the
+            # biggest df covers the most candidates -> earliest exit.
+            for tid in sorted(other.gram_tids,
+                              key=lambda t: -int(built.df[t])):
+                p = built.postings_for(tid)[0]
+                if p.size:
+                    found |= _member(p, cand)
+                if found.all():
+                    break
+            cand = cand[found]
+        if cand.size:
+            pools.append(cand)
+    if not pools:
+        return np.zeros(0, np.int64)
+    pool = np.unique(np.concatenate(pools)) if len(pools) > 1 else pools[0]
+
+    if prep is None:
+        return pool[:CONJ_CAP]
+    term_ids = [int(t) for t in np.asarray(prep[0]).tolist()]
+    idfs = [float(i) for i in np.asarray(prep[1]).tolist()]
+    scores = score_pool(built, term_ids, idfs, pool)
+    order = np.lexsort((pool, -scores))
+    return pool[order][:CONJ_CAP].astype(np.int64)

@@ -21,7 +21,7 @@ kernel directly).
 from __future__ import annotations
 
 import bisect
-from typing import Dict, List, Optional, Sequence, Set
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -217,16 +217,30 @@ class WordMatcher:
         the materialized union reaches 10^7 ids and its sort dominated
         whole-query latency; the parts keep every consumer O(needed).
         """
-        parts: List[np.ndarray] = []
+        return [p for _, g in
+                self.lookup_parts_grouped(query_text, cover_prefix_suffix)
+                for p in g]
+
+    def lookup_parts_grouped(self, query_text: str,
+                             cover_prefix_suffix: bool
+                             ) -> List[Tuple[str, List[np.ndarray]]]:
+        """``lookup_parts`` grouped per query token: ``(word, parts)``
+        with one list of sorted doc-id parts per word. The per-token
+        grouping is what the conjunctive candidate tier consumes
+        (``index/conjunctive.py``: its per-token strong-evidence
+        anchors are exactly these lists)."""
+        groups: List[Tuple[str, List[np.ndarray]]] = []
         for word in self._split(query_text):
             if len(word) < 2 or word.isspace():
                 continue
+            g: List[np.ndarray] = []
             ids = self.lookup(word)
             if ids is not None and len(ids):
-                parts.append(np.asarray(ids))
+                g.append(np.asarray(ids))
             if cover_prefix_suffix:
-                parts.extend(self._affix_parts(word))
-        return parts
+                g.extend(self._affix_parts(word))
+            groups.append((word, g))
+        return groups
 
     # ------------------------------------------------------------------
     # Persistence (engine-level save/load serializes these tables)

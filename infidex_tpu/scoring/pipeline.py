@@ -350,6 +350,7 @@ class SearchPipeline:
         # _coverage_begin(_fast) consumes self._wm_prefetch.
         wm_pool = None
         self._wm_tls.prefetch = {}
+        self._wm_tls.conj = {}
         if self._word_matcher is not None and self._word_matcher._finalized:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -360,7 +361,7 @@ class SearchPipeline:
                 cps = coverage_setup.cover_prefix_suffix
                 for t in dict.fromkeys(live):
                     self._wm_tls.prefetch[t] = wm_pool.submit(
-                        self._word_matcher.lookup_parts, t, cps)
+                        self._word_matcher.lookup_parts_grouped, t, cps)
 
         # Resolve every unknown token of the whole batch in ONE device
         # round trip (MXU signature matmul) before per-query prep.
@@ -380,6 +381,16 @@ class SearchPipeline:
                 tier_jobs.append((i, prep))
             else:
                 batch_items.append((i, prep))
+            # Conjunctive-tier prefetch (index/conjunctive.py): chained
+            # after the query's WordMatcher lookup on the same FIFO pool
+            # (every wm job is queued ahead, so no self-wait), overlapping
+            # the Stage-1 device round trip below.
+            if (wm_pool is not None and model.built is not None
+                    and texts[i] not in self._wm_tls.conj):
+                wm_fut = self._wm_tls.prefetch.get(texts[i])
+                if wm_fut is not None:
+                    self._wm_tls.conj[texts[i]] = wm_pool.submit(
+                        self._conj_job, wm_fut, prep)
         _mark("  s1-prep")
 
         # Tiered queries run on host threads (numpy set ops release the
@@ -534,16 +545,43 @@ class SearchPipeline:
 
     # ------------------------------------------------------------------
     def _wm_lookup_parts(self, search_text: str,
-                         cover_prefix_suffix: bool) -> List[np.ndarray]:
-        """WordMatcher parts for one query, via the batch prefetch when
-        one is in flight (keyed by exact query text)."""
+                         cover_prefix_suffix: bool
+                         ) -> List[List[np.ndarray]]:
+        """Per-token WordMatcher part groups for one query, via the
+        batch prefetch when one is in flight (keyed by query text)."""
         if self._word_matcher is None:
             return []
         fut = getattr(self._wm_tls, "prefetch", {}).get(search_text)
         if fut is not None:
             return fut.result()
-        return self._word_matcher.lookup_parts(search_text,
-                                               cover_prefix_suffix)
+        return self._word_matcher.lookup_parts_grouped(search_text,
+                                                       cover_prefix_suffix)
+
+    def _conj_job(self, wm_fut, prep) -> np.ndarray:
+        """Prefetch-pool worker: wait for the query's WordMatcher groups,
+        then build the conjunctive pool (runs off the pipeline thread)."""
+        groups = wm_fut.result()
+        if len(groups) < 2:
+            return np.zeros(0, np.int64)
+        from ..index.conjunctive import conjunctive_pool
+
+        return conjunctive_pool(self._model, groups, prep)
+
+    def _conj_lookup(self, search_text: str,
+                     wm_groups) -> np.ndarray:
+        """Token-conjunctive candidates for one query
+        (``index/conjunctive.py``), via the batch prefetch when one is
+        in flight (keyed by exact query text); synchronous otherwise."""
+        fut = getattr(self._wm_tls, "conj", {}).get(search_text)
+        if fut is not None:
+            return fut.result()
+        from ..index.conjunctive import CONJ_CAP, conjunctive_pool
+
+        if (CONJ_CAP <= 0 or len(wm_groups) < 2
+                or self._model.built is None):
+            return np.zeros(0, np.int64)
+        prep = self._model.prepare_stage1(search_text)
+        return conjunctive_pool(self._model, wm_groups, prep)
 
     # ------------------------------------------------------------------
     def _class_prior_ids(self, search_text: str, budget: int) -> np.ndarray:
@@ -601,14 +639,25 @@ class SearchPipeline:
     # ------------------------------------------------------------------
     def _assemble_prior(self, search_text: str, budget: int,
                         tfidf_arr: np.ndarray, prefilter_mask,
-                        lim_ids) -> np.ndarray:
+                        lim_ids, conj=None) -> np.ndarray:
         """Fusion-class prior candidates ahead of the WordMatcher heads
         (index/first_token.py), deduped against Stage-1 candidates and
         clipped to the depth budget. Applied identically at every depth
-        (oracle candidate sets nest production ones)."""
+        (oracle candidate sets nest production ones).
+
+        ``conj``: the token-conjunctive pool (index/conjunctive.py),
+        appended after the exact-words class prior — all-token matches
+        are the fusion tier-3 class, so they outrank any candidate the
+        WordMatcher heads or LIM fill could add."""
         prior = self._class_prior_ids(search_text, budget)
         if prefilter_mask is not None and prior.size:
             prior = prior[prefilter_mask[prior]]
+        if conj is not None and conj.size:
+            if prefilter_mask is not None:
+                conj = conj[prefilter_mask[conj]]
+            if prior.size:
+                conj = conj[~np.isin(conj, prior)]
+            prior = np.concatenate([prior, conj]) if prior.size else conj
         if prior.size:
             prior = prior[~np.isin(prior, tfidf_arr)][:budget]
         return prior.astype(np.int64)
@@ -906,13 +955,15 @@ class SearchPipeline:
         if coverage_setup.enable_lexical_prescreen and top_candidates:
             top_candidates = self._lexical_prescreen(search_text, top_candidates, coverage_setup)
 
-        wm_parts = self._wm_lookup_parts(
+        wm_groups = self._wm_lookup_parts(
             search_text, coverage_setup.cover_prefix_suffix)
         if prefilter_mask is not None:
             # pre-filter: WordMatcher candidates outside the filter can
             # never be returned; dropping them here lets matching docs
             # deeper in the lists into the coverage_depth budget.
-            wm_parts = [p[prefilter_mask[p]] for p in wm_parts]
+            wm_groups = [(w, [p[prefilter_mask[p]] for p in g])
+                         for w, g in wm_groups]
+        wm_parts = [p for _, g in wm_groups for p in g]
         has_wm = any(p.size for p in wm_parts)
 
         context = self._coverage_engine.prepare_query(search_text)
@@ -949,8 +1000,9 @@ class SearchPipeline:
         wm_overlapping = tfidf_arr[member].tolist()
         wm_limit = max(0, coverage_depth - len(wm_overlapping)) \
             + DEPTH_RESERVE
-        prior = self._assemble_prior(search_text, wm_limit, tfidf_arr,
-                                     prefilter_mask, lim_ids)
+        prior = self._assemble_prior(
+            search_text, wm_limit, tfidf_arr, prefilter_mask, lim_ids,
+            conj=self._conj_lookup(search_text, wm_groups))
         if has_wm and wm_limit > prior.size:
             k_head = wm_limit + len(wm_overlapping)
             heads = np.unique(np.concatenate(
@@ -1094,10 +1146,12 @@ class SearchPipeline:
         s1 = s1.truncated(coverage_depth)
 
         t0 = _time.perf_counter()
-        wm_parts = self._wm_lookup_parts(
+        wm_groups = self._wm_lookup_parts(
             search_text, coverage_setup.cover_prefix_suffix)
         if prefilter_mask is not None:
-            wm_parts = [p[prefilter_mask[p]] for p in wm_parts]
+            wm_groups = [(w, [p[prefilter_mask[p]] for p in g])
+                         for w, g in wm_groups]
+        wm_parts = [p for _, g in wm_groups for p in g]
         has_wm = any(p.size for p in wm_parts)
         self._t_wm += _time.perf_counter() - t0
 
@@ -1118,8 +1172,9 @@ class SearchPipeline:
         wm_overlapping = tfidf_arr[member]
         wm_limit = max(0, coverage_depth - int(wm_overlapping.size)) \
             + DEPTH_RESERVE
-        prior = self._assemble_prior(search_text, wm_limit, tfidf_arr,
-                                     prefilter_mask, lim_ids)
+        prior = self._assemble_prior(
+            search_text, wm_limit, tfidf_arr, prefilter_mask, lim_ids,
+            conj=self._conj_lookup(search_text, wm_groups))
         if has_wm and wm_limit > prior.size:
             k_head = wm_limit + int(wm_overlapping.size)
             heads = np.unique(np.concatenate(
