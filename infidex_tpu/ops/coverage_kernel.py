@@ -54,6 +54,13 @@ D_CAP_NARROW = 16  # narrow doc-token program width (see CoverageConfig.d_cap)
 D_CAP_SMALL = 8    # small-bucket doc-token width (short docs, short words)
 L_CAP_SMALL = 12   # small-bucket char width (all words <= 12 chars)
 
+# Device fake-LCS (StringMetrics.cs:12-36) shape caps. The text axis is
+# the smallest bucket holding the corpus' longest (eligible) text, so
+# title corpora pay a [N, 64] table while long-field corpora grow to
+# [N, 256]; longer docs fall back to the host LCS per candidate.
+T_LCS_BUCKETS = (64, 128, 192, 256)
+QT_LCS = 64        # full-query char cap for the device fake-LCS
+
 INTENT_BONUS_PER_SIGNAL = 0.15
 ANCHOR_STEM_LENGTH = 3
 MAX_TRAILING_LEN = 2
@@ -151,6 +158,15 @@ class CoverageTables:
     overflow: np.ndarray  # bool [N]: doc exceeds D_MAX/L_MAX -> host path
     tok_count_host: np.ndarray = None  # int32 [N] host copy for D routing
     max_wlen_host: np.ndarray = None   # int32 [N] longest word, for L routing
+    # Full normalized-lowercase text chars (utf-16 code units) for the
+    # in-kernel fake-LCS (StringMetrics.cs:12-36): containment-or-common-
+    # prefix needs the whole text INCLUDING delimiters, which the token
+    # tables drop. T axis is bucketed (T_LCS_BUCKETS); docs longer than
+    # the bucket (or containing surrogate pairs, where code units !=
+    # Python chars) get lcs_ok=False and keep the host LCS path.
+    text_chars: jax.Array = None       # uint16 [N, T]
+    lcs_ok: jax.Array = None           # bool [N]
+    lcs_ok_host: np.ndarray = None     # bool [N] host copy (resolve gating)
 
     @staticmethod
     def build(doc_texts, delimiters) -> "CoverageTables":
@@ -165,10 +181,12 @@ class CoverageTables:
         if arrays is not None:
             (word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
              doc_count, doc_adj, doc_text_len, overflow, max_wlen) = arrays
-            return _tables_from_arrays(
+            t = _tables_from_arrays(
                 word_chars, word_chars_rev, word_lens, doc_tokens,
                 doc_offsets, doc_count, doc_adj, doc_text_len, overflow,
                 max_wlen)
+            _attach_text_lcs(t, doc_texts)
+            return t
         delims = set(delimiters)
         word_to_code = {}
         words = []
@@ -224,9 +242,57 @@ class CoverageTables:
                 word_chars[code, k] = ord(ch)
                 word_chars_rev[code, len(w) - 1 - k] = ord(ch)
 
-        return _tables_from_arrays(
+        t = _tables_from_arrays(
             word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
             doc_count, doc_adj, doc_text_len, overflow, max_wlen)
+        _attach_text_lcs(t, doc_texts)
+        return t
+
+
+def _attach_text_lcs(tables: "CoverageTables", doc_texts) -> None:
+    """Build + upload the [N, T] utf-16 text table for the device
+    fake-LCS. N is padded to the same bucket as the token tables (shape
+    stability across incremental finalizes); T is the smallest
+    T_LCS_BUCKETS entry covering the corpus' longest eligible text."""
+    n_pad = int(tables.doc_tok_count.shape[0])
+    texts = list(doc_texts)
+    encs = [t.encode("utf-16-le") for t in texts]
+    lens = np.fromiter((len(b) >> 1 for b in encs), np.int64,
+                       len(encs)) if encs else np.zeros(0, np.int64)
+    t_cap = T_LCS_BUCKETS[0]
+    if lens.size:
+        longest = int(lens[lens <= T_LCS_BUCKETS[-1]].max(initial=0))
+        for b in T_LCS_BUCKETS:
+            if b >= longest:
+                t_cap = b
+                break
+    chars = np.zeros((n_pad, t_cap), np.uint16)
+    ok = np.zeros(n_pad, bool)
+    for i, b in enumerate(encs):
+        m = len(b) >> 1
+        if 0 < m <= t_cap:
+            chars[i, :m] = np.frombuffer(b, "<u2")
+            ok[i] = True
+    # Surrogate pairs: utf-16 code units no longer align with Python
+    # chars, so host and device LCS would disagree — host path for those.
+    ok &= ~((chars >= 0xD800) & (chars < 0xE000)).any(axis=1)
+    tables.text_chars = jnp.asarray(chars)
+    tables.lcs_ok = jnp.asarray(ok)
+    tables.lcs_ok_host = ok
+
+
+def encode_query_lcs(query_lower: str, cap: int = QT_LCS):
+    """(chars uint16 [cap], len, ok) for the device fake-LCS.
+
+    ok=False (query too long / contains surrogate pairs) keeps the whole
+    query on the host LCS path."""
+    b = np.frombuffer(query_lower.encode("utf-16-le"), "<u2")
+    ok = bool(b.size and b.size <= cap
+              and not ((b >= 0xD800) & (b < 0xE000)).any())
+    arr = np.zeros(cap, np.uint16)
+    if ok:
+        arr[: b.size] = b
+    return arr, np.int32(b.size if ok else 0), ok
 
 
 def encode_query_tokens(tokens, max_tokens: int):
@@ -356,9 +422,15 @@ def coverage_fusion_batch(
     fq_lens,                     # int32 [B, FQ]
     fq_count,                    # int32 [B]
     fq_last_is_alpha,            # bool [B]
-    lcs_vals,            # f32 [C]
+    lcs_vals,            # f32 [C] (host LCS; 0 where device-computable)
     base_scores,         # f32 [C]
     query_len,           # int32 [B] (full query string lengths)
+    text_chars=None,     # uint16 [N, T] full-text chars (device fake-LCS)
+    lcs_ok_dev=None,     # bool [N]
+    q_text=None,         # uint16 [B, QT]
+    q_text_len=None,     # int32 [B]
+    q_lcs_tol=None,      # int32 [B] per-query error tolerance
+    q_lcs_ok=None,       # bool [B]
     *,
     config: CoverageConfig,
 ):
@@ -823,6 +895,42 @@ def coverage_fusion_batch(
                 (term_matched, term_first_pos, word_hits, num_fuzzy,
                  q_active, d_active))
 
+    # ================== device fake-LCS ================================
+    # StringMetrics.cs:12-36 over the FULL normalized text (host parity:
+    # utils/metrics.py lcs()): len(q) when q is contained in r, else
+    # min(prefix+tol, min(|q|,|r|)) when they share a prefix, else 0.
+    # Host-computed lcs_vals survive where the doc/query is ineligible
+    # (text longer than the table, surrogate pairs, long queries).
+    if text_chars is not None:
+        txt = text_chars[text_ids].T.astype(jnp.int32)          # [T,C]
+        qt = q_text.T[:, qsel].astype(jnp.int32)                # [QT,C]
+        qtl = q_text_len[qsel]                                  # [C]
+        tol_c = q_lcs_tol[qsel]
+        T_CAP = txt.shape[0]
+        QT = qt.shape[0]
+        qt_iota = jnp.asarray(np.arange(QT, dtype=np.int32))[:, None]
+        lim = jnp.minimum(qtl, text_len)[None]                  # [1,C]
+        mism = (qt != txt[:QT]) & (qt_iota < lim)
+        any_m = mism.any(axis=0)
+        prefix = jnp.where(any_m, jnp.argmax(mism, axis=0).astype(jnp.int32),
+                           jnp.minimum(qtl, text_len))
+        padded_txt = jnp.concatenate(
+            [txt, jnp.zeros((QT, C), txt.dtype)], axis=0)       # [T+QT,C]
+
+        def _lcs_cont_step(o, acc):
+            sh = jax.lax.dynamic_slice_in_dim(padded_txt, o, QT, axis=0)
+            hit = ((sh == qt) | (qt_iota >= qtl[None])).all(axis=0)
+            return acc | (hit & (o + qtl <= text_len))
+
+        contained = jax.lax.fori_loop(0, T_CAP, _lcs_cont_step,
+                                      jnp.zeros((C,), bool))
+        pfx_val = jnp.minimum(prefix + tol_c, jnp.minimum(qtl, text_len))
+        dev_lcs = jnp.where(contained, qtl,
+                            jnp.where(prefix > 0, pfx_val, 0))
+        dev_lcs = jnp.where((qtl > 0) & (text_len > 0), dev_lcs, 0)
+        use_dev = lcs_ok_dev[text_ids] & q_lcs_ok[qsel]
+        lcs_vals = jnp.where(use_dev, dev_lcs.astype(f32), lcs_vals)
+
     # ================== CoverageScorer =================================
     lcs_eff = lcs_vals if config.cover_whole_query else jnp.zeros_like(lcs_vals)
     num11 = num_joined + num_whole + num_fuzzy + num_ps - penalty.astype(f32)
@@ -920,7 +1028,12 @@ def coverage_fusion_batch(
     # devices every array readback pays a full round trip, so returning
     # (score, tie, hits) separately would triple the readback latency.
     # tie (0-255) and word_hits (small counts) are exact in float32.
-    return jnp.stack([score, tiebreaker.astype(f32), word_hits.astype(f32)])
+    # Row 3 (device-LCS builds only): the blended per-candidate LCS, so
+    # the host can fill its truncation memo without recomputing.
+    rows = [score, tiebreaker.astype(f32), word_hits.astype(f32)]
+    if text_chars is not None:
+        rows.append(lcs_vals)
+    return jnp.stack(rows)
 
 
 def _fusion_signals(fq_chars, fq_chars_rev, fq_lens, fq_count,

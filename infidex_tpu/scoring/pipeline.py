@@ -98,9 +98,13 @@ def _native_lcs_batch():
     except Exception:  # pragma: no cover
         return None
 
-    def run(query: str, texts: List[str], tolerance: int):
-        return _nat.lcs_batch(query.lower(), [t.lower() for t in texts],
-                              tolerance)
+    def run(query: str, texts: List[str], tolerance: int,
+            texts_lowered: bool = False):
+        # norm_texts entries are built lowercase (vector_model.py:606);
+        # skipping the per-text re-lower saves ~50k str allocs per batch.
+        if not texts_lowered:
+            texts = [t.lower() for t in texts]
+        return _nat.lcs_batch(query.lower(), texts, tolerance)
 
     return run
 
@@ -845,7 +849,8 @@ class SearchPipeline:
                     if _job_expired(job):
                         continue   # per-chunk deadline: drop unscored work
                     if job.get("fast"):
-                        cand, leftover = self._resolve_candidates_fast(job)
+                        cand, leftover = self._resolve_candidates_fast(job,
+                                                                       enc)
                         if leftover[0].size:
                             leftover_work.append((job, leftover))
                     else:
@@ -1231,7 +1236,7 @@ class SearchPipeline:
         )
 
     # ------------------------------------------------------------------
-    def _resolve_candidates_fast(self, job: dict):
+    def _resolve_candidates_fast(self, job: dict, enc: dict = None):
         """Vectorized _resolve_candidates: returns (chunk-array bundle,
         (leftover_ids, leftover_base)) — leftovers are table-overflow docs
         that the host oracle scores."""
@@ -1253,10 +1258,16 @@ class SearchPipeline:
         idx = np.searchsorted(job["sorted_keys"], keys).astype(np.int64)
 
         # LCS per candidate, memoized per key slot; un-memoized slots get
-        # ONE native batch call over first-occurrence texts.
+        # ONE native batch call over first-occurrence texts. When the
+        # kernel computes the fake-LCS on device (text_chars table +
+        # eligible query), only device-ineligible docs need host values.
         lcs_memo = job["lcs_memo_arr"]
         vals = lcs_memo[idx]
         unmem = vals == 0
+        if (enc is not None and enc.get("q_lcs_ok")
+                and tables.lcs_ok_host is not None
+                and model.sharded_tables is None):
+            unmem &= ~tables.lcs_ok_host[d_ids]
         if unmem.any():
             u_idx, first = np.unique(idx[unmem], return_index=True)
             u_texts = model.norm_texts[d_ids[unmem][first]].tolist()
@@ -1264,7 +1275,8 @@ class SearchPipeline:
             tol = job["lcs_tolerance"]
             batch_lcs = _native_lcs_batch()
             if batch_lcs is not None:
-                lv = np.asarray(batch_lcs(q, u_texts, tol), np.int64)
+                lv = np.asarray(batch_lcs(q, u_texts, tol,
+                                          texts_lowered=True), np.int64)
             else:
                 lv = np.fromiter(
                     (calculate_lcs(q, t, tol) for t in u_texts),
@@ -1409,7 +1421,8 @@ class SearchPipeline:
         long tokens) and the host oracle should handle everything.
         """
         from ..coverage.engine import tokenize_slices
-        from ..ops.coverage_kernel import (FQ_MAX, Q_MAX, encode_query_tokens)
+        from ..ops.coverage_kernel import (FQ_MAX, Q_MAX, encode_query_lcs,
+                                           encode_query_tokens)
 
         model = self._model
         context = job["context"]
@@ -1440,12 +1453,16 @@ class SearchPipeline:
         q_maxlen = max(
             int(q_lens[:q_count].max()) if q_count else 0,
             int(fq_lens[:fq_count].max()) if fq_count else 0)
+        qt_arr, qt_len, qt_ok = encode_query_lcs(context.query.lower())
         return dict(q_chars=q_chars, q_rev=q_rev, q_lens=q_lens, q_idf=q_idf,
                     q_widf=q_widf, q_count=np.int32(q_count), q_sorted=q_sorted,
                     fq_chars=fq_chars, fq_rev=fq_rev, fq_lens=fq_lens,
                     fq_count=np.int32(fq_count), last_alpha=last_alpha,
                     query_len=np.int32(len(context.query)),
-                    q_maxlen=q_maxlen)
+                    q_maxlen=q_maxlen,
+                    qtext=qt_arr, qtext_len=qt_len,
+                    q_lcs_tol=np.int32(job["lcs_tolerance"]),
+                    q_lcs_ok=qt_ok)
 
     # ------------------------------------------------------------------
     def _resolve_candidates(self, job: dict):
@@ -1546,7 +1563,13 @@ class SearchPipeline:
             np.array([e["last_alpha"] for e in encs], np.bool_),
         )
         qlen_arg = np.array([e["query_len"] for e in encs], np.int32)
-        return q_args, qlen_arg
+        lcs_args = (
+            np.stack([e["qtext"] for e in encs]),
+            np.array([e["qtext_len"] for e in encs], np.int32),
+            np.array([e["q_lcs_tol"] for e in encs], np.int32),
+            np.array([e["q_lcs_ok"] for e in encs], np.bool_),
+        )
+        return q_args, qlen_arg, lcs_args
 
     # ------------------------------------------------------------------
     def _dispatch_chunk(self, ids: np.ndarray, qsel: np.ndarray,
@@ -1557,7 +1580,7 @@ class SearchPipeline:
         from ..ops.coverage_kernel import coverage_fusion_batch
 
         tables = self._model.coverage_tables
-        q_args, qlen_arg = wave_args
+        q_args, qlen_arg, lcs_args = wave_args
         n = int(ids.size)
         # quadrupling sub-buckets keep partial chunks cheap
         c_pad = DEVICE_COVERAGE_CHUNK_MIN
@@ -1585,6 +1608,14 @@ class SearchPipeline:
                 self._model.sharded_tables, text_ids, qs, q_args, lcs_arr,
                 b_arr, qlen_arg, config)
 
+        if tables.text_chars is not None:
+            return coverage_fusion_batch(
+                tables.word_chars, tables.word_chars_rev, tables.word_lens,
+                tables.doc_tokens, tables.doc_tok_offsets,
+                tables.doc_tok_count, tables.doc_adj_ws,
+                tables.doc_text_len, text_ids, qs, *q_args,
+                lcs_arr, b_arr, qlen_arg,
+                tables.text_chars, tables.lcs_ok, *lcs_args, config=config)
         return coverage_fusion_batch(
             tables.word_chars, tables.word_chars_rev, tables.word_lens,
             tables.doc_tokens, tables.doc_tok_offsets,
@@ -1620,6 +1651,14 @@ class SearchPipeline:
                     zero = memo[g_idx] == 0
                     memo[g_idx[zero]] = np.minimum(
                         g_wh[zero].astype(np.int64), 255)
+                    if len(packed) > 3:
+                        # device-LCS builds: row 3 fills the truncation
+                        # memo (finish_fast reads lcs_memo_arr > 0)
+                        lmemo = job["lcs_memo_arr"]
+                        g_lcs = packed[3][:n][rows]
+                        lz = lmemo[g_idx] == 0
+                        lmemo[g_idx[lz]] = np.minimum(
+                            g_lcs[lz].astype(np.int64), 255)
                     job["res_scores"].append(score[rows].astype(np.float32))
                     job["res_ties"].append(tie[rows].astype(np.int64))
                     job["res_keys"].append(keys[rows])
