@@ -1633,8 +1633,16 @@ class SearchPipeline:
         for out, qsel, idx, keys, n, wave_jobs in pending:
             packed = jax.device_get(out)
             score = packed[0][:n]
-            tie = packed[1][:n]
-            wh = packed[2][:n]
+            if len(packed) == 2:
+                # device-LCS layout: one f32 row = tie<<16 | wh<<8 | lcs
+                meta = packed[1][:n].astype(np.int64)
+                tie = meta >> 16
+                wh = (meta >> 8) & 255
+                lcs_row = meta & 255
+            else:
+                tie = packed[1][:n]
+                wh = packed[2][:n]
+                lcs_row = None
             order = np.argsort(qsel, kind="stable")
             sq = qsel[order]
             uq, starts = np.unique(sq, return_index=True)
@@ -1651,14 +1659,13 @@ class SearchPipeline:
                     zero = memo[g_idx] == 0
                     memo[g_idx[zero]] = np.minimum(
                         g_wh[zero].astype(np.int64), 255)
-                    if len(packed) > 3:
-                        # device-LCS builds: row 3 fills the truncation
-                        # memo (finish_fast reads lcs_memo_arr > 0)
+                    if lcs_row is not None:
+                        # device-LCS builds: fill the truncation memo
+                        # (finish_fast reads lcs_memo_arr > 0)
                         lmemo = job["lcs_memo_arr"]
-                        g_lcs = packed[3][:n][rows]
+                        g_lcs = lcs_row[rows]
                         lz = lmemo[g_idx] == 0
-                        lmemo[g_idx[lz]] = np.minimum(
-                            g_lcs[lz].astype(np.int64), 255)
+                        lmemo[g_idx[lz]] = g_lcs[lz]
                     job["res_scores"].append(score[rows].astype(np.float32))
                     job["res_ties"].append(tie[rows].astype(np.int64))
                     job["res_keys"].append(keys[rows])
