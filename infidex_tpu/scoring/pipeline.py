@@ -69,7 +69,7 @@ def _job_expired(job: dict) -> bool:
 import os as _os
 
 DEVICE_COVERAGE_CHUNK = int(_os.environ.get("INFIDEX_TPU_COVERAGE_CHUNK",
-                                            "32768"))
+                                            "65536"))
 
 # Additive candidate-budget reserve for the [class-prior, WordMatcher
 # heads, low-id matchers] chain. The reference's wm budget is
