@@ -914,15 +914,26 @@ def coverage_fusion_batch(
         any_m = mism.any(axis=0)
         prefix = jnp.where(any_m, jnp.argmax(mism, axis=0).astype(jnp.int32),
                            jnp.minimum(qtl, text_len))
+        # Blocked containment scan: BLK offsets per trip (T/BLK trips of
+        # [BLK, QT, C] work instead of T trips of [QT, C]) keeps loop
+        # overhead negligible for the small single-query chunk program.
+        BLK = 8
         padded_txt = jnp.concatenate(
-            [txt, jnp.zeros((QT, C), txt.dtype)], axis=0)       # [T+QT,C]
+            [txt, jnp.zeros((QT + BLK, C), txt.dtype)], axis=0)
+        blk_iota = jnp.asarray(np.arange(BLK, dtype=np.int32))[:, None]
 
-        def _lcs_cont_step(o, acc):
-            sh = jax.lax.dynamic_slice_in_dim(padded_txt, o, QT, axis=0)
-            hit = ((sh == qt) | (qt_iota >= qtl[None])).all(axis=0)
-            return acc | (hit & (o + qtl <= text_len))
+        def _lcs_cont_step(i, acc):
+            o0 = i * BLK
+            sh = jax.lax.dynamic_slice_in_dim(padded_txt, o0, QT + BLK,
+                                              axis=0)
+            win = jnp.stack([jax.lax.dynamic_slice_in_dim(sh, b, QT, axis=0)
+                             for b in range(BLK)])          # [BLK,QT,C]
+            hit = ((win == qt[None])
+                   | (qt_iota[None] >= qtl[None, None])).all(axis=1)
+            ok = hit & ((o0 + blk_iota + qtl[None]) <= text_len[None])
+            return acc | ok.any(axis=0)
 
-        contained = jax.lax.fori_loop(0, T_CAP, _lcs_cont_step,
+        contained = jax.lax.fori_loop(0, T_CAP // BLK, _lcs_cont_step,
                                       jnp.zeros((C,), bool))
         pfx_val = jnp.minimum(prefix + tol_c, jnp.minimum(qtl, text_len))
         dev_lcs = jnp.where(contained, qtl,

@@ -1563,9 +1563,14 @@ class SearchPipeline:
             np.array([e["last_alpha"] for e in encs], np.bool_),
         )
         qlen_arg = np.array([e["query_len"] for e in encs], np.int32)
+        # Query-char axis of the device LCS bucketed to {16, QT_LCS}:
+        # nearly every wave's longest query fits 16 chars, quartering the
+        # containment scan's per-trip compare work.
+        qt_lens = np.array([e["qtext_len"] for e in encs], np.int32)
+        qt_pad = 16 if int(qt_lens.max(initial=0)) <= 16 else None
         lcs_args = (
-            np.stack([e["qtext"] for e in encs]),
-            np.array([e["qtext_len"] for e in encs], np.int32),
+            np.stack([e["qtext"][:qt_pad] for e in encs]),
+            qt_lens,
             np.array([e["q_lcs_tol"] for e in encs], np.int32),
             np.array([e["q_lcs_ok"] for e in encs], np.bool_),
         )
