@@ -700,16 +700,29 @@ class DeviceIndex:
                     live_override=live_override))
             return out
 
+        # Lane-capped groups dispatch back-to-back BEFORE the first
+        # readback: JAX dispatch is async, so the device pipelines the
+        # group programs and the host pays ONE round-trip wait instead of
+        # one per group (a 64-query 1M-doc batch splits into several
+        # groups; sequential dispatch+get paid ~50ms of tunnel latency
+        # per group).
         groups = split_batch_by_lanes(built, queries)
-        if len(groups) > 1:
-            out: list = []
-            for lo, hi in groups:
-                out.extend(self.search_batch(
-                    queries[lo:hi], top_k, total_docs=total_docs,
-                    stop_term_limit=stop_term_limit,
-                    live_override=live_override))
-            return out
+        handles = [
+            self._dispatch_group(queries[lo:hi], top_k, total_docs,
+                                 stop_term_limit, live_override)
+            for lo, hi in groups]
+        out: list = []
+        for h in handles:
+            out.extend(self._collect_group(h))
+        return out
 
+    def _dispatch_group(self, queries, top_k, total_docs,
+                        stop_term_limit, live_override) -> dict:
+        """Async half of one lane-capped Stage-1 kernel call: prepares
+        host arrays and launches the jitted program, returning the device
+        output handle without waiting."""
+        built = self.built
+        n_q = len(queries)
         import os as _os
         import time as _time
         trace = _os.environ.get("INFIDEX_TPU_TRACE")
@@ -763,18 +776,10 @@ class DeviceIndex:
                 n_q=n_q_pad,
                 n_grp=n_grp,
             )
-            t1 = _time.perf_counter() if trace else 0.0
-            packed = jax.device_get(out)
-            if trace:
-                t2 = _time.perf_counter()
-                print(f"[PIPE]     s1-call: s1prep={t_prep*1000:.1f}ms "
-                      f"s1dispatch={(t1-t0-t_prep)*1000:.1f}ms "
-                      f"s1wait={(t2-t1)*1000:.1f}ms nq={n_q} c_pad={c_pad} "
-                      f"f_pad={f_pad} n_grp={n_grp}", flush=True)
-            scores = packed[0]
-            ids = packed[1].astype(np.int32)
-            lim = packed[2].astype(np.int32)
-            return [(scores[b], ids[b], lim[b]) for b in range(n_q)]
+            return dict(out=out, n_q=n_q, trace=trace, t0=t0,
+                        t_prep=t_prep, t1=_time.perf_counter() if trace
+                        else 0.0, desc=f"c_pad={c_pad} f_pad={f_pad} "
+                        f"n_grp={n_grp}")
         out = _stage1_kernel_batch(
             self.postings_docs,
             self.postings_weights,
@@ -797,15 +802,24 @@ class DeviceIndex:
             n_q=n_q_pad,
             n_grp=n_grp,
         )
-        t1 = _time.perf_counter() if trace else 0.0
-        packed = jax.device_get(out)
-        if trace:
+        import time as _time2
+        return dict(out=out, n_q=n_q, trace=trace, t0=t0, t_prep=t_prep,
+                    t1=_time2.perf_counter() if trace else 0.0,
+                    desc=f"l_pad={l_pad} f_pad={f_pad} n_grp={n_grp}")
+
+    @staticmethod
+    def _collect_group(h: dict) -> list:
+        """Blocking half: ONE combined readback of a dispatched group."""
+        import time as _time
+
+        packed = jax.device_get(h["out"])
+        if h["trace"]:
             t2 = _time.perf_counter()
-            print(f"[PIPE]     s1-call: s1prep={t_prep*1000:.1f}ms "
-                  f"s1dispatch={(t1-t0-t_prep)*1000:.1f}ms "
-                  f"s1wait={(t2-t1)*1000:.1f}ms nq={n_q} l_pad={l_pad} "
-                  f"f_pad={f_pad} n_grp={n_grp}", flush=True)
+            print(f"[PIPE]     s1-call: s1prep={h['t_prep']*1000:.1f}ms "
+                  f"s1dispatch={(h['t1']-h['t0']-h['t_prep'])*1000:.1f}ms "
+                  f"s1wait={(t2-h['t1'])*1000:.1f}ms nq={h['n_q']} "
+                  f"{h['desc']}", flush=True)
         scores = packed[0]
         ids = packed[1].astype(np.int32)
         lim = packed[2].astype(np.int32)
-        return [(scores[b], ids[b], lim[b]) for b in range(n_q)]
+        return [(scores[b], ids[b], lim[b]) for b in range(h["n_q"])]
