@@ -133,20 +133,30 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
         cand = np.unique(np.concatenate(inf.anchors))[:ANCHOR_CLIP]
         cand = cand.astype(np.int64, copy=False)
         for oi, other in enumerate(infos):
-            if oi == pi or not other.gram_tids:
+            if oi == pi or not (other.gram_tids or other.anchors):
                 continue
             if cand.size == 0:
                 break
             found = np.zeros(cand.size, bool)
-            # most-common gram first: each probe costs the same, the
-            # biggest df covers the most candidates -> earliest exit.
-            for tid in sorted(other.gram_tids,
-                              key=lambda t: -int(built.df[t])):
-                p = built.postings_for(tid)[0]
+            # strong (WordMatcher/LD1) lists first: the coverage fuzzy
+            # matcher credits LD1 tokens that share NO boundary gram with
+            # the query token ('ran' -> 'han'), so gram probes alone
+            # reject exactly the class fusion ranks highest.
+            for p in other.anchors:
                 if p.size:
-                    found |= _member(p, cand)
+                    found |= _member(np.asarray(p), cand)
                 if found.all():
                     break
+            # most-common gram first: each probe costs the same, the
+            # biggest df covers the most candidates -> earliest exit.
+            if not found.all():
+                for tid in sorted(other.gram_tids,
+                                  key=lambda t: -int(built.df[t])):
+                    p = built.postings_for(tid)[0]
+                    if p.size:
+                        found |= _member(p, cand)
+                    if found.all():
+                        break
             cand = cand[found]
         if cand.size:
             pools.append(cand)
@@ -156,8 +166,29 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
 
     if prep is None:
         return pool[:CONJ_CAP]
+    # Fusion-aligned pool ranking. BM25-gram order alone buried the
+    # winners (measured at 1M: oracle top-10 docs at pool rank 777-2537):
+    # fusion's tie classes prefer docs where MORE tokens match strongly
+    # and SHORTER docs, so rank by (strong-evidence token count desc,
+    # doc token count asc, BM25 desc, id asc).
+    strong = np.zeros(pool.size, np.int32)
+    for inf in infos:
+        hit = np.zeros(pool.size, bool)
+        for p in inf.anchors:
+            ap = np.asarray(p)
+            if ap.size:
+                hit |= _member(ap, pool)
+            if hit.all():
+                break
+        strong += hit
+    tables = getattr(model, "coverage_tables", None)
+    if tables is not None and tables.tok_count_host is not None:
+        tok_n = tables.tok_count_host[np.minimum(
+            pool, tables.tok_count_host.size - 1)].astype(np.int32)
+    else:
+        tok_n = np.zeros(pool.size, np.int32)
     term_ids = [int(t) for t in np.asarray(prep[0]).tolist()]
     idfs = [float(i) for i in np.asarray(prep[1]).tolist()]
     scores = score_pool(built, term_ids, idfs, pool)
-    order = np.lexsort((pool, -scores))
+    order = np.lexsort((pool, -scores, tok_n, -strong))
     return pool[order][:CONJ_CAP].astype(np.int64)

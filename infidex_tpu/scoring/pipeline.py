@@ -79,6 +79,9 @@ DEVICE_COVERAGE_CHUNK = int(_os.environ.get("INFIDEX_TPU_COVERAGE_CHUNK",
 # fusion winners. The reserve is depth-independent, so oracle (deep)
 # candidate sets still nest production ones.
 DEPTH_RESERVE = int(_os.environ.get("INFIDEX_TPU_DEPTH_RESERVE", "256"))
+#: additive candidate slice for the token-conjunctive pool (its own
+#: budget — see _assemble_prior).
+CONJ_TAKE = int(_os.environ.get("INFIDEX_TPU_CONJ_TAKE", "512"))
 DEVICE_COVERAGE_CHUNK_MIN = 2048
 
 # Fixed query-batch width of the coverage kernel call: qsel routes each
@@ -670,28 +673,36 @@ class SearchPipeline:
     # ------------------------------------------------------------------
     def _assemble_prior(self, search_text: str, budget: int,
                         tfidf_arr: np.ndarray, prefilter_mask,
-                        lim_ids, conj=None) -> np.ndarray:
+                        lim_ids, conj=None):
         """Fusion-class prior candidates ahead of the WordMatcher heads
         (index/first_token.py), deduped against Stage-1 candidates and
         clipped to the depth budget. Applied identically at every depth
         (oracle candidate sets nest production ones).
 
         ``conj``: the token-conjunctive pool (index/conjunctive.py),
-        appended after the exact-words class prior — all-token matches
-        are the fusion tier-3 class, so they outrank any candidate the
-        WordMatcher heads or LIM fill could add."""
+        appended after the exact-words class prior in its OWN additive
+        slice (CONJ_TAKE) — measured at 1M docs, letting the conj pool
+        ride inside the shared budget crowded the WordMatcher heads out
+        entirely (a doc at wm-part rank 45 went un-scored).
+
+        Returns (prior_ids, effective_budget): callers size the
+        WordMatcher head fill against the extended budget so the conj
+        slice is additive, not displacing."""
         prior = self._class_prior_ids(search_text, budget)
         if prefilter_mask is not None and prior.size:
             prior = prior[prefilter_mask[prior]]
+        extra = 0
         if conj is not None and conj.size:
             if prefilter_mask is not None:
                 conj = conj[prefilter_mask[conj]]
             if prior.size:
                 conj = conj[~np.isin(conj, prior)]
+            conj = conj[:CONJ_TAKE]
+            extra = int(conj.size)
             prior = np.concatenate([prior, conj]) if prior.size else conj
         if prior.size:
-            prior = prior[~np.isin(prior, tfidf_arr)][:budget]
-        return prior.astype(np.int64)
+            prior = prior[~np.isin(prior, tfidf_arr)][:budget + extra]
+        return prior.astype(np.int64), budget + extra
 
     def _lim_tail(self, lim_ids, budget: int, tfidf_arr: np.ndarray,
                   taken: np.ndarray) -> np.ndarray:
@@ -1032,7 +1043,7 @@ class SearchPipeline:
         wm_overlapping = tfidf_arr[member].tolist()
         wm_limit = max(0, coverage_depth - len(wm_overlapping)) \
             + DEPTH_RESERVE
-        prior = self._assemble_prior(
+        prior, wm_limit = self._assemble_prior(
             search_text, wm_limit, tfidf_arr, prefilter_mask, lim_ids,
             conj=self._conj_lookup(search_text, wm_groups))
         if has_wm and wm_limit > prior.size:
@@ -1203,7 +1214,7 @@ class SearchPipeline:
         wm_overlapping = tfidf_arr[member]
         wm_limit = max(0, coverage_depth - int(wm_overlapping.size)) \
             + DEPTH_RESERVE
-        prior = self._assemble_prior(
+        prior, wm_limit = self._assemble_prior(
             search_text, wm_limit, tfidf_arr, prefilter_mask, lim_ids,
             conj=self._conj_lookup(search_text, wm_groups))
         if has_wm and wm_limit > prior.size:
