@@ -280,7 +280,7 @@ def bench_exact(n_docs=10_000, n_queries=200):
     rng = random.Random(5)
     queries = [rng.choice(rng.choice(titles).lower().split())
                for _ in range(n_queries)]
-    qps, p50 = _measure(engine, queries, Query)
+    qps, p50, _ = _measure(engine, queries, Query)
     _emit(f"exact-term QPS ({n_docs} docs, batch={BATCH}, p50={p50:.1f}ms)",
           qps)
 
@@ -302,7 +302,7 @@ def bench_multifield(n_docs=10_000, n_queries=200):
         docs.append(Document(i, fields))
     engine.index_documents(docs)
     queries = make_queries(titles, n_queries)
-    qps, p50 = _measure(engine, queries, Query)
+    qps, p50, _ = _measure(engine, queries, Query)
     _emit(f"multi-field QPS ({n_docs} docs, batch={BATCH}, p50={p50:.1f}ms)",
           qps)
 
@@ -335,7 +335,7 @@ def bench_filters(n_docs=1_000_000, n_queries=200):
         return query
 
     queries = make_queries(titles, n_queries)
-    qps, p50 = _measure(engine, queries, Query, make_query=make_query)
+    qps, p50, _ = _measure(engine, queries, Query, make_query=make_query)
     _emit(f"filtered+faceted QPS ({n_docs} docs, batch={BATCH}, "
           f"p50={p50:.1f}ms)", qps)
 
@@ -377,7 +377,7 @@ def bench_incremental(n_docs=10_000, n_queries=200):
     w = threading.Thread(target=writer)
     w.start()
     try:
-        qps, p50 = _measure(engine, queries, Query)
+        qps, p50, _ = _measure(engine, queries, Query)
     finally:
         stop.set()
         w.join()
