@@ -572,6 +572,7 @@ class SearchPipeline:
                           else s1)
             else:
                 out[i] = coverage_results
+        _mark("finish")
         if wm_pool is not None:
             wm_pool.shutdown(wait=False)
         self._wm_tls.prefetch = {}
