@@ -201,9 +201,20 @@ class BuiltIndex:
             if e - s <= cap:
                 continue
             w = self.postings_weights[s:e]
-            # top-cap by weight, ties toward lower doc id (stable sort on
-            # descending weight keeps ascending-doc order within a weight)
-            part = np.argsort(-w.astype(np.int16), kind="stable")[:cap]
+            # Reserve the term's LIM_K lowest doc ids (postings are
+            # id-ascending), then fill with top-by-weight from the rest,
+            # ties toward lower doc id (stable sort on descending weight
+            # keeps ascending-doc order within a weight). The low-id
+            # reservation makes the low-id-matcher rows exact per term
+            # even under clipping: fusion resolves quality-tie classes by
+            # ascending key, and the class winners of a clipped term were
+            # exactly the lanes weight-champions dropped.
+            from .device import LIM_K
+
+            k_low = min(LIM_K, cap // 2)
+            rest = k_low + np.argsort(
+                -w[k_low:].astype(np.int16), kind="stable")[: cap - k_low]
+            part = np.concatenate([np.arange(k_low), rest])
             part.sort()
             ext_d.append(self.postings_docs[s:e][part])
             ext_w.append(w[part])

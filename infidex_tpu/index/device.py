@@ -77,23 +77,29 @@ def compute_idf(total_docs: int, df: int) -> float:
 #: whose score is positive. Fusion resolves large quality-tie classes by
 #: ascending key (ScoreEntry ordering), so a deep coverage pass surfaces
 #: the lowest-key members of the winning class — docs BM25 order cannot
-#: predict. Shipping the lowest-id matchers into the candidate budget
-#: closes that gap at a fraction of a full-corpus second top-k: the
-#: window bounds the top_k operand to [B, 65536].
+#: predict. The window defaults to the whole corpus: a 65536-id window
+#: covered everything at 30k docs but only 6.5% at 1M, exactly where
+#: typo-mode recall fell off (0.98 at 30k vs 0.83 at 1M).
 LIM_WINDOW = int(__import__("os").environ.get(
-    "INFIDEX_TPU_LIM_WINDOW", 65536))
+    "INFIDEX_TPU_LIM_WINDOW", 1 << 30))
 LIM_K = int(__import__("os").environ.get("INFIDEX_TPU_LIM_K", 256))
 
 
 def _lim_rows(scores, k: int):
-    """[n_q, k] lowest doc ids with positive score (f32; pad 2^24)."""
+    """[n_q, k] lowest doc ids with positive score (f32; pad 2^24).
+
+    Exact and cheaper than a second full-corpus top_k: the j-th lowest
+    positive position is the first index whose running positive count
+    reaches j — one linear cumsum plus LIM_K binary searches per row."""
     n_pad = scores.shape[-1]
     w = min(LIM_WINDOW, n_pad)
     k2 = min(LIM_K, k)
     m = scores[:, :w] > 0.0
-    iota_w = jnp.arange(w, dtype=jnp.int32)
-    key = jnp.where(m, iota_w[None, :], jnp.int32(1 << 24))
-    low = -jax.lax.top_k(-key, k2)[0]                  # smallest keys
+    c = jnp.cumsum(m.astype(jnp.int32), axis=1)
+    targets = jnp.arange(1, k2 + 1, dtype=jnp.int32)
+    posn = jax.vmap(
+        lambda row: jnp.searchsorted(row, targets, side="left"))(c)
+    low = jnp.where(posn < w, posn, 1 << 24).astype(jnp.int32)
     pad = jnp.full((scores.shape[0], k - k2), 1 << 24, jnp.int32)
     return jnp.concatenate([low, pad], axis=1).astype(jnp.float32)
 
