@@ -226,28 +226,37 @@ class TieredStage1:
         out_ids = np.zeros(top_k, np.int32)
         out_scores[: order.size] = scores[order]
         out_ids[: order.size] = pool[order]
-        return out_scores, out_ids, self._lim_ids(term_ids, mask)
+        return out_scores, out_ids, self._lim_ids(term_ids, term_idf, mask)
 
-    def _lim_ids(self, term_ids, mask=None) -> np.ndarray:
+    def _lim_ids(self, term_ids, term_idf, mask=None) -> np.ndarray:
         """Low-id matcher ids (device.py LIM rows, host twin): the
-        lowest LIM_K ids within LIM_WINDOW carrying any query term, from
-        the same device lanes (champion ranges for clipped terms)."""
+        lowest LIM_K ids of the maximum-gram-coverage class — docs
+        carrying as many distinct scoring terms as any doc does — over
+        the same device lanes (champion ranges for clipped terms, whose
+        lowest ids are reserved at champion build)."""
         from .device import LIM_K, LIM_WINDOW, term_device_range
 
         built = self.built
-        heads = []
-        for t in term_ids:
+        lanes = []
+        for t, i in zip(term_ids, term_idf):
+            if float(i) <= 0.0:
+                continue
             s, n = term_device_range(built, int(t))
             docs = built.postings_docs[s:s + n]
-            if docs.size > LIM_K:
-                docs = np.partition(docs, LIM_K)[:LIM_K]
-            heads.append(docs)
-        if not heads:
+            if docs.size:
+                lanes.append(docs)
+        if not lanes:
             return np.zeros(0, np.int64)
-        lim = np.unique(np.concatenate(heads)).astype(np.int64)
-        lim = lim[lim < LIM_WINDOW]
+        ids, cnts = np.unique(np.concatenate(lanes), return_counts=True)
+        ids = ids.astype(np.int64)
         if self.deleted_arr is not None and self.deleted_arr.size:
-            lim = lim[~self.deleted_arr[lim]]
-        if mask is not None and mask.size >= self.built.num_docs:
-            lim = lim[mask[lim]]
+            keep = ~self.deleted_arr[ids]
+            ids, cnts = ids[keep], cnts[keep]
+        if mask is not None and mask.size >= built.num_docs:
+            keep = mask[ids]
+            ids, cnts = ids[keep], cnts[keep]
+        if ids.size == 0:
+            return np.zeros(0, np.int64)
+        lim = ids[cnts == cnts.max()]
+        lim = lim[lim < LIM_WINDOW]
         return lim[:LIM_K]

@@ -73,34 +73,42 @@ def compute_idf(total_docs: int, df: int) -> float:
 
 
 #: low-id matcher window/count: alongside the score top-k, Stage-1 also
-#: returns the LIM_K lowest doc ids (within the first LIM_WINDOW ids)
-#: whose score is positive. Fusion resolves large quality-tie classes by
-#: ascending key (ScoreEntry ordering), so a deep coverage pass surfaces
-#: the lowest-key members of the winning class — docs BM25 order cannot
-#: predict. The window defaults to the whole corpus: a 65536-id window
-#: covered everything at 30k docs but only 6.5% at 1M, exactly where
-#: typo-mode recall fell off (0.98 at 30k vs 0.83 at 1M).
+#: returns the LIM_K lowest doc ids (within the first LIM_WINDOW ids) of
+#: the query's MAXIMUM-GRAM-COVERAGE class — docs matching as many
+#: distinct scoring terms as any doc does. Fusion scores that class top
+#: and resolves its ties by ascending key (ScoreEntry ordering), keys
+#: BM25 order cannot predict: BM25's doc-length norm ranks the class's
+#: short docs first, while fusion's tie winners are its lowest keys
+#: (measured at 1M: typo-mode oracle docs at exact-BM25 rank 600-11000,
+#: in no WordMatcher part). A plain score>0 test degenerates at corpus
+#: scale — the lowest 256 positive-score ids are one-gram noise docs.
 LIM_WINDOW = int(__import__("os").environ.get(
     "INFIDEX_TPU_LIM_WINDOW", 1 << 30))
 LIM_K = int(__import__("os").environ.get("INFIDEX_TPU_LIM_K", 256))
 
 
-def _lim_rows(scores, k: int):
-    """[n_q, k] lowest doc ids with positive score (f32; pad 2^24).
+def _coverage_class(cnt, live_mask):
+    """[n_q, N] bool: docs whose distinct-scoring-term count reaches the
+    row maximum (the Stage-1 analogue of fusion's top quality class)."""
+    cnt = cnt * live_mask[None, :]
+    cmax = cnt.max(axis=1, keepdims=True)
+    return (cnt >= cmax) & (cmax > 0.0)
 
-    Exact and cheaper than a second full-corpus top_k: the j-th lowest
-    positive position is the first index whose running positive count
-    reaches j — one linear cumsum plus LIM_K binary searches per row."""
-    n_pad = scores.shape[-1]
+
+def _lim_rows(m, k: int):
+    """[n_q, k] lowest True positions of mask ``m`` (f32; pad 2^24).
+
+    Masked top_k over the position iota: the same primitive (and cost
+    class) as the score top-k the kernel already pays. A cumsum-based
+    formulation was tried and measured 2.5x slower end-to-end at 1M docs
+    — XLA lowers long-axis cumsum poorly on TPU."""
+    n_pad = m.shape[-1]
     w = min(LIM_WINDOW, n_pad)
     k2 = min(LIM_K, k)
-    m = scores[:, :w] > 0.0
-    c = jnp.cumsum(m.astype(jnp.int32), axis=1)
-    targets = jnp.arange(1, k2 + 1, dtype=jnp.int32)
-    posn = jax.vmap(
-        lambda row: jnp.searchsorted(row, targets, side="left"))(c)
-    low = jnp.where(posn < w, posn, 1 << 24).astype(jnp.int32)
-    pad = jnp.full((scores.shape[0], k - k2), 1 << 24, jnp.int32)
+    iota_w = jnp.arange(w, dtype=jnp.int32)
+    key = jnp.where(m[:, :w], iota_w[None, :], jnp.int32(1 << 24))
+    low = -jax.lax.top_k(-key, k2)[0]
+    pad = jnp.full((m.shape[0], k - k2), 1 << 24, jnp.int32)
     return jnp.concatenate([low, pad], axis=1).astype(jnp.float32)
 
 
@@ -259,29 +267,36 @@ def _stage1_kernel_batch(
     scores = jnp.zeros((n_q * n_pad,), dtype=jnp.float32)
     scores = scores.at[flat].add(contrib, mode="drop")
     scores = scores.reshape(n_q, n_pad)
+    # distinct-scoring-term count per doc (gram coverage; exact in f32):
+    # postings are unique per (term, doc), so +1 per contributing lane.
+    cnt = jnp.zeros((n_q * n_pad,), dtype=jnp.float32)
+    cnt = cnt.at[flat].add(jnp.where(contrib > 0.0, 1.0, 0.0), mode="drop")
+    cnt = cnt.reshape(n_q, n_pad)
 
     if f_pad > 0 and n_grp > 0:
-        scores = _fuzzy_block(scores, postings_docs, doc_lengths,
-                              fz_starts, fz_lens, fz_group, grp_query,
-                              total_docs, stop_limit, avgdl,
-                              f_pad=f_pad, n_grp=n_grp, n_q=n_q)
+        scores, cnt = _fuzzy_block(scores, cnt, postings_docs, doc_lengths,
+                                   fz_starts, fz_lens, fz_group, grp_query,
+                                   total_docs, stop_limit, avgdl,
+                                   f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
     top_scores, top_ids = jax.lax.top_k(scores, k)
     # One packed output = one host transfer (tunneled links pay a full
     # round trip per array). Doc ids are exact in f32 up to 2^24.
     return jnp.stack([top_scores, top_ids.astype(jnp.float32),
-                      _lim_rows(scores, k)])
+                      _lim_rows(_coverage_class(cnt, live_mask), k)])
 
 
-def _fuzzy_block(scores, postings_docs, doc_lengths, fz_starts, fz_lens,
+def _fuzzy_block(scores, cnt, postings_docs, doc_lengths, fz_starts, fz_lens,
                  fz_group, grp_query, total_docs, stop_limit, avgdl,
                  *, f_pad: int, n_grp: int, n_q: int):
     """On-device fuzzy virtual-term scoring (see _stage1_kernel_batch
     docstring): expand matched vocab terms' postings into a [n_grp, N]
     presence matrix, derive per-group df/idf, and add the per-query
     contribution with one MXU matmul. Shared by the XLA and Pallas-chunked
-    Stage-1 kernels."""
+    Stage-1 kernels. Also adds each scoring group's presence to the
+    per-doc distinct-term count ``cnt`` (a second matmul over the same
+    presence operand); returns (scores, cnt)."""
     n_pad = doc_lengths.shape[0]
     fcum = jnp.cumsum(fz_lens)
     ftotal = fcum[-1]
@@ -313,7 +328,9 @@ def _fuzzy_block(scores, postings_docs, doc_lengths, fz_starts, fz_lens,
     doc_fac = (K1 + 1.0) / (1.0 + fnorm) + DELTA          # tf = 1.0
     own = grp_query[None, :] == jnp.arange(n_q, dtype=jnp.int32)[:, None]
     wsum = jnp.where(own, fidf[None, :], 0.0)             # [n_q, n_grp]
-    return scores + wsum @ (presence * doc_fac[None, :])
+    csel = jnp.where(own & (fidf > 0.0)[None, :], 1.0, 0.0)
+    return (scores + wsum @ (presence * doc_fac[None, :]),
+            cnt + csel @ presence)
 
 
 @functools.partial(
@@ -361,17 +378,21 @@ def _stage1_kernel_batch_chunked(
     scores = jnp.zeros((n_q * n_pad,), dtype=jnp.float32)
     scores = scores.at[keys].add(contrib, mode="drop")
     scores = scores.reshape(n_q, n_pad)
+    # distinct-scoring-term count (parked/invalid lanes carry contrib 0)
+    cnt = jnp.zeros((n_q * n_pad,), dtype=jnp.float32)
+    cnt = cnt.at[keys].add(jnp.where(contrib > 0.0, 1.0, 0.0), mode="drop")
+    cnt = cnt.reshape(n_q, n_pad)
 
     if f_pad > 0 and n_grp > 0:
-        scores = _fuzzy_block(scores, postings_docs, doc_lengths,
-                              fz_starts, fz_lens, fz_group, grp_query,
-                              total_docs, stop_limit, avgdl,
-                              f_pad=f_pad, n_grp=n_grp, n_q=n_q)
+        scores, cnt = _fuzzy_block(scores, cnt, postings_docs, doc_lengths,
+                                   fz_starts, fz_lens, fz_group, grp_query,
+                                   total_docs, stop_limit, avgdl,
+                                   f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
     top_scores, top_ids = jax.lax.top_k(scores, k)
     return jnp.stack([top_scores, top_ids.astype(jnp.float32),
-                      _lim_rows(scores, k)])
+                      _lim_rows(_coverage_class(cnt, live_mask), k)])
 
 
 def split_batch_by_lanes(built: BuiltIndex, queries,

@@ -80,8 +80,11 @@ class MmapStage1:
         norm = np.float32(K1) * (np.float32(1.0 - B)
                                  + np.float32(B) * (dl / avgdl))
         scores = np.zeros(n, np.float32)
+        cnt = np.zeros(n, np.int32)   # distinct-scoring-term count
 
         for tid, idf in zip(np.asarray(term_ids, np.int64), idfs):
+            if float(idf) <= 0.0:
+                continue
             for docs, weights in self._term_parts(int(tid)):
                 d = docs.astype(np.int64)
                 tf = weights.astype(np.float32)
@@ -89,6 +92,7 @@ class MmapStage1:
                     (tf * np.float32(K1 + 1.0)) / (tf + norm[d])
                     + np.float32(DELTA))
                 np.add.at(scores, d, contrib)
+                np.add.at(cnt, d, 1)
 
         for grp in (fuzzy_groups or ()):
             # virtual term: union of matched terms' docs, tf = 1.0
@@ -106,11 +110,15 @@ class MmapStage1:
                 np.float32(K1 + 1.0) / (np.float32(1.0) + norm[union])
                 + np.float32(DELTA))
             scores[union] += contrib
+            if fidf > 0.0:
+                cnt[union] += 1
 
         if model.deleted_arr.size >= n:
             scores[model.deleted_arr[:n]] = 0.0
+            cnt[model.deleted_arr[:n]] = 0
         if host_mask is not None and host_mask.size >= n:
             scores[~host_mask[:n]] = 0.0
+            cnt[~host_mask[:n]] = 0
 
         k = min(int(top_k), n)
         if k <= 0:
@@ -123,11 +131,14 @@ class MmapStage1:
         out_ids = np.zeros(k, np.int32)
         out_scores[: order.size] = scores[idx[order]]
         out_ids[: order.size] = idx[order]
-        # low-id matchers (device.py LIM rows, host twin)
+        # low-id matchers (device.py LIM rows, host twin): lowest ids of
+        # the maximum-gram-coverage class
         from .device import LIM_K, LIM_WINDOW
 
         w = min(LIM_WINDOW, n)
-        lim = np.flatnonzero(scores[:w] > 0.0)[: min(LIM_K, k)]
+        cmax = int(cnt[:w].max()) if w else 0
+        lim = (np.flatnonzero(cnt[:w] == cmax)[: min(LIM_K, k)]
+               if cmax > 0 else np.zeros(0, np.int64))
         return out_scores, out_ids, lim.astype(np.int32)
 
 

@@ -195,6 +195,10 @@ def sharded_stage1_batch(
         scores = jnp.zeros((n_q * shard_size,), jnp.float32).at[flat].add(
             contrib, mode="drop")
         scores = scores.reshape(n_q, shard_size)
+        # distinct-scoring-term count per doc (device.py cnt twin)
+        cnt = jnp.zeros((n_q * shard_size,), jnp.float32).at[flat].add(
+            jnp.where(contrib > 0.0, 1.0, 0.0), mode="drop")
+        cnt = cnt.reshape(n_q, shard_size)
 
         if f_pad > 0 and n_grp > 0:
             fcum = jnp.cumsum(f_lens)
@@ -229,6 +233,8 @@ def sharded_stage1_batch(
             own = g_query[None, :] == jnp.arange(n_q, dtype=jnp.int32)[:, None]
             wsum = jnp.where(own, fidf[None, :], 0.0)
             scores = scores + wsum @ (presence * doc_fac[None, :])
+            csel = jnp.where(own & (fidf > 0.0)[None, :], 1.0, 0.0)
+            cnt = cnt + csel @ presence
 
         scores = scores * live_shard[None, :]
         k_local = min(k, shard_size)
@@ -242,14 +248,17 @@ def sharded_stage1_batch(
         g_i = jnp.take_along_axis(all_i, g_pos, axis=1)
 
         # low-id matcher rows (device.py _lim_rows twin): per-shard
-        # lowest GLOBAL ids with positive score inside the window, merged
-        # over ICI — identical to the single-chip rows (parity pinned by
-        # tests/test_sharded_engine.py).
+        # lowest GLOBAL ids of the maximum-gram-coverage class (global
+        # row max via ICI pmax), merged over ICI — identical to the
+        # single-chip rows (parity pinned by tests/test_sharded_engine.py).
         from ..index.device import LIM_K, LIM_WINDOW
 
+        cnt = cnt * live_shard[None, :]
+        gmax = jax.lax.pmax(cnt.max(axis=1), DOC_AXIS)      # [n_q]
+        in_class = (cnt >= gmax[:, None]) & (gmax[:, None] > 0.0)
         k2 = min(LIM_K, k_local)
         gids = base + jnp.arange(shard_size, dtype=jnp.int32)
-        keym = jnp.where((scores > 0.0) & (gids[None, :] < LIM_WINDOW),
+        keym = jnp.where(in_class & (gids[None, :] < LIM_WINDOW),
                          gids[None, :], jnp.int32(1 << 24))
         low_l = -jax.lax.top_k(-keym, k2)[0]
         all_low = jax.lax.all_gather(low_l, DOC_AXIS, tiled=True, axis=1)
