@@ -11,6 +11,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
+bench._setup_cache()   # persistent XLA compile cache (TPU runs)
 from infidex_tpu import Document, Query, SearchEngine
 
 

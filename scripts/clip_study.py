@@ -2,6 +2,7 @@
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 import bench
+bench._setup_cache()   # persistent XLA compile cache (TPU runs)
 from infidex_tpu import Document, Query, SearchEngine
 
 n = 300_000

@@ -17,6 +17,8 @@ os.environ.setdefault("INFIDEX_TPU_TRACE", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
+
+bench._setup_cache()   # persistent XLA compile cache (TPU runs)
 from infidex_tpu import Document, Query, SearchEngine  # noqa: E402
 
 N = int(os.environ.get("LAB_N", "1000000"))

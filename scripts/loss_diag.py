@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import bench
+
+bench._setup_cache()   # persistent XLA compile cache (TPU runs)
 from infidex_tpu import Document, Query, SearchEngine
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
