@@ -129,13 +129,25 @@ def _setup_cache():
     service takes minutes per big program when cold, while a disk hit
     restores in ~20ms — a warm process meets the <60s warmup target.
     (Round-2 note about the cache hanging the tunnel no longer
-    reproduces; verified healthy 2026-08-17.)"""
+    reproduces; verified healthy 2026-08-17.)
+
+    CPU-forced runs (JAX_PLATFORMS=cpu) must NOT call
+    ``jax.default_backend()`` here: it initializes every registered
+    plugin including the axon TPU tunnel, and hangs the process at
+    import time whenever the tunnel is down. Pin the platform via
+    config instead (the env var alone does not stop plugin init)."""
+    import os as _os
+
     import jax
 
-    if jax.default_backend() != "cpu":
+    if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/infidex_jax_cache_cpu")
+    else:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/infidex_jax_cache_tpu")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def measure_link_floor():

@@ -82,6 +82,13 @@ DEPTH_RESERVE = int(_os.environ.get("INFIDEX_TPU_DEPTH_RESERVE", "256"))
 #: additive candidate slice for the token-conjunctive pool (its own
 #: budget — see _assemble_prior).
 CONJ_TAKE = int(_os.environ.get("INFIDEX_TPU_CONJ_TAKE", "512"))
+#: guaranteed candidate slices for the WordMatcher heads and the low-id
+#: matcher tail: the class prior can fill the whole depth budget at
+#: scale (a single-word query whose first-token fuzzy class is huge),
+#: silently dropping WordMatcher-only and LIM-only docs (measured at 1M:
+#: an oracle #0 at WordMatcher-part rank 28 went un-scored).
+WM_TAKE_MIN = int(_os.environ.get("INFIDEX_TPU_WM_TAKE_MIN", "256"))
+LIM_TAKE_MIN = int(_os.environ.get("INFIDEX_TPU_LIM_TAKE_MIN", "128"))
 DEVICE_COVERAGE_CHUNK_MIN = 2048
 
 # Fixed query-batch width of the coverage kernel call: qsel routes each
@@ -1047,18 +1054,20 @@ class SearchPipeline:
         prior, wm_limit = self._assemble_prior(
             search_text, wm_limit, tfidf_arr, prefilter_mask, lim_ids,
             conj=self._conj_lookup(search_text, wm_groups))
-        if has_wm and wm_limit > prior.size:
+        if has_wm:
             k_head = wm_limit + len(wm_overlapping)
             heads = _interleave_heads(wm_parts, k_head)
             outside = heads[~np.isin(heads, tfidf_arr)]
             if prior.size:
                 outside = outside[~np.isin(outside, prior)]
             wm_u = np.concatenate(
-                [prior, outside[: wm_limit - prior.size]])
+                [prior,
+                 outside[: max(wm_limit - prior.size, WM_TAKE_MIN)]])
         else:
             wm_u = prior[:wm_limit]
-        lim_tail = self._lim_tail(lim_ids, wm_limit - wm_u.size,
-                                  tfidf_arr, wm_u)
+        lim_tail = self._lim_tail(
+            lim_ids, max(wm_limit - wm_u.size, LIM_TAKE_MIN),
+            tfidf_arr, wm_u)
         if lim_tail.size:
             wm_u = np.concatenate([wm_u, lim_tail])
         wm_unique = wm_u.tolist()
@@ -1218,18 +1227,20 @@ class SearchPipeline:
         prior, wm_limit = self._assemble_prior(
             search_text, wm_limit, tfidf_arr, prefilter_mask, lim_ids,
             conj=self._conj_lookup(search_text, wm_groups))
-        if has_wm and wm_limit > prior.size:
+        if has_wm:
             k_head = wm_limit + int(wm_overlapping.size)
             heads = _interleave_heads(wm_parts, k_head)
             outside = heads[~np.isin(heads, tfidf_arr)]
             if prior.size:
                 outside = outside[~np.isin(outside, prior)]
             wm_unique = np.concatenate(
-                [prior, outside[: wm_limit - prior.size]])
+                [prior,
+                 outside[: max(wm_limit - prior.size, WM_TAKE_MIN)]])
         else:
             wm_unique = prior[:wm_limit]
-        lim_tail = self._lim_tail(lim_ids, wm_limit - wm_unique.size,
-                                  tfidf_arr, wm_unique)
+        lim_tail = self._lim_tail(
+            lim_ids, max(wm_limit - wm_unique.size, LIM_TAKE_MIN),
+            tfidf_arr, wm_unique)
         if lim_tail.size:
             wm_unique = np.concatenate([wm_unique, lim_tail])
 
