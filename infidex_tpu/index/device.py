@@ -74,9 +74,12 @@ def compute_idf(total_docs: int, df: int) -> float:
 
 #: low-id matcher window/count: alongside the score top-k, Stage-1 also
 #: returns the LIM_K lowest doc ids (within the first LIM_WINDOW ids) of
-#: the query's MAXIMUM-GRAM-COVERAGE class — docs matching as many
-#: distinct scoring terms as any doc does. Fusion scores that class top
-#: and resolves its ties by ascending key (ScoreEntry ordering), keys
+#: the query's TOP QUALITY CLASS: docs matching as many distinct scoring
+#: terms as any doc does, UNIONED with docs carrying any fuzzy-matched
+#: vocab word (the per-token LD class — an exact count class is brittle
+#: because incidental extra-gram tokens in unrelated docs raise the row
+#: max above the class fusion actually ranks top). Fusion resolves the
+#: class's quality ties by ascending key (ScoreEntry ordering), keys
 #: BM25 order cannot predict: BM25's doc-length norm ranks the class's
 #: short docs first, while fusion's tie winners are its lowest keys
 #: (measured at 1M: typo-mode oracle docs at exact-BM25 rank 600-11000,
@@ -273,18 +276,23 @@ def _stage1_kernel_batch(
     cnt = cnt.at[flat].add(jnp.where(contrib > 0.0, 1.0, 0.0), mode="drop")
     cnt = cnt.reshape(n_q, n_pad)
 
+    fz_any = None
     if f_pad > 0 and n_grp > 0:
-        scores, cnt = _fuzzy_block(scores, cnt, postings_docs, doc_lengths,
-                                   fz_starts, fz_lens, fz_group, grp_query,
-                                   total_docs, stop_limit, avgdl,
-                                   f_pad=f_pad, n_grp=n_grp, n_q=n_q)
+        scores, cnt, fz_any = _fuzzy_block(
+            scores, cnt, postings_docs, doc_lengths,
+            fz_starts, fz_lens, fz_group, grp_query,
+            total_docs, stop_limit, avgdl,
+            f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
     top_scores, top_ids = jax.lax.top_k(scores, k)
+    m = _coverage_class(cnt, live_mask)
+    if fz_any is not None:
+        m = m | (fz_any & (live_mask[None, :] > 0.0))
     # One packed output = one host transfer (tunneled links pay a full
     # round trip per array). Doc ids are exact in f32 up to 2^24.
     return jnp.stack([top_scores, top_ids.astype(jnp.float32),
-                      _lim_rows(_coverage_class(cnt, live_mask), k)])
+                      _lim_rows(m, k)])
 
 
 def _fuzzy_block(scores, cnt, postings_docs, doc_lengths, fz_starts, fz_lens,
@@ -329,8 +337,9 @@ def _fuzzy_block(scores, cnt, postings_docs, doc_lengths, fz_starts, fz_lens,
     own = grp_query[None, :] == jnp.arange(n_q, dtype=jnp.int32)[:, None]
     wsum = jnp.where(own, fidf[None, :], 0.0)             # [n_q, n_grp]
     csel = jnp.where(own & (fidf > 0.0)[None, :], 1.0, 0.0)
+    fz_cnt = csel @ presence                              # [n_q, N]
     return (scores + wsum @ (presence * doc_fac[None, :]),
-            cnt + csel @ presence)
+            cnt + fz_cnt, fz_cnt > 0.0)
 
 
 @functools.partial(
@@ -383,16 +392,21 @@ def _stage1_kernel_batch_chunked(
     cnt = cnt.at[keys].add(jnp.where(contrib > 0.0, 1.0, 0.0), mode="drop")
     cnt = cnt.reshape(n_q, n_pad)
 
+    fz_any = None
     if f_pad > 0 and n_grp > 0:
-        scores, cnt = _fuzzy_block(scores, cnt, postings_docs, doc_lengths,
-                                   fz_starts, fz_lens, fz_group, grp_query,
-                                   total_docs, stop_limit, avgdl,
-                                   f_pad=f_pad, n_grp=n_grp, n_q=n_q)
+        scores, cnt, fz_any = _fuzzy_block(
+            scores, cnt, postings_docs, doc_lengths,
+            fz_starts, fz_lens, fz_group, grp_query,
+            total_docs, stop_limit, avgdl,
+            f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
     top_scores, top_ids = jax.lax.top_k(scores, k)
+    m = _coverage_class(cnt, live_mask)
+    if fz_any is not None:
+        m = m | (fz_any & (live_mask[None, :] > 0.0))
     return jnp.stack([top_scores, top_ids.astype(jnp.float32),
-                      _lim_rows(_coverage_class(cnt, live_mask), k)])
+                      _lim_rows(m, k)])
 
 
 def split_batch_by_lanes(built: BuiltIndex, queries,

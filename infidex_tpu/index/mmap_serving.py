@@ -81,6 +81,7 @@ class MmapStage1:
                                  + np.float32(B) * (dl / avgdl))
         scores = np.zeros(n, np.float32)
         cnt = np.zeros(n, np.int32)   # distinct-scoring-term count
+        fz_any = np.zeros(n, bool)    # carries any fuzzy-matched word
 
         for tid, idf in zip(np.asarray(term_ids, np.int64), idfs):
             if float(idf) <= 0.0:
@@ -112,13 +113,16 @@ class MmapStage1:
             scores[union] += contrib
             if fidf > 0.0:
                 cnt[union] += 1
+                fz_any[union] = True
 
         if model.deleted_arr.size >= n:
             scores[model.deleted_arr[:n]] = 0.0
             cnt[model.deleted_arr[:n]] = 0
+            fz_any[model.deleted_arr[:n]] = False
         if host_mask is not None and host_mask.size >= n:
             scores[~host_mask[:n]] = 0.0
             cnt[~host_mask[:n]] = 0
+            fz_any[~host_mask[:n]] = False
 
         k = min(int(top_k), n)
         if k <= 0:
@@ -132,13 +136,15 @@ class MmapStage1:
         out_scores[: order.size] = scores[idx[order]]
         out_ids[: order.size] = idx[order]
         # low-id matchers (device.py LIM rows, host twin): lowest ids of
-        # the maximum-gram-coverage class
+        # the max-gram-coverage class UNION the fuzzy-matched-word class
         from .device import LIM_K, LIM_WINDOW
 
         w = min(LIM_WINDOW, n)
         cmax = int(cnt[:w].max()) if w else 0
-        lim = (np.flatnonzero(cnt[:w] == cmax)[: min(LIM_K, k)]
-               if cmax > 0 else np.zeros(0, np.int64))
+        m = fz_any[:w]
+        if cmax > 0:
+            m = m | (cnt[:w] == cmax)
+        lim = np.flatnonzero(m)[: min(LIM_K, k)]
         return out_scores, out_ids, lim.astype(np.int32)
 
 

@@ -114,6 +114,11 @@ def _delete_variants(term: str) -> List[str]:
 class VectorModel:
     """Host orchestration of the Stage-1 index."""
 
+    #: widen fuzzy term expansion to Damerau-LD1 (see _fuzzy_verify);
+    #: False restores strict reference LD1 semantics.
+    fuzzy_transpositions: bool = __import__("os").environ.get(
+        "INFIDEX_TPU_FUZZY_DAMERAU", "1") != "0"
+
     def __init__(
         self,
         tokenizer: Tokenizer,
@@ -774,6 +779,33 @@ class VectorModel:
         return (abs(len(term) - len(text)) <= 1
                 and levenshtein(text, term, 1) <= 1)
 
+    @staticmethod
+    def _is_adjacent_transposition(a: str, b: str) -> bool:
+        """True when b is a with exactly one adjacent pair swapped."""
+        if len(a) != len(b) or a == b:
+            return False
+        n = len(a)
+        i = 0
+        while i < n and a[i] == b[i]:
+            i += 1
+        if i >= n - 1:
+            return False
+        return (a[i] == b[i + 1] and a[i + 1] == b[i]
+                and a[i + 2:] == b[i + 2:])
+
+    def _fuzzy_verify(self, text: str, term: str) -> bool:
+        """Damerau-LD1: the reference predicate widened with adjacent
+        transpositions (a deliberate extension over
+        FstIndex.MatchWithinEditDistance1 — transposition typos of words
+        beyond the WordMatcher LD1 length gate otherwise have NO
+        candidate generator at corpus scale, while the coverage reranker
+        already credits them via the Damerau rescue). Disable with
+        ``fuzzy_transpositions = False`` for strict reference semantics."""
+        if self._ld1_verify(text, term):
+            return True
+        return (self.fuzzy_transpositions
+                and self._is_adjacent_transposition(text, term))
+
     def prime_fuzzy_cache(self, tokens: List[str]) -> None:
         """Resolve many unknown tokens in ONE device round trip.
 
@@ -787,7 +819,7 @@ class VectorModel:
         if self._use_signature_index():
             sig = self._ensure_sig_index()
             for tok, matched in zip(misses,
-                                    sig.match_batch(misses, self._ld1_verify)):
+                                    sig.match_batch(misses, self._fuzzy_verify)):
                 self._fuzzy_cache.put(tok, matched)
         else:
             for tok in misses:
@@ -818,7 +850,7 @@ class VectorModel:
 
         matched: List[int] = []
         for tid in cand_ids:
-            if self._ld1_verify(text, self.built.terms[tid]):
+            if self._fuzzy_verify(text, self.built.terms[tid]):
                 matched.append(tid)
         result = np.asarray(sorted(matched)[:1024], dtype=np.int64)
         self._fuzzy_cache.put(text, result)

@@ -6,12 +6,14 @@ gets a 128-bit character-bigram signature; an unknown query token is
 matched against the whole vocabulary with ONE [T,S]x[S,V] int8 matrix
 product on the MXU, and the short list is verified exactly on host.
 
-Correctness invariant (no false negatives): if lev(q, t) <= 1 then the
-edit changes at most 2 bigram instances of q, so at most 2 distinct
-elements leave q's bigram *set*; hashing can only merge bits, therefore
-``popcount(sig_q & sig_t) >= popcount(sig_q) - 2`` (and symmetrically for
-t). Terms failing this bound (or ``|len(q)-len(t)| > 1``) cannot be LD1
-matches and are filtered before the exact Levenshtein check, which makes
+Correctness invariant (no false negatives): if damerau_lev(q, t) <= 1
+then the edit changes at most 3 bigram instances of q (an adjacent
+transposition rewrites 3 consecutive bigrams; an insert/delete/substitute
+rewrites at most 2), so at most 3 distinct elements leave q's bigram
+*set*; hashing can only merge bits, therefore
+``popcount(sig_q & sig_t) >= popcount(sig_q) - 3`` (and symmetrically for
+t). Terms failing this bound (or ``|len(q)-len(t)| > 1``) cannot be
+Damerau-LD1 matches and are filtered before the exact verify, which makes
 the final result identical to scanning the entire vocabulary.
 
 Reference capability: Infidex ``Fst/FstIndex.cs:202-352`` (Myers
@@ -66,7 +68,7 @@ def _match_kernel(sig_t, vpop, vlen, elig, qsig, qpop, qlen, *, cap):
     common = jax.lax.dot_general(
         qsig, sig_t, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)                     # [T, V]
-    ok = (common >= qpop[:, None] - 2) & (common >= vpop[None, :] - 2)
+    ok = (common >= qpop[:, None] - 3) & (common >= vpop[None, :] - 3)
     ok &= jnp.abs(vlen[None, :] - qlen[:, None]) <= 1
     ok &= elig[None, :]
     ids = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)

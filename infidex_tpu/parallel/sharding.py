@@ -234,7 +234,11 @@ def sharded_stage1_batch(
             wsum = jnp.where(own, fidf[None, :], 0.0)
             scores = scores + wsum @ (presence * doc_fac[None, :])
             csel = jnp.where(own & (fidf > 0.0)[None, :], 1.0, 0.0)
-            cnt = cnt + csel @ presence
+            fz_cnt = csel @ presence
+            cnt = cnt + fz_cnt
+            fz_any = fz_cnt > 0.0
+        else:
+            fz_any = None
 
         scores = scores * live_shard[None, :]
         k_local = min(k, shard_size)
@@ -256,6 +260,8 @@ def sharded_stage1_batch(
         cnt = cnt * live_shard[None, :]
         gmax = jax.lax.pmax(cnt.max(axis=1), DOC_AXIS)      # [n_q]
         in_class = (cnt >= gmax[:, None]) & (gmax[:, None] > 0.0)
+        if fz_any is not None:
+            in_class = in_class | (fz_any & (live_shard[None, :] > 0.0))
         k2 = min(LIM_K, k_local)
         gids = base + jnp.arange(shard_size, dtype=jnp.int32)
         keym = jnp.where(in_class & (gids[None, :] < LIM_WINDOW),

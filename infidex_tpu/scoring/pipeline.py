@@ -69,7 +69,7 @@ def _job_expired(job: dict) -> bool:
 import os as _os
 
 DEVICE_COVERAGE_CHUNK = int(_os.environ.get("INFIDEX_TPU_COVERAGE_CHUNK",
-                                            "65536"))
+                                            "131072"))
 
 # Additive candidate-budget reserve for the [class-prior, WordMatcher
 # heads, low-id matchers] chain. The reference's wm budget is
@@ -493,13 +493,25 @@ class SearchPipeline:
             pool.shutdown(wait=False)
             _mark("  s1-tier")
             if fallback:
-                if model.device is None:
-                    model.build_inverted_lists()
-                outs = model.stage1_backend.search_batch(
-                    [prep for _, prep in fallback], coverage_depth,
-                    total_docs=model.documents.count,
-                    stop_term_limit=model.stop_term_limit,
-                    live_override=model.stage1_live_override(prefilter_mask))
+                preps_f = [prep for _, prep in fallback]
+                if model.host_stage1_ok(preps_f, len(preps_f)):
+                    # 1-2 stragglers: the exact host scatter undercuts a
+                    # dedicated device round trip (~45-170ms on the
+                    # tunnel for a near-empty batch).
+                    outs = model.host_stage1.search_batch(
+                        preps_f, coverage_depth,
+                        total_docs=model.documents.count,
+                        stop_term_limit=model.stop_term_limit,
+                        host_mask=prefilter_mask)
+                else:
+                    if model.device is None:
+                        model.build_inverted_lists()
+                    outs = model.stage1_backend.search_batch(
+                        preps_f, coverage_depth,
+                        total_docs=model.documents.count,
+                        stop_term_limit=model.stop_term_limit,
+                        live_override=model.stage1_live_override(
+                            prefilter_mask))
                 for (i, _), o in zip(fallback, outs):
                     scores, ids = o[0], o[1]
                     if len(o) > 2:
