@@ -1,0 +1,109 @@
+"""Low-id-matcher class semantics + Damerau-LD1 fuzzy expansion.
+
+Covers the round-3 candidate generators:
+  - ``_lim_rows``: lowest True positions of a mask (vs a numpy oracle)
+  - ``ensure_champions``: clipped terms keep their LIM_K lowest doc ids
+  - ``_fuzzy_verify``: Damerau-LD1 accepts adjacent transpositions,
+    rejects distance-2 edits; the knob restores reference LD1 semantics
+  - end-to-end: a transposition typo of a word LONGER than the
+    WordMatcher LD1 gate still finds its documents (the fuzzy-expansion
+    path; reference FstIndex.MatchWithinEditDistance1 is plain LD1 and
+    misses these by design)
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from infidex_tpu import Document, Query, SearchEngine
+from infidex_tpu.index.device import LIM_K, _lim_rows
+from infidex_tpu.index.vector_model import VectorModel
+
+
+def test_lim_rows_lowest_true_positions():
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        m = rng.random((3, 4000)) > 0.99
+        out = np.asarray(_lim_rows(jnp.asarray(m), 300)).astype(np.int64)
+        for b in range(m.shape[0]):
+            pos = np.flatnonzero(m[b])[: min(LIM_K, 300)]
+            want = np.full(min(LIM_K, 300), 1 << 24, np.int64)
+            want[: pos.size] = pos
+            assert (out[b][: want.size] == want).all()
+
+
+def test_champions_reserve_lowest_ids():
+    from infidex_tpu.index.builder import TermDictionary, finalize_postings
+    from infidex_tpu.index.device import term_device_range
+
+    td = TermDictionary()
+    n_docs = 600
+    rng = np.random.default_rng(3)
+    tid, _ = td.get_or_add("huge")
+    # one huge term present in every doc with random weights
+    for d in range(n_docs):
+        td.postings[tid].increment_usage(10**6)
+        td.postings[tid].first_cycle_add(d, 10**6, False,
+                                         float(rng.integers(1, 200)))
+    built = finalize_postings(td, n_docs)
+    built.ensure_champions(cap=64)
+    s, n = term_device_range(built, tid)
+    lanes = np.asarray(built.ext_docs[s:s + n])
+    k_low = min(LIM_K, 64 // 2)
+    # the k_low lowest doc ids must all be present in the champion lanes
+    assert set(range(k_low)) <= set(lanes.tolist())
+    assert n == 64
+
+
+def test_fuzzy_verify_damerau():
+    m = VectorModel.__new__(VectorModel)
+    m.fuzzy_transpositions = True
+    assert m._fuzzy_verify("gidled", "gilded")          # transposition
+    assert m._fuzzy_verify("gilde", "gilded")           # LD1 delete
+    assert m._fuzzy_verify("gilded", "gilded")          # equal
+    assert not m._fuzzy_verify("gidled", "golden")      # far
+    assert not m._fuzzy_verify("ab", "ba" + "xx")       # len gate
+    # two swaps = Damerau distance 2 -> rejected
+    assert not m._fuzzy_verify("badc", "abcd")
+    m.fuzzy_transpositions = False                      # reference LD1
+    assert not m._fuzzy_verify("gidled", "gilded")
+    assert m._fuzzy_verify("gilde", "gilded")
+
+
+def test_long_word_transposition_end_to_end():
+    # 'wonderfulness' (13 chars) exceeds maximum_word_size_ld1=8: the
+    # WordMatcher cannot rescue its transposition typo; the Damerau
+    # fuzzy expansion must.
+    docs = [Document(0, "The Wonderfulness Chronicle"),
+            Document(1, "A Separate Story"),
+            Document(2, "Wonderfulness Again")]
+    eng = SearchEngine.create_default()
+    eng.index_documents(docs)
+    r = eng.search(Query("wondrefulness", 5))           # 'er' -> 're'
+    got = {e.document_id for e in r.records}
+    assert 0 in got and 2 in got, got
+
+
+def test_transpositions_knob_restores_reference_ld1():
+    docs = [Document(0, "The Wonderfulness Chronicle"),
+            Document(1, "A Separate Story")]
+    eng = SearchEngine.create_default()
+    eng.index_documents(docs)
+    model = eng.vector_model
+    old = VectorModel.fuzzy_transpositions
+    try:
+        model.fuzzy_transpositions = False
+        model._fuzzy_cache.clear() if hasattr(
+            model._fuzzy_cache, "clear") else None
+        ids = model.expand_missing_term_ids("wondrefulness")
+        terms = [model.built.terms[int(t)] for t in ids]
+        assert "wonderfulness" not in terms
+        model.fuzzy_transpositions = True
+        model._fuzzy_cache.put("wondrefulness", None) if False else None
+        # fresh token to bypass the LRU
+        ids2 = model.expand_missing_term_ids("wonderfulnses")
+        terms2 = [model.built.terms[int(t)] for t in ids2]
+        assert "wonderfulness" in terms2
+    finally:
+        VectorModel.fuzzy_transpositions = old
