@@ -97,6 +97,18 @@ DEVICE_COVERAGE_CHUNK_MIN = 2048
 COVERAGE_B_PAD = int(_os.environ.get("INFIDEX_TPU_COVERAGE_B", "64"))
 
 
+
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in SORTED ``sorted_arr`` via searchsorted
+    (np.isin re-sorts its second argument on every call — measured ~3x
+    slower on the per-query prior-assembly chain)."""
+    if values.size == 0 or sorted_arr.size == 0:
+        return np.zeros(values.size, bool)
+    j = np.searchsorted(sorted_arr, values)
+    jc = np.minimum(j, sorted_arr.size - 1)
+    return (j < sorted_arr.size) & (sorted_arr[jc] == values)
+
+
 def _interleave_heads(parts: List[np.ndarray], k: int) -> np.ndarray:
     """Union heads taken round-robin by per-part rank (each part's 1st
     lowest id, then every part's 2nd, ...), deduped keeping the earliest
@@ -716,12 +728,12 @@ class SearchPipeline:
             if prefilter_mask is not None:
                 conj = conj[prefilter_mask[conj]]
             if prior.size:
-                conj = conj[~np.isin(conj, prior)]
+                conj = conj[~_in_sorted(conj, np.sort(prior))]
             conj = conj[:CONJ_TAKE]
             extra = int(conj.size)
             prior = np.concatenate([prior, conj]) if prior.size else conj
         if prior.size:
-            prior = prior[~np.isin(prior, tfidf_arr)][:budget + extra]
+            prior = prior[~_in_sorted(prior, tfidf_arr)][:budget + extra]
         return prior.astype(np.int64), budget + extra
 
     def _lim_tail(self, lim_ids, budget: int, tfidf_arr: np.ndarray,
@@ -737,9 +749,9 @@ class SearchPipeline:
         lim = lim[lim < self._model.doc_keys_arr.size]
         if not lim.size:
             return lim
-        lim = lim[~np.isin(lim, tfidf_arr)]
+        lim = lim[~_in_sorted(lim, tfidf_arr)]
         if taken.size:
-            lim = lim[~np.isin(lim, taken)]
+            lim = lim[~_in_sorted(lim, np.sort(taken))]
         return lim[:budget]
 
     # ------------------------------------------------------------------
@@ -1069,9 +1081,9 @@ class SearchPipeline:
         if has_wm:
             k_head = wm_limit + len(wm_overlapping)
             heads = _interleave_heads(wm_parts, k_head)
-            outside = heads[~np.isin(heads, tfidf_arr)]
+            outside = heads[~_in_sorted(heads, tfidf_arr)]
             if prior.size:
-                outside = outside[~np.isin(outside, prior)]
+                outside = outside[~_in_sorted(outside, np.sort(prior))]
             wm_u = np.concatenate(
                 [prior,
                  outside[: max(wm_limit - prior.size, WM_TAKE_MIN)]])
@@ -1242,9 +1254,9 @@ class SearchPipeline:
         if has_wm:
             k_head = wm_limit + int(wm_overlapping.size)
             heads = _interleave_heads(wm_parts, k_head)
-            outside = heads[~np.isin(heads, tfidf_arr)]
+            outside = heads[~_in_sorted(heads, tfidf_arr)]
             if prior.size:
-                outside = outside[~np.isin(outside, prior)]
+                outside = outside[~_in_sorted(outside, np.sort(prior))]
             wm_unique = np.concatenate(
                 [prior,
                  outside[: max(wm_limit - prior.size, WM_TAKE_MIN)]])
