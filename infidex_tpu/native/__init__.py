@@ -66,6 +66,7 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         lib = ctypes.CDLL(_SO)
         c_u32p = ctypes.POINTER(ctypes.c_uint32)
+        c_f32p = ctypes.POINTER(ctypes.c_float)
         c_i64p = ctypes.POINTER(ctypes.c_int64)
         c_u8p = ctypes.POINTER(ctypes.c_uint8)
         c_i32p = ctypes.POINTER(ctypes.c_int32)
@@ -94,6 +95,11 @@ def _load() -> Optional[ctypes.CDLL]:
              ctypes.c_int64),
             ("infidex_gvi_decode_delta", [c_u8p, ctypes.c_int64, c_u32p],
              ctypes.c_int64),
+            ("infidex_score_pool",
+             [c_i64p, c_i32p, c_u8p, c_f32p, ctypes.c_int64,
+              ctypes.c_float, c_i64p, c_f32p, ctypes.c_int32,
+              c_i64p, ctypes.c_int32, c_f32p],
+             None),
         ):
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -179,3 +185,27 @@ def gvi_decode(data: bytes, count: int, delta: bool = False):
     consumed = fn(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                   count, _ptr(out))
     return out, int(consumed)
+
+def score_pool_native(term_offsets, postings_docs, postings_weights,
+                      doc_lengths, avgdl, term_ids, idfs, pool):
+    """BM25+ of ascending ``pool`` docs over query terms — C twin of
+    candidates.score_pool (bit-identical f32 results; parity pinned by
+    tests/test_lim_class.py)."""
+    def p(arr, dt, ct):
+        a = np.ascontiguousarray(arr, dt)
+        return a, a.ctypes.data_as(ctypes.POINTER(ct))
+
+    to, to_p = p(term_offsets, np.int64, ctypes.c_int64)
+    pd, pd_p = p(postings_docs, np.int32, ctypes.c_int32)
+    pw, pw_p = p(postings_weights, np.uint8, ctypes.c_uint8)
+    dl, dl_p = p(doc_lengths, np.float32, ctypes.c_float)
+    ti, ti_p = p(np.asarray(term_ids), np.int64, ctypes.c_int64)
+    fi, fi_p = p(np.asarray(idfs), np.float32, ctypes.c_float)
+    pl, pl_p = p(pool, np.int64, ctypes.c_int64)
+    out = np.empty(pl.size, np.float32)
+    _lib.infidex_score_pool(
+        to_p, pd_p, pw_p, dl_p, ctypes.c_int64(int(dl.size)),
+        ctypes.c_float(float(avgdl)), ti_p, fi_p,
+        ctypes.c_int32(int(ti.size)), pl_p, ctypes.c_int32(int(pl.size)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

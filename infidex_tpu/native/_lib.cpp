@@ -881,4 +881,58 @@ void infidex_wordstats_copy(void* h, uint32_t* blob, int64_t* key_offsets,
 
 void infidex_wordstats_free(void* h) { delete (bulk::DocListMap*)h; }
 
+
+// ---------------------------------------------------------------------
+// Exact BM25+ of pool docs over query terms (candidates.score_pool twin;
+// identical f32 op order => bit-identical scores, rankings preserved).
+// pool must be ascending; postings are doc-sorted, so each term joins
+// with a monotone galloping search instead of per-element binary search.
+
+void infidex_score_pool(const int64_t* term_offsets,
+                        const int32_t* postings_docs,
+                        const uint8_t* postings_weights,
+                        const float* doc_lengths, int64_t n_docs,
+                        float avgdl,
+                        const int64_t* term_ids, const float* idfs,
+                        int32_t n_terms,
+                        const int64_t* pool, int32_t n_pool,
+                        float* out) {
+    const float K1 = 1.2f, Bc = 0.75f, DELTA = 1.0f;
+    if (avgdl < 1e-9f) avgdl = 1e-9f;
+    std::vector<float> norm((size_t)n_pool);
+    for (int32_t i = 0; i < n_pool; i++) {
+        int64_t d = pool[i];
+        float dl = (d >= 0 && d < n_docs) ? doc_lengths[d] : 1.0f;
+        if (dl <= 0.0f) dl = 1.0f;
+        norm[(size_t)i] = K1 * (1.0f - Bc + Bc * (dl / avgdl));
+        out[i] = 0.0f;
+    }
+    for (int32_t t = 0; t < n_terms; t++) {
+        int64_t tid = term_ids[t];
+        float idf = idfs[t];
+        const int32_t* p = postings_docs + term_offsets[tid];
+        const uint8_t* w = postings_weights + term_offsets[tid];
+        int64_t n = term_offsets[tid + 1] - term_offsets[tid];
+        if (n <= 0) continue;
+        int64_t lo = 0;
+        for (int32_t i = 0; i < n_pool && lo < n; i++) {
+            int32_t d = (int32_t)pool[i];
+            // gallop forward then binary-search the bracket
+            int64_t step = 1, hi = lo;
+            while (hi < n && p[hi] < d) { lo = hi + 1; hi = lo + step; step <<= 1; }
+            if (hi > n) hi = n;
+            while (lo < hi) {
+                int64_t mid = (lo + hi) >> 1;
+                if (p[mid] < d) lo = mid + 1; else hi = mid;
+            }
+            if (lo < n && p[lo] == d) {
+                float tf = (float)w[lo];
+                out[i] += idf * ((tf * (K1 + 1.0f)) / (tf + norm[(size_t)i])
+                                 + DELTA);
+                lo++;
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -107,3 +107,50 @@ def test_transpositions_knob_restores_reference_ld1():
         assert "wonderfulness" in terms2
     finally:
         VectorModel.fuzzy_transpositions = old
+
+
+def test_native_score_pool_parity():
+    # native C twin must be bit-identical to the numpy formulation
+    from infidex_tpu import native as nat
+    if not nat.available:
+        pytest.skip("native lib unavailable")
+    import bench
+    from infidex_tpu.index.device import B, DELTA, K1
+
+    titles = bench.make_corpus(5000)
+    eng = SearchEngine.create_default()
+    eng.index_documents([Document(i, t) for i, t in enumerate(titles)])
+    built = eng.vector_model.built
+    rng = np.random.default_rng(11)
+    avgdl = np.float32(max(built.avgdl, 1e-9))
+    for _ in range(20):
+        tids = rng.integers(0, len(built.terms),
+                            size=rng.integers(1, 10)).tolist()
+        idfs = [float(np.float32(rng.random() * 8)) for _ in tids]
+        pool = np.unique(rng.integers(
+            0, 5000, size=rng.integers(5, 600))).astype(np.int64)
+        a = nat.score_pool_native(
+            built.term_offsets, built.postings_docs,
+            built.postings_weights, built.doc_lengths, avgdl, tids, idfs,
+            pool)
+        dl = built.doc_lengths[pool].astype(np.float32)
+        dl = np.where(dl <= 0.0, np.float32(1.0), dl)
+        norm = np.float32(K1) * (np.float32(1.0 - B)
+                                 + np.float32(B) * (dl / avgdl))
+        b = np.zeros(pool.size, np.float32)
+        for tid, idf in zip(tids, idfs):
+            s, e = int(built.term_offsets[tid]), int(
+                built.term_offsets[tid + 1])
+            p = built.postings_docs[s:e]
+            if p.size == 0:
+                continue
+            pos = np.searchsorted(p, pool)
+            pos_c = np.minimum(pos, p.size - 1)
+            found = p[pos_c] == pool
+            tf = np.where(found, built.postings_weights[s + pos_c],
+                          0).astype(np.float32)
+            contrib = np.float32(idf) * (
+                (tf * np.float32(K1 + 1.0)) / (tf + norm)
+                + np.float32(DELTA))
+            b += np.where(found, contrib, np.float32(0.0))
+        assert np.array_equal(a, b)
