@@ -944,6 +944,22 @@ class SearchPipeline:
                 if trace:
                     t_resolve += _time.perf_counter() - t0
 
+                # Tiny waves (a single interactive query, or a trickle
+                # batch) whose candidates span shape classes would pay one
+                # ~35ms link round trip PER class; below one chunk-min of
+                # total work, run everything as ONE call at the widest
+                # class present (identical scores — the class split only
+                # picks a cheaper compiled width).
+                total_c = sum(c["ids"].size for cl in acc.values()
+                              for _, c in cl)
+                if total_c <= DEVICE_COVERAGE_CHUNK_MIN and sum(
+                        1 for cl in acc.values() if cl) > 1:
+                    widest = ("wide" if acc["wide"] else "narrow")
+                    merged = acc["small"] + acc["narrow"] + acc["wide"]
+                    merged.sort(key=lambda t: t[0])  # qsel monotone
+                    acc = {"small": [], "narrow": [], "wide": []}
+                    acc[widest] = merged
+
                 t0 = _time.perf_counter() if trace else 0.0
                 for cls in ("small", "narrow", "wide"):
                     if not acc[cls]:
