@@ -444,8 +444,12 @@ MODES = {
 if __name__ == "__main__":
     import jax as _jax
 
-    _jax.devices()
+    # _setup_cache FIRST: it pins jax_platforms=cpu for CPU-forced runs
+    # BEFORE any backend init — jax.devices() initializes every
+    # registered plugin (including the axon TPU tunnel) otherwise, and
+    # hangs the process whenever the tunnel is down.
     _setup_cache()
+    _jax.devices()
     if len(sys.argv) > 1 and sys.argv[1] in MODES and MODES[sys.argv[1]]:
         kwargs = {}
         if len(_argv_nums) > 0:
