@@ -90,6 +90,42 @@ LIM_WINDOW = int(__import__("os").environ.get(
 LIM_K = int(__import__("os").environ.get("INFIDEX_TPU_LIM_K", 256))
 
 
+def stable_top_k(scores, k: int):
+    """top-k membership by (score desc, doc id asc) — EXACTLY, on device.
+
+    ``jax.lax.top_k``'s tie order is not stable across k (different
+    partial-sort schedules), so a query whose k-th score sits inside a
+    large tie class samples DIFFERENT candidates at different depths —
+    measured at 1M docs: 'yor' has ~87k docs in f32-identical tie
+    classes, and the depth-500 candidate set missed docs the depth-20000
+    oracle ranked top-3. Every strictly-above-boundary doc is in ANY
+    top-k, so only the boundary tie class needs fixing: replace the tail
+    with the class's LOWEST ids (a second, masked top_k — fusion's own
+    tie order, and the one the host twins use). Membership is then
+    deterministic and depth-nested. (A 64-bit packed-key single top_k
+    would be simpler, but jax_enable_x64 is off.)"""
+    one_d = scores.ndim == 1
+    if one_d:
+        scores = scores[None, :]
+    n_pad = scores.shape[-1]
+    ts, ti = jax.lax.top_k(scores, k)
+    s_k = ts[:, k - 1 : k]                                  # [B, 1]
+    n_above = (ts > s_k).sum(axis=1, keepdims=True)         # [B, 1]
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    keym = jnp.where(scores == s_k, iota[None, :],
+                     jnp.int32(1 << 24))
+    low = -jax.lax.top_k(-keym, k)[0]                       # id asc
+    pos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    tidx = jnp.clip(pos - n_above, 0, k - 1)
+    fill_ids = jnp.take_along_axis(low, tidx, axis=1)
+    out_ids = jnp.where(pos < n_above, ti, fill_ids)
+    out_scores = jnp.where(pos < n_above, ts,
+                           jnp.broadcast_to(s_k, ts.shape))
+    if one_d:
+        return out_scores[0], out_ids[0]
+    return out_scores, out_ids
+
+
 def _coverage_class(cnt, live_mask):
     """[n_q, N] bool: docs whose distinct-scoring-term count reaches the
     row maximum (the Stage-1 analogue of fusion's top quality class)."""
@@ -190,8 +226,7 @@ def _stage1_kernel(
         scores = scores.at[extra_docs].add(econtrib, mode="drop")
 
     scores = scores * live_mask
-    top_scores, top_ids = jax.lax.top_k(scores[:], k)
-    return top_scores, top_ids
+    return stable_top_k(scores[:], k)
 
 
 @functools.partial(
@@ -285,7 +320,7 @@ def _stage1_kernel_batch(
             f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
-    top_scores, top_ids = jax.lax.top_k(scores, k)
+    top_scores, top_ids = stable_top_k(scores, k)
     m = _coverage_class(cnt, live_mask)
     if fz_any is not None:
         m = m | (fz_any & (live_mask[None, :] > 0.0))
@@ -401,7 +436,7 @@ def _stage1_kernel_batch_chunked(
             f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
-    top_scores, top_ids = jax.lax.top_k(scores, k)
+    top_scores, top_ids = stable_top_k(scores, k)
     m = _coverage_class(cnt, live_mask)
     if fz_any is not None:
         m = m | (fz_any & (live_mask[None, :] > 0.0))

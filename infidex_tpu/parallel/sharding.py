@@ -25,7 +25,7 @@ except ImportError:  # older JAX
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.device import B, DELTA, K1
+from ..index.device import B, DELTA, K1, stable_top_k
 
 DOC_AXIS = "docs"
 
@@ -36,6 +36,33 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.array(devices), (DOC_AXIS,))
+
+
+
+def _stable_merge(all_s, all_i, k: int):
+    """Global top-k of gathered per-shard (score, id) rows by
+    (score desc, id asc) — the device.py stable_top_k boundary-class
+    treatment applied to the ICI merge, so sharded candidate sets are
+    deterministic and depth-nested exactly like single-chip ones. Each
+    shard's local selection is stable, so the global boundary class's
+    lowest ids are always among the gathered rows."""
+    one_d = all_s.ndim == 1
+    if one_d:
+        all_s, all_i = all_s[None, :], all_i[None, :]
+    ts, tpos = jax.lax.top_k(all_s, k)
+    ti = jnp.take_along_axis(all_i, tpos, axis=1)
+    s_k = ts[:, k - 1 : k]
+    n_above = (ts > s_k).sum(axis=1, keepdims=True)
+    keym = jnp.where(all_s == s_k, all_i, jnp.int32(1 << 24))
+    low = -jax.lax.top_k(-keym, k)[0]
+    pos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    tidx = jnp.clip(pos - n_above, 0, k - 1)
+    fill = jnp.take_along_axis(low, tidx, axis=1)
+    out_i = jnp.where(pos < n_above, ti, fill)
+    out_s = jnp.where(pos < n_above, ts, jnp.broadcast_to(s_k, ts.shape))
+    if one_d:
+        return out_s[0], out_i[0]
+    return out_s, out_i
 
 
 @functools.partial(
@@ -98,14 +125,14 @@ def sharded_stage1_topk(
         scores = scores * live_shard
 
         k_local = min(k, shard_size)
-        top_s, top_i = jax.lax.top_k(scores, k_local)
+        top_s, top_i = stable_top_k(scores, k_local)
         top_i = top_i + base
 
-        # ICI merge: gather every shard's top-k, take the global top-k.
+        # ICI merge: gather every shard's stable top-k, merge by
+        # (score desc, global id asc).
         all_s = jax.lax.all_gather(top_s, DOC_AXIS, tiled=True)
         all_i = jax.lax.all_gather(top_i, DOC_AXIS, tiled=True)
-        g_s, g_pos = jax.lax.top_k(all_s, k)
-        return g_s, all_i[g_pos]
+        return _stable_merge(all_s, all_i, k)
 
     fn = shard_map(
         per_shard,
@@ -242,14 +269,14 @@ def sharded_stage1_batch(
 
         scores = scores * live_shard[None, :]
         k_local = min(k, shard_size)
-        top_s, top_i = jax.lax.top_k(scores, k_local)
+        top_s, top_i = stable_top_k(scores, k_local)
         top_i = top_i + base
 
-        # ICI merge: every shard contributes its local top-k per query.
+        # ICI merge: every shard contributes its stable local top-k per
+        # query; merge by (score desc, global id asc).
         all_s = jax.lax.all_gather(top_s, DOC_AXIS, tiled=True, axis=1)
         all_i = jax.lax.all_gather(top_i, DOC_AXIS, tiled=True, axis=1)
-        g_s, g_pos = jax.lax.top_k(all_s, k)
-        g_i = jnp.take_along_axis(all_i, g_pos, axis=1)
+        g_s, g_i = _stable_merge(all_s, all_i, k)
 
         # low-id matcher rows (device.py _lim_rows twin): per-shard
         # lowest GLOBAL ids of the maximum-gram-coverage class (global
