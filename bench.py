@@ -441,7 +441,37 @@ MODES = {
     "incremental": bench_incremental,  # config 5
 }
 
+def _probe_backend(timeout_s: int = 240) -> bool:
+    """True when TPU backend init succeeds within ``timeout_s``.
+
+    Probed in a SUBPROCESS: a dead tunnel makes backend init hang
+    uninterruptibly inside the plugin, so the only safe check is one we
+    can kill. On failure the bench falls back to the CPU backend at a
+    reduced scale rather than hanging the driver forever."""
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        return True
+    code = ("import numpy, jax, jax.numpy as jnp;"
+            "numpy.asarray(jnp.ones(4)+1)")
+    try:
+        return _sp.run([_sys.executable, "-c", code], timeout=timeout_s,
+                       capture_output=True).returncode == 0
+    except Exception:
+        return False
+
+
 if __name__ == "__main__":
+    if not _probe_backend():
+        import os as _os
+
+        log("[bench] TPU backend init failed/hung — CPU fallback at "
+            "reduced scale (tunnel down; QPS not comparable)")
+        _os.environ["JAX_PLATFORMS"] = "cpu"
+        N_DOCS = min(N_DOCS, 10_000)
+        N_QUERIES = min(N_QUERIES, 128)
     import jax as _jax
 
     # _setup_cache FIRST: it pins jax_platforms=cpu for CPU-forced runs
