@@ -154,3 +154,41 @@ def test_native_score_pool_parity():
                 + np.float32(DELTA))
             b += np.where(found, contrib, np.float32(0.0))
         assert np.array_equal(a, b)
+
+
+def test_depth_nested_candidates_on_tie_heavy_corpus():
+    """Production (depth-500) coverage candidates must be a subset of a
+    deeper run's (depth-2000) on a corpus where one query's Stage-1 tie
+    class dwarfs both depths — the stable_top_k contract end-to-end
+    (plain lax.top_k sampled DIFFERENT tie members per depth)."""
+    import random
+
+    rng = random.Random(5)
+    syll = ["ba", "ce", "do", "fa", "gi", "ha", "ji", "ka", "lo", "me"]
+    docs = [Document(i, f"Yorin{rng.choice(syll)} "
+                        f"{rng.choice(syll).title()}zen")
+            for i in range(3000)]
+    eng = SearchEngine.create_default()
+    eng.index_documents(docs)
+    pipe = eng._pipeline
+    model = eng.vector_model
+
+    def worklist(depth):
+        prep = model.prepare_stage1("yorin")
+        out = model.stage1_tiered_maybe(prep, depth)
+        if out is None:
+            out = model.stage1_backend.search_batch(
+                [prep], depth, total_docs=model.documents.count,
+                stop_term_limit=model.stop_term_limit)[0]
+        s1 = model.finish_stage1_arrays(out[0], out[1])
+        lim = out[2] if len(out) > 2 else None
+        pipe._wm_tls.prefetch = {}
+        job = pipe._coverage_begin_fast(
+            "yorin", eng._coverage_setup, depth, s1, lim_ids=lim)
+        ids = job["worklist_ids"]
+        return set(ids[(ids >= 0) & (ids < model.doc_keys_arr.size)]
+                   .tolist())
+
+    shallow = worklist(500)
+    deep = worklist(2000)
+    assert shallow <= deep, sorted(shallow - deep)[:10]
