@@ -189,23 +189,25 @@ def _measure(engine, queries, Query, max_results=10, make_query=None):
     warmup_s = _t.perf_counter() - t0
     log(f"[bench] warmup done in {warmup_s:.0f}s")
 
-    # Two batches in flight: one thread's host work (tokenize, candidate
-    # resolution, post-processing) overlaps the other's device wait —
-    # the engine's RW lock admits concurrent readers and JAX releases the
-    # GIL during device execution.
-    from concurrent.futures import ThreadPoolExecutor
-
-    def run_batch(chunk):
-        t1 = _t.perf_counter()
-        engine.search_batch([make_query(q) for q in chunk])
-        return _t.perf_counter() - t1, len(chunk)
-
+    # Software-pipelined sub-batches: batch i+1's host work (tokenize,
+    # WordMatcher lookups, candidate resolution) runs while batch i's
+    # device programs execute — single thread, async JAX dispatch, so the
+    # overlap does NOT depend on the GIL being released during device
+    # waits (measured: 2-thread search_batch gave zero overlap on the
+    # tunneled chip). Steady state approaches max(host_ms, device_ms).
     chunks = [queries[i : i + BATCH] for i in range(0, len(queries), BATCH)]
     latencies = []
     t0 = _t.perf_counter()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for dt, n in pool.map(run_batch, chunks):
-            latencies.extend([dt] * n)
+    for lo in range(0, len(chunks), 4):
+        # 4 sub-batches per call keeps the pipeline primed while bounding
+        # per-call latency attribution.
+        group = chunks[lo : lo + 4]
+        t1 = _t.perf_counter()
+        engine.search_many([make_query(q) for c in group for q in c],
+                           batch_size=BATCH)
+        dt = (_t.perf_counter() - t1) / len(group)
+        for c in group:
+            latencies.extend([dt] * len(c))
     wall = _t.perf_counter() - t0
     latencies.sort()
     return (len(queries) / wall, latencies[len(latencies) // 2] * 1000.0,

@@ -482,80 +482,148 @@ class SearchEngine:
         with self._rw_lock.read_lock():
             if not self._servable():
                 return [Result.make_empty() for _ in queries]
-
-            prepped: List[Query] = []
-            direct: Dict[int, Result] = {}
-            for i, query in enumerate(queries):
-                q = query.copy()
-                q_text = q.text.strip()
-                if self._vector_model.tokenizer.text_normalizer is not None:
-                    q_text = self._vector_model.tokenizer.text_normalizer.normalize(q_text)
-                q_text = q_text.lower()
-                if (self._synonym_map is not None
-                        and self._synonym_map.has_canonical_mappings
-                        and self._vector_model.tokenizer.tokenizer_setup is not None):
-                    q_text = self._synonym_map.canonicalize_text(
-                        q_text, self._vector_model.tokenizer.tokenizer_setup.delimiters)
-                q.text = q_text
-                q._timeout_ms = max(0, min(q._timeout_ms, 10000))
-                if not q.text or q.text.isspace():
-                    direct[i] = (self._handle_empty_query_with_facets(q)
-                                 if q.enable_facets else Result.make_empty())
-                prepped.append(q)
-
-            # Group queries by identical pipeline parameters; each group is
-            # one batched pipeline run (parameters are almost always uniform).
-            groups: Dict[tuple, List[int]] = {}
-            for i, q in enumerate(prepped):
-                if i in direct:
-                    continue
-                setup = (q.coverage_setup or self._coverage_setup) \
-                    if q.enable_coverage else None
-                key = (id(setup), q.coverage_depth,
-                       q.max_number_of_records_to_return, id(q.filter))
-                groups.setdefault(key, []).append(i)
-
-            statuses: List[Dict[str, bool]] = [{} for _ in prepped]
+            prepped, direct, statuses = self._prep_batch_queries(queries)
             results_by_query: Dict[int, List[ScoreEntry]] = {}
-            for (_, depth, max_records, _fid), idxs in groups.items():
+            for (_, depth, max_records, _fid), idxs in self._group_by_params(
+                    prepped, direct).items():
                 q0 = prepped[idxs[0]]
                 setup = (q0.coverage_setup or self._coverage_setup) \
                     if q0.enable_coverage else None
                 batch_out = self._pipeline.execute_batch(
                     [prepped[i].text for i in idxs], setup, depth, max_records,
-                    deadlines=[
-                        (t_start
-                         + prepped[i].time_out_limit_milliseconds / 1000.0)
-                        if prepped[i].timeout_enforced else None
-                        for i in idxs],
+                    deadlines=self._batch_deadlines(prepped, idxs, t_start),
                     statuses=[statuses[i] for i in idxs],
                     prefilter_mask=self._prefilter_mask(q0.filter))
                 for i, res in zip(idxs, batch_out):
                     results_by_query[i] = res
+            return self._finalize_batch_results(
+                prepped, direct, statuses, results_by_query, t_start)
 
-            out: List[Result] = []
-            for i, q in enumerate(prepped):
-                if i in direct:
-                    out.append(direct[i])
-                    continue
-                results = self._apply_post_processing(results_by_query[i], q)
-                facets = None
-                if q.enable_facets:
-                    facets = facet_builder.build_facets(
-                        results, self._vector_model.documents,
-                        self._document_field_schema)
-                top = results[: q.max_number_of_records_to_return]
-                out.append(Result(
-                    records=top,
-                    facets=facets,
-                    truncation_index=len(top) - 1 if top else 0,
-                    truncation_score=top[-1].score if top else 0.0,
-                    did_time_out=statuses[i].get("timed_out", False),
-                    total_candidates=len(results),
-                    execution_time_ms=int(
-                        (_time.perf_counter() - t_start) * 1000),
-                ))
-            return out
+    def search_many(self, queries: List[Query], batch_size: int = 64,
+                    pipeline_depth: int = 2) -> List[Result]:
+        """Execute MANY searches as software-pipelined sub-batches.
+
+        Splits the queries into ``batch_size`` batches and overlaps batch
+        i+1's host work (tokenize, WordMatcher lookups, candidate resolve)
+        with batch i's in-flight device programs via async JAX dispatch
+        (``SearchPipeline.execute_batches_pipelined``). Per-query semantics
+        are identical to ``search_batch``; this is the bulk/serving entry
+        point — on a high-latency device link the steady-state cost per
+        batch approaches max(host_ms, device_ms) instead of their sum.
+        """
+        import time as _time
+
+        t_start = _time.perf_counter()
+        with self._rw_lock.read_lock():
+            if not self._servable():
+                return [Result.make_empty() for _ in queries]
+            prepped, direct, statuses = self._prep_batch_queries(queries)
+            specs: List[dict] = []
+            spec_idxs: List[List[int]] = []
+            for (_, depth, max_records, _fid), idxs in self._group_by_params(
+                    prepped, direct).items():
+                q0 = prepped[idxs[0]]
+                setup = (q0.coverage_setup or self._coverage_setup) \
+                    if q0.enable_coverage else None
+                pf = self._prefilter_mask(q0.filter)
+                for lo in range(0, len(idxs), batch_size):
+                    sub = idxs[lo:lo + batch_size]
+                    specs.append(dict(
+                        search_texts=[prepped[i].text for i in sub],
+                        coverage_setup=setup,
+                        coverage_depth=depth,
+                        max_results=max_records,
+                        deadlines=self._batch_deadlines(prepped, sub, t_start),
+                        statuses=[statuses[i] for i in sub],
+                        prefilter_mask=pf))
+                    spec_idxs.append(sub)
+            results_by_query: Dict[int, List[ScoreEntry]] = {}
+            for sub, batch_out in zip(spec_idxs,
+                                      self._pipeline.execute_batches_pipelined(
+                                          specs, pipeline_depth)):
+                for i, res in zip(sub, batch_out):
+                    results_by_query[i] = res
+            return self._finalize_batch_results(
+                prepped, direct, statuses, results_by_query, t_start)
+
+    def _prep_batch_queries(self, queries: List[Query]):
+        """Shared search_batch/search_many query prep: normalize text,
+        canonicalize synonyms, clamp timeouts, answer empty queries."""
+        prepped: List[Query] = []
+        direct: Dict[int, Result] = {}
+        for i, query in enumerate(queries):
+            q = query.copy()
+            q_text = q.text.strip()
+            if self._vector_model.tokenizer.text_normalizer is not None:
+                q_text = self._vector_model.tokenizer.text_normalizer.normalize(q_text)
+            q_text = q_text.lower()
+            if (self._synonym_map is not None
+                    and self._synonym_map.has_canonical_mappings
+                    and self._vector_model.tokenizer.tokenizer_setup is not None):
+                q_text = self._synonym_map.canonicalize_text(
+                    q_text, self._vector_model.tokenizer.tokenizer_setup.delimiters)
+            q.text = q_text
+            q._timeout_ms = max(0, min(q._timeout_ms, 10000))
+            if not q.text or q.text.isspace():
+                direct[i] = (self._handle_empty_query_with_facets(q)
+                             if q.enable_facets else Result.make_empty())
+            prepped.append(q)
+        statuses: List[Dict[str, bool]] = [{} for _ in prepped]
+        return prepped, direct, statuses
+
+    def _group_by_params(self, prepped: List[Query],
+                         direct: Dict[int, Result]) -> Dict[tuple, List[int]]:
+        """Group queries by identical pipeline parameters; each group is
+        one batched pipeline run (parameters are almost always uniform)."""
+        groups: Dict[tuple, List[int]] = {}
+        for i, q in enumerate(prepped):
+            if i in direct:
+                continue
+            setup = (q.coverage_setup or self._coverage_setup) \
+                if q.enable_coverage else None
+            key = (id(setup), q.coverage_depth,
+                   q.max_number_of_records_to_return, id(q.filter))
+            groups.setdefault(key, []).append(i)
+        return groups
+
+    @staticmethod
+    def _batch_deadlines(prepped: List[Query], idxs: List[int],
+                         t_start: float) -> List[Optional[float]]:
+        return [
+            (t_start + prepped[i].time_out_limit_milliseconds / 1000.0)
+            if prepped[i].timeout_enforced else None
+            for i in idxs]
+
+    def _finalize_batch_results(self, prepped: List[Query],
+                                direct: Dict[int, Result],
+                                statuses: List[Dict[str, bool]],
+                                results_by_query: Dict[int, List[ScoreEntry]],
+                                t_start: float) -> List[Result]:
+        import time as _time
+
+        out: List[Result] = []
+        for i, q in enumerate(prepped):
+            if i in direct:
+                out.append(direct[i])
+                continue
+            results = self._apply_post_processing(results_by_query[i], q)
+            facets = None
+            if q.enable_facets:
+                facets = facet_builder.build_facets(
+                    results, self._vector_model.documents,
+                    self._document_field_schema)
+            top = results[: q.max_number_of_records_to_return]
+            out.append(Result(
+                records=top,
+                facets=facets,
+                truncation_index=len(top) - 1 if top else 0,
+                truncation_score=top[-1].score if top else 0.0,
+                did_time_out=statuses[i].get("timed_out", False),
+                total_candidates=len(results),
+                execution_time_ms=int(
+                    (_time.perf_counter() - t_start) * 1000),
+            ))
+        return out
 
     def _handle_empty_query_with_facets(self, q: Query) -> Result:
         """Empty-query faceting without materializing a ScoreEntry per doc:

@@ -787,6 +787,36 @@ class DeviceIndex:
             self._dispatch_group(queries[lo:hi], top_k, total_docs,
                                  stop_term_limit, live_override)
             for lo, hi in groups]
+        return self.search_batch_collect(handles)
+
+    def search_batch_dispatch(
+        self,
+        queries,
+        top_k: int,
+        total_docs: Optional[int] = None,
+        stop_term_limit: int = 1_250_000,
+        live_override=None,
+    ) -> list:
+        """Async half of ``search_batch``: dispatch every lane-capped
+        group program and return the device output handles WITHOUT
+        waiting. Pair with ``search_batch_collect``; the split lets the
+        batch pipeline (scoring/pipeline.py execute_batches_pipelined)
+        run another batch's host work while these programs execute."""
+        if not queries:
+            return []
+        max_q = max(1, ((1 << 31) - 1) // self.n_pad)
+        handles: list = []
+        for lo in range(0, len(queries), max_q):
+            chunk = queries[lo:lo + max_q]
+            for glo, ghi in split_batch_by_lanes(self.built, chunk):
+                handles.append(self._dispatch_group(
+                    chunk[glo:ghi], top_k, total_docs, stop_term_limit,
+                    live_override))
+        return handles
+
+    def search_batch_collect(self, handles: list) -> list:
+        """Blocking half of ``search_batch``: read back every dispatched
+        group in dispatch order."""
         out: list = []
         for h in handles:
             out.extend(self._collect_group(h))

@@ -343,7 +343,61 @@ class SearchPipeline:
                       deadlines: Optional[List[Optional[float]]] = None,
                       statuses: Optional[List[dict]] = None,
                       prefilter_mask=None) -> List[List[ScoreEntry]]:
-        """Run B searches with batched device work.
+        """Run B searches with batched device work (blocking driver for
+        ``execute_batch_gen``)."""
+        gen = self.execute_batch_gen(
+            search_texts, coverage_setup, coverage_depth, max_results,
+            deadlines=deadlines, statuses=statuses,
+            prefilter_mask=prefilter_mask)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
+
+    def execute_batches_pipelined(self, specs: List[dict],
+                                  pipeline_depth: int = 2
+                                  ) -> List[List[List[ScoreEntry]]]:
+        """Run many batches with their device work software-pipelined.
+
+        Each spec is a kwargs dict for ``execute_batch_gen``. The
+        generators yield right after DISPATCHING device work (Stage-1
+        lane groups, coverage chunks) and collect it on resume; this
+        scheduler round-robins up to ``pipeline_depth`` in-flight
+        batches, so batch i+1's host work (tokenize, WordMatcher,
+        candidate resolve) runs while batch i's programs execute on
+        device. JAX dispatch is async, so no extra threads are needed —
+        the measured win does not depend on the GIL being released.
+
+        Per-batch semantics are identical to ``execute_batch``.
+        """
+        from collections import deque
+
+        results: List = [None] * len(specs)
+        live: deque = deque()
+        nxt = 0
+        while nxt < len(specs) or live:
+            if nxt < len(specs) and len(live) < pipeline_depth:
+                item = (nxt, self.execute_batch_gen(**specs[nxt]))
+                nxt += 1
+            else:
+                item = live.popleft()
+            try:
+                next(item[1])
+                live.append(item)
+            except StopIteration as stop:
+                results[item[0]] = stop.value
+        return results
+
+    def execute_batch_gen(self, search_texts: List[str],
+                          coverage_setup: Optional[CoverageSetup],
+                          coverage_depth: int,
+                          max_results: int = INT_MAX,
+                          deadlines: Optional[List[Optional[float]]] = None,
+                          statuses: Optional[List[dict]] = None,
+                          prefilter_mask=None):
+        """Generator form of batched search: yields while device work is
+        in flight so a scheduler can interleave other batches' host work.
 
         Semantics are identical to ``execute`` per query; the device calls
         are shared: ONE Stage-1 kernel call scores every query's postings
@@ -401,9 +455,14 @@ class SearchPipeline:
         # host threads so they overlap the Stage-1 device round trips
         # below (numpy set ops release the GIL while device_get blocks).
         # _coverage_begin(_fast) consumes self._wm_prefetch.
+        # Per-BATCH prefetch maps (not plain thread-locals): interleaved
+        # generators share the pipeline thread, so each one re-installs its
+        # own maps right after every yield point.
         wm_pool = None
-        self._wm_tls.prefetch = {}
-        self._wm_tls.conj = {}
+        prefetch_d: Dict = {}
+        conj_d: Dict = {}
+        self._wm_tls.prefetch = prefetch_d
+        self._wm_tls.conj = conj_d
         if self._word_matcher is not None and self._word_matcher._finalized:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -472,6 +531,19 @@ class SearchPipeline:
                     total_docs=model.documents.count,
                     stop_term_limit=model.stop_term_limit,
                     host_mask=prefilter_mask)
+            elif hasattr(model.stage1_backend, "search_batch_dispatch"):
+                # Pipeline point 1: Stage-1 lane groups are in flight on
+                # device; yield so the scheduler can run another batch's
+                # host work, then collect.
+                handles = model.stage1_backend.search_batch_dispatch(
+                    preps_b, coverage_depth,
+                    total_docs=model.documents.count,
+                    stop_term_limit=model.stop_term_limit,
+                    live_override=model.stage1_live_override(prefilter_mask))
+                yield "s1"
+                self._wm_tls.prefetch = prefetch_d
+                self._wm_tls.conj = conj_d
+                outs = model.stage1_backend.search_batch_collect(handles)
             else:
                 outs = model.stage1_backend.search_batch(
                     preps_b, coverage_depth,
@@ -587,7 +659,13 @@ class SearchPipeline:
             self._t_wm = self._t_prepq = 0.0
         _mark("gate+begin")
         if jobs:
-            self._coverage_run(jobs, coverage_setup)
+            # Pipeline point 2: coverage chunks dispatched (plus host-
+            # oracle leftovers already scored); yield while they execute.
+            cov_state = self._coverage_run_begin(jobs, coverage_setup)
+            yield "cov"
+            self._wm_tls.prefetch = prefetch_d
+            self._wm_tls.conj = conj_d
+            self._coverage_run_end(cov_state)
         _mark("coverage")
 
         for i, job in job_of.items():
@@ -853,6 +931,15 @@ class SearchPipeline:
         """Score every job's worklist: batched device kernel where eligible
         (across ALL jobs — one program call scores many queries' candidates),
         host oracle for the rest."""
+        self._coverage_run_end(self._coverage_run_begin(jobs, coverage_setup))
+
+    def _coverage_run_begin(self, jobs: List[dict],
+                            coverage_setup: CoverageSetup) -> dict:
+        """Non-blocking half of ``_coverage_run``: encode queries, resolve
+        candidates, DISPATCH every device chunk, and run the host-oracle
+        leftovers. Returns the in-flight state for ``_coverage_run_end``;
+        the split lets the batch pipeline run another batch's host work
+        while the chunks execute on device."""
         model = self._model
 
         # Phase 1 — encode every eligible query (cheap, no candidate work).
@@ -1005,6 +1092,21 @@ class SearchPipeline:
                         break
                     job["process"](internal_id, base_score)
         t_host = (_time.perf_counter() - t0) if trace else 0.0
+        return dict(jobs=jobs, pending=pending, leftover_work=leftover_work,
+                    n_chunks=n_chunks, n_cands=n_cands, trace=trace,
+                    t_resolve=t_resolve, t_dispatch=t_dispatch,
+                    t_host=t_host)
+
+    def _coverage_run_end(self, state: dict) -> None:
+        """Blocking half of ``_coverage_run``: read back the dispatched
+        chunks and do the fallback accounting."""
+        import time as _time
+
+        jobs = state["jobs"]
+        pending = state["pending"]
+        leftover_work = state["leftover_work"]
+        n_cands = state["n_cands"]
+        trace = state["trace"]
         t0 = _time.perf_counter() if trace else 0.0
         self._device_collect(pending)
         # Host-fallback accounting: candidates that bypassed the device
@@ -1023,10 +1125,11 @@ class SearchPipeline:
         self.coverage_device_count += n_cands
         if trace:
             t_collect = _time.perf_counter() - t0
-            print(f"[PIPE]   cov-detail: resolve={t_resolve*1000:.1f}ms "
-                  f"dispatch={t_dispatch*1000:.1f}ms host={t_host*1000:.1f}ms "
+            print(f"[PIPE]   cov-detail: resolve={state['t_resolve']*1000:.1f}ms "
+                  f"dispatch={state['t_dispatch']*1000:.1f}ms "
+                  f"host={state['t_host']*1000:.1f}ms "
                   f"collect={t_collect*1000:.1f}ms "
-                  f"chunks={n_chunks} cands={n_cands} "
+                  f"chunks={state['n_chunks']} cands={n_cands} "
                   f"host_fallback={n_fallback}", flush=True)
 
     # ------------------------------------------------------------------

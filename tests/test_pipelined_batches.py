@@ -1,0 +1,85 @@
+"""search_many (software-pipelined sub-batches) parity with search_batch.
+
+The pipelined scheduler interleaves generator segments of several
+batches on one thread (scoring/pipeline.py execute_batches_pipelined);
+these tests pin that interleaving changes NOTHING about per-query
+results — scores, ids, order — versus the serial batched path.
+"""
+
+import random
+
+import pytest
+
+from infidex_tpu import Document, Query, SearchEngine
+
+WORDS = ["galaxy", "quest", "matrix", "revolution", "dark", "knight",
+         "returns", "phantom", "menace", "empire", "strikes", "back",
+         "godfather", "inception", "interstellar", "gravity", "alien",
+         "predator", "terminator", "avatar", "titanic", "casablanca"]
+
+
+def _mk_engine(n_docs=3000, seed=7):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        k = rng.randint(1, 4)
+        docs.append(Document(i, " ".join(rng.choice(WORDS)
+                                         for _ in range(k))))
+    eng = SearchEngine.create_default()
+    eng.index_documents(docs)
+    return eng
+
+
+def _keys(res):
+    return [(r.document_id, round(r.score, 4)) for r in res.records]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return _mk_engine()
+
+
+def test_search_many_matches_search_batch(engine):
+    rng = random.Random(11)
+    queries = []
+    for _ in range(40):
+        w = rng.choice(WORDS)
+        kind = rng.randrange(5)
+        if kind == 0:
+            queries.append(w)                      # exact
+        elif kind == 1:                            # typo
+            j = rng.randrange(len(w))
+            queries.append(w[:j] + "x" + w[j + 1:])
+        elif kind == 2:                            # multi-word
+            queries.append(w + " " + rng.choice(WORDS))
+        elif kind == 3:
+            queries.append(w[: max(2, len(w) // 2)])   # prefix
+        else:
+            queries.append(w[:1])                  # 1-char short query
+
+    serial = []
+    for lo in range(0, len(queries), 8):
+        serial.extend(engine.search_batch(
+            [Query(q, 10) for q in queries[lo:lo + 8]]))
+    piped = engine.search_many([Query(q, 10) for q in queries],
+                               batch_size=8, pipeline_depth=3)
+    assert len(serial) == len(piped)
+    for q, a, b in zip(queries, serial, piped):
+        assert _keys(a) == _keys(b), f"divergence on {q!r}"
+
+
+def test_search_many_single_sub_batch(engine):
+    # Degenerate case: everything fits one sub-batch — must equal
+    # search_batch exactly (same code path, depth-1 pipeline).
+    qs = ["galaxy", "quest xyz", "mat", "empire strikes"]
+    a = engine.search_batch([Query(q, 10) for q in qs])
+    b = engine.search_many([Query(q, 10) for q in qs], batch_size=64)
+    for x, y in zip(a, b):
+        assert _keys(x) == _keys(y)
+
+
+def test_search_many_empty_and_mixed(engine):
+    qs = ["", "   ", "galaxy"]
+    out = engine.search_many([Query(q, 10) for q in qs], batch_size=2)
+    assert out[0].records == [] and out[1].records == []
+    assert out[2].records
