@@ -53,6 +53,16 @@ def main():
         print(f"[probe] workers={workers}: wall={wall:.2f}s "
               f"qps={len(queries)/wall:.1f}", flush=True)
 
+    # Single-thread software pipeline (async dispatch — the approach that
+    # does NOT depend on the GIL being released during device waits).
+    for depth in (2, 3, 2):
+        t0 = time.perf_counter()
+        eng.search_many([Query(q, 10) for q in queries], batch_size=BATCH,
+                        pipeline_depth=depth)
+        wall = time.perf_counter() - t0
+        print(f"[probe] pipelined depth={depth}: wall={wall:.2f}s "
+              f"qps={len(queries)/wall:.1f}", flush=True)
+
 
 if __name__ == "__main__":
     main()
