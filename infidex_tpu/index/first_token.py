@@ -43,6 +43,11 @@ class FirstTokenIndex:
                 continue
             for v in _deletions(w):
                 self._sd.setdefault(v, []).append(w)
+        # class_prior memo: query words repeat (Zipf) and the index is
+        # immutable between rebuilds, so the per-word class assembly —
+        # the hottest main-thread piece of gate+begin at 1M docs — is
+        # computed once per (word, budget).
+        self._prior_cache: Dict[tuple, np.ndarray] = {}
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -71,20 +76,33 @@ class FirstTokenIndex:
         d = self._docs.get(word)
         return d if d is not None else np.zeros(0, np.int64)
 
-    def docs_prefix(self, word: str) -> np.ndarray:
+    def docs_prefix(self, word: str, need: Optional[int] = None
+                    ) -> np.ndarray:
         """Docs whose first token has ``word`` as a proper prefix
-        (exact hits excluded), ascending ids; word budget as WM affix."""
+        (exact hits excluded), ascending ids; word budget as WM affix.
+
+        ``need``: only the lowest ``need`` union members are required.
+        Per-word doc arrays are ascending (build appends in doc order),
+        so the union's lowest ``need`` distinct values always lie within
+        each array's first ``need`` elements — clipping before the
+        sort-union bounds the cost by the budget instead of the df."""
         lo = bisect_left(self._sorted_words, word)
         hi = bisect_right(self._sorted_words, word + "￿")
         words = [w for w in self._sorted_words[lo:hi][:MAX_PREFIX_WORDS]
                  if w != word]
         if not words:
             return np.zeros(0, np.int64)
-        return np.unique(np.concatenate([self._docs[w] for w in words]))
+        arrs = [self._docs[w] for w in words]
+        if need is not None:
+            arrs = [a[:need] for a in arrs]
+        out = np.unique(np.concatenate(arrs))
+        return out if need is None else out[:need]
 
-    def docs_fuzzy(self, word: str) -> np.ndarray:
+    def docs_fuzzy(self, word: str, need: Optional[int] = None
+                   ) -> np.ndarray:
         """Docs whose first token collides with ``word`` in the
-        symmetric-delete space (exact hits excluded)."""
+        symmetric-delete space (exact hits excluded). ``need`` as in
+        ``docs_prefix``."""
         if len(word) < FUZZY_MIN_LEN:
             return np.zeros(0, np.int64)
         cands: Dict[str, None] = {}
@@ -97,19 +115,36 @@ class FirstTokenIndex:
                 cands[v] = None
         if not cands:
             return np.zeros(0, np.int64)
-        return np.unique(np.concatenate(
-            [self._docs[w] for w in cands]))
+        arrs = [self._docs[w] for w in cands]
+        if need is not None:
+            arrs = [a[:need] for a in arrs]
+        out = np.unique(np.concatenate(arrs))
+        return out if need is None else out[:need]
 
     def class_prior(self, word: str, budget: int) -> np.ndarray:
         """Class-major candidate order for one query word: exact-start,
         then prefix-start, then fuzzy-start — each ascending ids, deduped,
-        clipped to ``budget``."""
+        clipped to ``budget``. Memoized per (word, budget)."""
+        key = (word, budget)
+        hit = self._prior_cache.get(key)
+        if hit is not None:
+            return hit
         out: List[np.ndarray] = []
         seen: Optional[np.ndarray] = None
         total = 0
-        for cls in (self.docs_exact(word), self.docs_prefix(word),
-                    self.docs_fuzzy(word)):
-            if total >= budget or cls.size == 0:
+        for make in (lambda n: self.docs_exact(word)[:n],
+                     lambda n: self.docs_prefix(word, n),
+                     lambda n: self.docs_fuzzy(word, n)):
+            if total >= budget:
+                continue
+            # The class is clipped to its lowest ``need`` members BEFORE
+            # the seen-dedup: up to seen.size could be removed, so ask
+            # for that many extra to keep the result identical to the
+            # unclipped computation.
+            need = budget - total + (int(seen.size) if seen is not None
+                                     else 0)
+            cls = make(need)
+            if cls.size == 0:
                 continue
             if seen is not None and seen.size:
                 cls = cls[~np.isin(cls, seen)]
@@ -119,6 +154,8 @@ class FirstTokenIndex:
             out.append(cls)
             total += int(cls.size)
             seen = cls if seen is None else np.concatenate([seen, cls])
-        if not out:
-            return np.zeros(0, np.int64)
-        return np.concatenate(out)
+        res = (np.concatenate(out) if out else np.zeros(0, np.int64))
+        if len(self._prior_cache) >= 8192:
+            self._prior_cache.clear()
+        self._prior_cache[key] = res
+        return res

@@ -51,13 +51,23 @@ def main():
         eng.search_batch([Query(q, 10) for q in chunks[0]])   # warm
     print("[lab] warm", flush=True)
 
+    profile = os.environ.get("LAB_PROFILE")
+    prof = None
+    if profile:
+        import cProfile
+        prof = cProfile.Profile()
+
     stage_ms = defaultdict(list)
     detail_ms = defaultdict(list)
     for c in chunks[1:]:
         buf = io.StringIO()
         t1 = time.perf_counter()
+        if prof is not None:
+            prof.enable()
         with contextlib.redirect_stdout(buf):
             eng.search_batch([Query(q, 10) for q in c])
+        if prof is not None:
+            prof.disable()
         wall = (time.perf_counter() - t1) * 1000
         stage_ms["TOTAL(cpu)"].append(wall)
         for line in buf.getvalue().splitlines():
@@ -75,6 +85,16 @@ def main():
         print(f"  {k:>14}: {sum(v)/len(v):8.1f}ms  (n={len(v)})")
     for k, v in sorted(detail_ms.items(), key=lambda kv: -sum(kv[1])):
         print(f"  {k:>14}: {sum(v)/len(v):8.1f}ms  (n={len(v)})")
+
+    if prof is not None:
+        import pstats
+        st = pstats.Stats(prof)
+        st.sort_stats("cumulative")
+        print("\n[lab] callees of the gate+begin subtree:")
+        st.print_callees("_coverage_begin_fast")
+        st.print_callees("_assemble_prior")
+        st.print_callees("class_prior")
+        st.print_callees("_resolve_candidates_fast")
 
 
 if __name__ == "__main__":

@@ -63,3 +63,49 @@ def test_deep_oracle_nests_production(big_engine):
     got = {r.document_id for r in prod.records}
     hits = sum(1 for d in want if d in got)
     assert hits >= 9, (want, sorted(got))
+
+
+def test_class_prior_clip_matches_unclipped():
+    """The need-clipped, memoized class_prior must equal the reference
+    (unclipped) class assembly for every budget — including vocabularies
+    where the fuzzy class overlaps the prefix class (deletion collisions
+    that are also prefix extensions)."""
+    import numpy as np
+
+    from infidex_tpu.index.first_token import FirstTokenIndex
+
+    rng = np.random.default_rng(3)
+    words = ["hans", "hansa", "hansel", "hana", "hanse", "bans", "hons",
+             "han", "hant", "xenon"]
+    table = {}
+    for w in words:
+        n = int(rng.integers(1, 60))
+        ids = np.unique(rng.integers(0, 5000, size=n)).astype(np.int64)
+        table[w] = ids
+    fti = FirstTokenIndex(table)
+
+    def unclipped(word, budget):
+        out, seen, total = [], None, 0
+        for cls in (fti.docs_exact(word), fti.docs_prefix(word),
+                    fti.docs_fuzzy(word)):
+            if total >= budget or cls.size == 0:
+                continue
+            if seen is not None and seen.size:
+                cls = cls[~np.isin(cls, seen)]
+            if cls.size == 0:
+                continue
+            cls = cls[: budget - total]
+            out.append(cls)
+            total += int(cls.size)
+            seen = cls if seen is None else np.concatenate([seen, cls])
+        return (np.concatenate(out) if out
+                else np.zeros(0, np.int64))
+
+    for word in ["hans", "han", "hansa", "nope", "xenon"]:
+        for budget in (1, 3, 7, 20, 100, 10_000):
+            got = fti.class_prior(word, budget)
+            want = unclipped(word, budget)
+            assert np.array_equal(got, want), (word, budget)
+            # memo hit returns the identical result
+            again = fti.class_prior(word, budget)
+            assert np.array_equal(again, want)
