@@ -90,6 +90,27 @@ LIM_WINDOW = int(__import__("os").environ.get(
 LIM_K = int(__import__("os").environ.get("INFIDEX_TPU_LIM_K", 256))
 
 
+# Diagnostic knobs (read at import): compile degraded Stage-1 variants so
+# a TPU timing session can split the kernel's cost into phases — the
+# scatter, the stable-tie second pass, and the LIM (cnt scatter +
+# coverage class + masked top_k) block. NOT for serving: results lose
+# the depth-stability / LIM guarantees.
+_S1_PLAIN_TOPK = __import__('os').environ.get("INFIDEX_TPU_S1_PLAIN_TOPK") == "1"
+_S1_NO_LIM = __import__('os').environ.get("INFIDEX_TPU_S1_NO_LIM") == "1"
+
+
+def _s1_top_k(scores, k: int):
+    if _S1_PLAIN_TOPK:
+        return jax.lax.top_k(scores, k)
+    return stable_top_k(scores, k)
+
+
+def _s1_lim(m, k: int):
+    if _S1_NO_LIM:
+        return jnp.full((m.shape[0], k), float(1 << 24), jnp.float32)
+    return _lim_rows(m, k)
+
+
 def stable_top_k(scores, k: int):
     """top-k membership by (score desc, doc id asc) — EXACTLY, on device.
 
@@ -320,14 +341,14 @@ def _stage1_kernel_batch(
             f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
-    top_scores, top_ids = stable_top_k(scores, k)
+    top_scores, top_ids = _s1_top_k(scores, k)
     m = _coverage_class(cnt, live_mask)
     if fz_any is not None:
         m = m | (fz_any & (live_mask[None, :] > 0.0))
     # One packed output = one host transfer (tunneled links pay a full
     # round trip per array). Doc ids are exact in f32 up to 2^24.
     return jnp.stack([top_scores, top_ids.astype(jnp.float32),
-                      _lim_rows(m, k)])
+                      _s1_lim(m, k)])
 
 
 def _fuzzy_block(scores, cnt, postings_docs, doc_lengths, fz_starts, fz_lens,
@@ -436,12 +457,12 @@ def _stage1_kernel_batch_chunked(
             f_pad=f_pad, n_grp=n_grp, n_q=n_q)
 
     scores = scores * live_mask[None, :]
-    top_scores, top_ids = stable_top_k(scores, k)
+    top_scores, top_ids = _s1_top_k(scores, k)
     m = _coverage_class(cnt, live_mask)
     if fz_any is not None:
         m = m | (fz_any & (live_mask[None, :] > 0.0))
     return jnp.stack([top_scores, top_ids.astype(jnp.float32),
-                      _lim_rows(m, k)])
+                      _s1_lim(m, k)])
 
 
 def split_batch_by_lanes(built: BuiltIndex, queries,
