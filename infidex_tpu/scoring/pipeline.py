@@ -213,6 +213,11 @@ class SearchPipeline:
         self.coverage_device_count = 0
         self._t_wm = 0.0
         self._t_prepq = 0.0
+        self._t_prior = 0.0
+        self._t_heads = 0.0
+        self._t_memo = 0.0
+        self._t_sort = 0.0
+        self._t_tier_cpu = 0.0   # worker-thread CPU inside tier jobs
         #: batch-scoped WordMatcher prefetch (query text -> Future of
         #: lookup_parts), populated while Stage-1 device calls block.
         #: Thread-local: concurrent reader threads each run their own
@@ -513,11 +518,18 @@ class SearchPipeline:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(max_workers=min(8, len(tier_jobs)))
+
+            def _timed_tier(prep_):
+                t0_ = _time.perf_counter()
+                try:
+                    return model.stage1_tiered_maybe(prep_, coverage_depth,
+                                                     prefilter_mask)
+                finally:
+                    # GIL-atomic float accumulate; trace-only diagnostics.
+                    self._t_tier_cpu += _time.perf_counter() - t0_
+
             for i, prep in tier_jobs:
-                tier_futures.append(
-                    (i, prep, pool.submit(model.stage1_tiered_maybe, prep,
-                                          coverage_depth,
-                                          prefilter_mask)))
+                tier_futures.append((i, prep, pool.submit(_timed_tier, prep)))
 
         if batch_items:
             if model.device is None:
@@ -617,11 +629,13 @@ class SearchPipeline:
             if isinstance(stage1_results, Stage1Arrays):
                 # 1:1 id<->key: ids are unique, so consolidation reduces to
                 # the (score desc, tie desc, key asc) sort.
+                t0s = _time.perf_counter()
                 order = np.lexsort((stage1_results.keys,
                                     -stage1_results.scores))
                 stage1_results = Stage1Arrays(
                     stage1_results.scores[order], stage1_results.iids[order],
                     stage1_results.keys[order])
+                self._t_sort += _time.perf_counter() - t0s
             else:
                 stage1_results = consolidate_segments(stage1_results)
             stage1[i] = stage1_results
@@ -655,8 +669,16 @@ class SearchPipeline:
 
         if trace:
             print(f"[PIPE]   gate-detail: wm={self._t_wm*1000:.1f}ms "
-                  f"prep_query={self._t_prepq*1000:.1f}ms", flush=True)
+                  f"prep_query={self._t_prepq*1000:.1f}ms "
+                  f"prior={self._t_prior*1000:.1f}ms "
+                  f"heads={self._t_heads*1000:.1f}ms "
+                  f"memo={self._t_memo*1000:.1f}ms "
+                  f"s1sort={self._t_sort*1000:.1f}ms "
+                  f"tier_cpu={self._t_tier_cpu*1000:.1f}ms", flush=True)
+            self._t_tier_cpu = 0.0
             self._t_wm = self._t_prepq = 0.0
+            self._t_prior = self._t_heads = self._t_memo = 0.0
+            self._t_sort = 0.0
         _mark("gate+begin")
         if jobs:
             # Pipeline point 2: coverage chunks dispatched (plus host-
@@ -1356,6 +1378,7 @@ class SearchPipeline:
 
         # Overlap/unique partition from the sorted constituent lists —
         # see _coverage_begin for the equivalence argument.
+        t0 = _time.perf_counter()
         tfidf_arr = np.sort(s1.iids)
         member = np.zeros(tfidf_arr.size, bool)
         for p in wm_parts:
@@ -1370,6 +1393,8 @@ class SearchPipeline:
         prior, wm_limit = self._assemble_prior(
             search_text, wm_limit, tfidf_arr, prefilter_mask, lim_ids,
             conj=self._conj_lookup(search_text, wm_groups))
+        self._t_prior += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         if has_wm:
             k_head = wm_limit + int(wm_overlapping.size)
             heads = _interleave_heads(wm_parts, k_head)
@@ -1386,8 +1411,10 @@ class SearchPipeline:
             tfidf_arr, wm_unique)
         if lim_tail.size:
             wm_unique = np.concatenate([wm_unique, lim_tail])
+        self._t_heads += _time.perf_counter() - t0
 
         # Memo index space: one slot per distinct reachable document key.
+        t0 = _time.perf_counter()
         wm_ids = np.concatenate([wm_overlapping, wm_unique]).astype(np.int64)
         n_ids = model.doc_keys_arr.size
         v = wm_ids[(wm_ids >= 0) & (wm_ids < n_ids)]
@@ -1410,6 +1437,7 @@ class SearchPipeline:
             lcs_tolerance = int(
                 len(context.query)
                 * coverage_setup.coverage_lcs_error_tolerance_relative_q)
+        self._t_memo += _time.perf_counter() - t0
 
         return dict(
             fast=True,
