@@ -83,3 +83,56 @@ def test_search_many_empty_and_mixed(engine):
     out = engine.search_many([Query(q, 10) for q in qs], batch_size=2)
     assert out[0].records == [] and out[1].records == []
     assert out[2].records
+
+
+def test_search_many_postprocessing_parity():
+    """Filters, facets, boosts, and sort must flow through search_many
+    identically to search_batch (post-processing runs after the
+    pipelined scheduler returns)."""
+    import random
+
+    from infidex_tpu import (Boost, BoostStrength, DocumentFields, Field,
+                             Filter)
+
+    rng = random.Random(5)
+    genres = ["Drama", "SciFi", "Horror"]
+    docs = []
+    for i in range(600):
+        f = DocumentFields()
+        f.add_field("title", f"alien {rng.choice(WORDS)} {i}",
+                    indexable=True)
+        f.add_field("genre", rng.choice(genres), indexable=False,
+                    filterable=True)
+        f.add_field("year", rng.randint(1980, 2020), indexable=False,
+                    filterable=True)
+        docs.append(Document(i, f))
+    eng = SearchEngine.create_default()
+    eng.index_documents(docs)
+
+    def mk():
+        out = []
+        q1 = Query("alien", 10)
+        q1.filter = Filter.parse("genre = 'SciFi'")
+        out.append(q1)
+        q2 = Query("alien", 10)
+        q2.enable_facets = True
+        out.append(q2)
+        q3 = Query("alien", 10)
+        q3.enable_boost = True
+        q3.boosts = [Boost(Filter.parse("year > 2000"),
+                           BoostStrength.HIGH)]
+        out.append(q3)
+        q4 = Query("alien", 10)
+        q4.sort_by = Field("year")
+        q4.sort_ascending = True
+        out.append(q4)
+        out.append(Query("galaxy", 10))
+        out.append(Query("", 10))
+        return out
+
+    a = eng.search_batch(mk())
+    b = eng.search_many(mk(), batch_size=2, pipeline_depth=3)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert _keys(x) == _keys(y)
+        assert x.facets == y.facets
