@@ -136,3 +136,19 @@ def test_search_many_postprocessing_parity():
     for x, y in zip(a, b):
         assert _keys(x) == _keys(y)
         assert x.facets == y.facets
+
+
+def test_search_many_mixed_param_groups(engine):
+    """Queries with different pipeline parameters (coverage_depth) form
+    separate sub-batch groups but pipeline through one scheduler call."""
+    qs = []
+    for i, w in enumerate(["galaxy", "quest", "matrix", "knight",
+                           "empire", "alien"]):
+        q = Query(w, 10)
+        if i % 2:
+            q.coverage_depth = 900
+        qs.append(q)
+    a = engine.search_batch([q.copy() for q in qs])
+    b = engine.search_many([q.copy() for q in qs], batch_size=2)
+    for x, y in zip(a, b):
+        assert _keys(x) == _keys(y)
