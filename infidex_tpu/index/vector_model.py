@@ -1027,14 +1027,19 @@ class VectorModel:
             self._host_stage1 = MmapStage1(self)
         return self._host_stage1
 
-    def host_stage1_ok(self, preps, n_queries: int) -> bool:
+    def host_stage1_ok(self, preps, n_queries: int,
+                       max_batch: Optional[int] = None) -> bool:
         """True when the whole (tiny) batch should score on the host:
         fewer queries than the link-latency break-even and a raw lane
         total small enough that numpy scatter beats the ~30ms round trip.
         Host scoring uses FULL postings (no champion clipping) — exact,
-        never worse than the device path."""
+        never worse than the device path. ``max_batch`` overrides the
+        batch cap for callers whose alternative is a dedicated,
+        serialized device round trip (tier-fallback stragglers) rather
+        than a shared one."""
         if (self.HOST_S1_MAX_LANES <= 0
-                or n_queries > self.HOST_S1_MAX_BATCH
+                or n_queries > (max_batch if max_batch is not None
+                                else self.HOST_S1_MAX_BATCH)
                 or self._mmap_stage1 is not None
                 or self.sharded is not None
                 or self.built is None):

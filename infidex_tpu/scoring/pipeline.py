@@ -531,6 +531,8 @@ class SearchPipeline:
             for i, prep in tier_jobs:
                 tier_futures.append((i, prep, pool.submit(_timed_tier, prep)))
 
+        handles = None
+        outs: list = []
         if batch_items:
             if model.device is None:
                 model.build_inverted_lists()
@@ -544,25 +546,26 @@ class SearchPipeline:
                     stop_term_limit=model.stop_term_limit,
                     host_mask=prefilter_mask)
             elif hasattr(model.stage1_backend, "search_batch_dispatch"):
-                # Pipeline point 1: Stage-1 lane groups are in flight on
-                # device; yield so the scheduler can run another batch's
-                # host work, then collect.
+                # Pipeline point 1: Stage-1 lane groups go in flight on
+                # device; the collect happens AFTER the tier futures
+                # resolve below, so tier-fallback stragglers dispatch
+                # alongside the main group instead of paying a second,
+                # serialized device round trip (measured ~50-90ms/batch
+                # at 300k docs).
                 handles = model.stage1_backend.search_batch_dispatch(
                     preps_b, coverage_depth,
                     total_docs=model.documents.count,
                     stop_term_limit=model.stop_term_limit,
                     live_override=model.stage1_live_override(prefilter_mask))
-                yield "s1"
-                self._wm_tls.prefetch = prefetch_d
-                self._wm_tls.conj = conj_d
-                outs = model.stage1_backend.search_batch_collect(handles)
             else:
                 outs = model.stage1_backend.search_batch(
                     preps_b, coverage_depth,
                     total_docs=model.documents.count,
                     stop_term_limit=model.stop_term_limit,
                     live_override=model.stage1_live_override(prefilter_mask))
-            for (i, _), o in zip(batch_items, outs):
+
+        def _finish_s1(pairs, outs_):
+            for (i, _), o in zip(pairs, outs_):
                 scores, ids = o[0], o[1]
                 if len(o) > 2:
                     lims[i] = o[2]
@@ -570,10 +573,14 @@ class SearchPipeline:
                     stage1[i] = model.finish_stage1_arrays(scores, ids)
                 else:
                     stage1[i] = model.finish_stage1(scores, ids, bsm[i])
-        _mark("  s1-device")
 
+        # Resolve the host-tier futures while the main device group is in
+        # flight (tier jobs cost ~1.3ms/query of real CPU; the device wait
+        # is 100s of ms on a tunneled link).
+        fallback = []
+        fallback_outs = None
+        fallback_handles = None
         if tier_futures:
-            fallback = []
             for i, prep, fut in tier_futures:
                 out_t = fut.result()
                 if out_t is None:
@@ -590,11 +597,14 @@ class SearchPipeline:
             _mark("  s1-tier")
             if fallback:
                 preps_f = [prep for _, prep in fallback]
-                if model.host_stage1_ok(preps_f, len(preps_f)):
-                    # 1-2 stragglers: the exact host scatter undercuts a
+                if model.host_stage1_ok(preps_f, len(preps_f),
+                                        max_batch=8):
+                    # Stragglers: the exact host scatter undercuts a
                     # dedicated device round trip (~45-170ms on the
-                    # tunnel for a near-empty batch).
-                    outs = model.host_stage1.search_batch(
+                    # tunnel for a near-empty batch). Wider batch cap
+                    # than the main-path gate — the alternative here is
+                    # a SECOND serialized device call, not a shared one.
+                    fallback_outs = model.host_stage1.search_batch(
                         preps_f, coverage_depth,
                         total_docs=model.documents.count,
                         stop_term_limit=model.stop_term_limit,
@@ -602,20 +612,39 @@ class SearchPipeline:
                 else:
                     if model.device is None:
                         model.build_inverted_lists()
-                    outs = model.stage1_backend.search_batch(
-                        preps_f, coverage_depth,
-                        total_docs=model.documents.count,
-                        stop_term_limit=model.stop_term_limit,
-                        live_override=model.stage1_live_override(
-                            prefilter_mask))
-                for (i, _), o in zip(fallback, outs):
-                    scores, ids = o[0], o[1]
-                    if len(o) > 2:
-                        lims[i] = o[2]
-                    if fast_ok:
-                        stage1[i] = model.finish_stage1_arrays(scores, ids)
+                    if (handles is not None and hasattr(
+                            model.stage1_backend, "search_batch_dispatch")):
+                        # main group still in flight: pipeline behind it
+                        fallback_handles = \
+                            model.stage1_backend.search_batch_dispatch(
+                                preps_f, coverage_depth,
+                                total_docs=model.documents.count,
+                                stop_term_limit=model.stop_term_limit,
+                                live_override=model.stage1_live_override(
+                                    prefilter_mask))
                     else:
-                        stage1[i] = model.finish_stage1(scores, ids, bsm[i])
+                        fallback_outs = model.stage1_backend.search_batch(
+                            preps_f, coverage_depth,
+                            total_docs=model.documents.count,
+                            stop_term_limit=model.stop_term_limit,
+                            live_override=model.stage1_live_override(
+                                prefilter_mask))
+
+        if handles is not None:
+            # Pipeline point 1: everything Stage-1 is in flight; yield so
+            # the scheduler can run another batch's host work, then collect.
+            yield "s1"
+            self._wm_tls.prefetch = prefetch_d
+            self._wm_tls.conj = conj_d
+            outs = model.stage1_backend.search_batch_collect(handles)
+        if batch_items:
+            _finish_s1(batch_items, outs)
+        _mark("  s1-device")
+        if fallback_handles is not None:
+            fallback_outs = model.stage1_backend.search_batch_collect(
+                fallback_handles)
+        if fallback_outs is not None:
+            _finish_s1(fallback, fallback_outs)
 
         _mark("stage1")
 
