@@ -124,7 +124,14 @@ def stable_top_k(scores, k: int):
     with the class's LOWEST ids (a second, masked top_k — fusion's own
     tie order, and the one the host twins use). Membership is then
     deterministic and depth-nested. (A 64-bit packed-key single top_k
-    would be simpler, but jax_enable_x64 is off.)"""
+    would be simpler, but jax_enable_x64 is off.)
+
+    The tie-class key tensor is F32, not int32: TPU lowers f32 top_k to
+    the PartialReduce op (bandwidth-speed — measured ~0.1ms over
+    [32, 524288]) while int32 top_k falls back to a sort (~35ms+ on the
+    same shape, and ~90ms inside the fused Stage-1 kernel). Doc ids are
+    exact in f32 below 2^24, the same bound the packed kernel output and
+    the 1<<24 sentinel already assume."""
     one_d = scores.ndim == 1
     if one_d:
         scores = scores[None, :]
@@ -132,10 +139,10 @@ def stable_top_k(scores, k: int):
     ts, ti = jax.lax.top_k(scores, k)
     s_k = ts[:, k - 1 : k]                                  # [B, 1]
     n_above = (ts > s_k).sum(axis=1, keepdims=True)         # [B, 1]
-    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    iota = jnp.arange(n_pad, dtype=jnp.float32)
     keym = jnp.where(scores == s_k, iota[None, :],
-                     jnp.int32(1 << 24))
-    low = -jax.lax.top_k(-keym, k)[0]                       # id asc
+                     jnp.float32(1 << 24))
+    low = (-jax.lax.top_k(-keym, k)[0]).astype(jnp.int32)   # id asc
     pos = jnp.arange(k, dtype=jnp.int32)[None, :]
     tidx = jnp.clip(pos - n_above, 0, k - 1)
     fill_ids = jnp.take_along_axis(low, tidx, axis=1)
@@ -161,15 +168,17 @@ def _lim_rows(m, k: int):
     Masked top_k over the position iota: the same primitive (and cost
     class) as the score top-k the kernel already pays. A cumsum-based
     formulation was tried and measured 2.5x slower end-to-end at 1M docs
-    — XLA lowers long-axis cumsum poorly on TPU."""
+    — XLA lowers long-axis cumsum poorly on TPU. Keys are f32 (exact to
+    2^24) so the top_k hits TPU's PartialReduce instead of the int32
+    sort fallback (see stable_top_k)."""
     n_pad = m.shape[-1]
     w = min(LIM_WINDOW, n_pad)
     k2 = min(LIM_K, k)
-    iota_w = jnp.arange(w, dtype=jnp.int32)
-    key = jnp.where(m[:, :w], iota_w[None, :], jnp.int32(1 << 24))
+    iota_w = jnp.arange(w, dtype=jnp.float32)
+    key = jnp.where(m[:, :w], iota_w[None, :], jnp.float32(1 << 24))
     low = -jax.lax.top_k(-key, k2)[0]
-    pad = jnp.full((m.shape[0], k - k2), 1 << 24, jnp.int32)
-    return jnp.concatenate([low, pad], axis=1).astype(jnp.float32)
+    pad = jnp.full((m.shape[0], k - k2), float(1 << 24), jnp.float32)
+    return jnp.concatenate([low, pad], axis=1)
 
 
 def _bucket(n: int, minimum: int) -> int:

@@ -71,11 +71,13 @@ def _match_kernel(sig_t, vpop, vlen, elig, qsig, qpop, qlen, *, cap):
     ok = (common >= qpop[:, None] - 3) & (common >= vpop[None, :] - 3)
     ok &= jnp.abs(vlen[None, :] - qlen[:, None]) <= 1
     ok &= elig[None, :]
-    ids = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)
-    masked = jnp.where(ok, ids, v)
-    # lowest ids == top-k of the negated ids
+    # lowest ids == top-k of the negated ids; f32 keys (exact below
+    # 2^24) hit TPU's fast PartialReduce — int32 top_k falls back to a
+    # sort (index/device.py stable_top_k note).
+    ids = jax.lax.broadcasted_iota(jnp.float32, ok.shape, 1)
+    masked = jnp.where(ok, ids, jnp.float32(v))
     neg_top, _ = jax.lax.top_k(-masked, cap)
-    return -neg_top
+    return (-neg_top).astype(jnp.int32)
 
 
 class NGramSignatureIndex:

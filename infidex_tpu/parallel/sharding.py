@@ -291,9 +291,12 @@ def sharded_stage1_batch(
             in_class = in_class | (fz_any & (live_shard[None, :] > 0.0))
         k2 = min(LIM_K, k_local)
         gids = base + jnp.arange(shard_size, dtype=jnp.int32)
+        # f32 keys (exact below 2^24) keep the per-shard low-id top_k on
+        # TPU's PartialReduce path (index/device.py stable_top_k note).
         keym = jnp.where(in_class & (gids[None, :] < LIM_WINDOW),
-                         gids[None, :], jnp.int32(1 << 24))
-        low_l = -jax.lax.top_k(-keym, k2)[0]
+                         gids[None, :].astype(jnp.float32),
+                         jnp.float32(1 << 24))
+        low_l = (-jax.lax.top_k(-keym, k2)[0]).astype(jnp.int32)
         all_low = jax.lax.all_gather(low_l, DOC_AXIS, tiled=True, axis=1)
         k2g = min(LIM_K, k)
         glow = -jax.lax.top_k(-all_low, k2g)[0]
