@@ -972,14 +972,26 @@ class VectorModel:
         return entries
 
     def _tier_gate(self, prep) -> bool:
-        """Cheap df-only routing check (no postings touched)."""
+        """Cheap df-only routing check (no postings touched).
+
+        Also predicts the tier's own union-route conditions (single live
+        term / missing term / typo-suspect df — TieredCandidateSelector
+        .select's disjunction cases): such queries would come back as
+        tier fallbacks and pay a SECOND, serialized device round trip
+        (~190ms on the tunnel), so they go straight into the main
+        batched device group instead."""
         term_ids, _idfs, fuzzy_groups = prep
-        from .candidates import TIER_LANE_BUDGET
+        from .candidates import TIER_LANE_BUDGET, TYPO_SUSPECT_DF
 
         if (TIER_LANE_BUDGET <= 0 or len(term_ids) < 2 or fuzzy_groups
                 or self.built is None or self._mmap_stage1 is not None):
             return False
-        lanes = int(self.built.df[np.asarray(term_ids, dtype=np.int64)].sum())
+        dfs = self.built.df[np.asarray(term_ids, dtype=np.int64)]
+        if int(dfs.min()) < TYPO_SUSPECT_DF:
+            # covers df==0 ("missing"), typo_suspect, and the all-but-one
+            # -dead case that degenerates to a single live term
+            return False
+        lanes = int(dfs.sum())
         return lanes > TIER_LANE_BUDGET
 
     def stage1_tiered_maybe(self, prep, top_k: int, mask=None):

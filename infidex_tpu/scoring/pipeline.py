@@ -218,6 +218,8 @@ class SearchPipeline:
         self._t_memo = 0.0
         self._t_sort = 0.0
         self._t_tier_cpu = 0.0   # worker-thread CPU inside tier jobs
+        self._t_wm_cpu = 0.0     # worker-thread CPU inside WM lookups
+        self._t_conj_cpu = 0.0   # worker-thread CPU inside conj prefetch
         #: batch-scoped WordMatcher prefetch (query text -> Future of
         #: lookup_parts), populated while Stage-1 device calls block.
         #: Thread-local: concurrent reader threads each run their own
@@ -476,9 +478,17 @@ class SearchPipeline:
             if live:
                 wm_pool = ThreadPoolExecutor(max_workers=min(4, len(live)))
                 cps = coverage_setup.cover_prefix_suffix
+
+                def _timed_wm(t_):
+                    t0_ = _time.perf_counter()
+                    try:
+                        return self._word_matcher.lookup_parts_grouped(
+                            t_, cps)
+                    finally:
+                        self._t_wm_cpu += _time.perf_counter() - t0_
+
                 for t in dict.fromkeys(live):
-                    self._wm_tls.prefetch[t] = wm_pool.submit(
-                        self._word_matcher.lookup_parts_grouped, t, cps)
+                    self._wm_tls.prefetch[t] = wm_pool.submit(_timed_wm, t)
 
         # Resolve every unknown token of the whole batch in ONE device
         # round trip (MXU signature matmul) before per-query prep.
@@ -703,8 +713,11 @@ class SearchPipeline:
                   f"heads={self._t_heads*1000:.1f}ms "
                   f"memo={self._t_memo*1000:.1f}ms "
                   f"s1sort={self._t_sort*1000:.1f}ms "
-                  f"tier_cpu={self._t_tier_cpu*1000:.1f}ms", flush=True)
+                  f"tier_cpu={self._t_tier_cpu*1000:.1f}ms "
+                  f"wm_cpu={self._t_wm_cpu*1000:.1f}ms "
+                  f"conj_cpu={self._t_conj_cpu*1000:.1f}ms", flush=True)
             self._t_tier_cpu = 0.0
+            self._t_wm_cpu = self._t_conj_cpu = 0.0
             self._t_wm = self._t_prepq = 0.0
             self._t_prior = self._t_heads = self._t_memo = 0.0
             self._t_sort = 0.0
@@ -755,12 +768,18 @@ class SearchPipeline:
     def _conj_job(self, wm_fut, prep) -> np.ndarray:
         """Prefetch-pool worker: wait for the query's WordMatcher groups,
         then build the conjunctive pool (runs off the pipeline thread)."""
-        groups = wm_fut.result()
-        if len(groups) < 2:
-            return np.zeros(0, np.int64)
-        from ..index.conjunctive import conjunctive_pool
+        import time as _time
 
-        return conjunctive_pool(self._model, groups, prep)
+        groups = wm_fut.result()
+        t0_ = _time.perf_counter()
+        try:
+            if len(groups) < 2:
+                return np.zeros(0, np.int64)
+            from ..index.conjunctive import conjunctive_pool
+
+            return conjunctive_pool(self._model, groups, prep)
+        finally:
+            self._t_conj_cpu += _time.perf_counter() - t0_
 
     def _conj_lookup(self, search_text: str,
                      wm_groups) -> np.ndarray:
