@@ -988,8 +988,15 @@ class VectorModel:
             return False
         dfs = self.built.df[np.asarray(term_ids, dtype=np.int64)]
         if int(dfs.min()) < TYPO_SUSPECT_DF:
-            # covers df==0 ("missing"), typo_suspect, and the all-but-one
-            # -dead case that degenerates to a single live term
+            # Only the typo-suspect (0 < df < 10) condition is live here:
+            # prepare_stage1 never emits term_ids with df <= 0 (unknown
+            # tokens become fuzzy_groups or are dropped). Routing these
+            # to the main device group means large-lane typo-suspect
+            # queries score on champion-clipped lanes at batch sizes
+            # above HOST_S1_MAX_BATCH instead of the exact host scorer —
+            # an intentional trade (one shared device call vs a second
+            # serialized round trip); recall across modes is pinned by
+            # scripts/recall_study.py.
             return False
         lanes = int(dfs.sum())
         return lanes > TIER_LANE_BUDGET

@@ -227,6 +227,10 @@ class SearchPipeline:
         import threading as _threading
 
         self._wm_tls = _threading.local()
+        #: guards the _t_*_cpu trace counters: they are read-modify-write
+        #: from ThreadPoolExecutor workers, which is NOT atomic under the
+        #: GIL (an interleaved update would be lost).
+        self._trace_lock = _threading.Lock()
 
         if self._coverage_engine is not None:
             self._rewire_coverage()
@@ -485,7 +489,8 @@ class SearchPipeline:
                         return self._word_matcher.lookup_parts_grouped(
                             t_, cps)
                     finally:
-                        self._t_wm_cpu += _time.perf_counter() - t0_
+                        with self._trace_lock:
+                            self._t_wm_cpu += _time.perf_counter() - t0_
 
                 for t in dict.fromkeys(live):
                     self._wm_tls.prefetch[t] = wm_pool.submit(_timed_wm, t)
@@ -535,8 +540,10 @@ class SearchPipeline:
                     return model.stage1_tiered_maybe(prep_, coverage_depth,
                                                      prefilter_mask)
                 finally:
-                    # GIL-atomic float accumulate; trace-only diagnostics.
-                    self._t_tier_cpu += _time.perf_counter() - t0_
+                    # Lock-guarded: += on an attribute is not atomic
+                    # under the GIL. Trace-only diagnostics.
+                    with self._trace_lock:
+                        self._t_tier_cpu += _time.perf_counter() - t0_
 
             for i, prep in tier_jobs:
                 tier_futures.append((i, prep, pool.submit(_timed_tier, prep)))
@@ -779,7 +786,8 @@ class SearchPipeline:
 
             return conjunctive_pool(self._model, groups, prep)
         finally:
-            self._t_conj_cpu += _time.perf_counter() - t0_
+            with self._trace_lock:
+                self._t_conj_cpu += _time.perf_counter() - t0_
 
     def _conj_lookup(self, search_text: str,
                      wm_groups) -> np.ndarray:
