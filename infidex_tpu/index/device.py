@@ -111,6 +111,42 @@ def _s1_lim(m, k: int):
     return _lim_rows(m, k)
 
 
+#: elements per hierarchical-top-k block. Probed on the v5e at
+#: [32, 1048576] k=500: plain lax.top_k ~56ms of device time per pass,
+#: 64-block hierarchical ~35ms, and the win compounds across the
+#: kernel's three top-k-class passes (score, boundary-tie, LIM).
+_TOPK_BLOCK = int(__import__("os").environ.get(
+    "INFIDEX_TPU_TOPK_BLOCK", 16384))
+
+
+def _hier_top_k(v, k: int):
+    """EXACT batched top-k via per-block top-k + merge.
+
+    The true top-k of a row is contained in the union of the top-k of
+    each of its S contiguous blocks, so two lax.top_k calls — [B*S, N/S]
+    then [B, S*k] — return exactly the top-k VALUES (probe-verified
+    equal to lax.top_k at 1M). Cheaper than one full-width pass because
+    TPU's TopK cost grows superlinearly with the row length at k=500.
+    Tie ORDER among equal values is implementation-defined exactly like
+    lax.top_k's; callers needing deterministic tie membership mask with
+    unique keys (stable_top_k / _lim_rows).
+
+    Blocks are contiguous ascending id ranges, so when the underlying
+    TopK breaks ties toward lower indices (XLA CPU), the merged order
+    is also lower-id-first — the property the CPU parity tests pin."""
+    B_, N_ = v.shape
+    S = N_ // _TOPK_BLOCK
+    if S <= 1 or N_ % _TOPK_BLOCK or k > _TOPK_BLOCK:
+        return jax.lax.top_k(v, k)
+    vb = v.reshape(B_ * S, _TOPK_BLOCK)
+    ts, ti = jax.lax.top_k(vb, k)
+    base = (jnp.arange(B_ * S, dtype=jnp.int32) % S) * _TOPK_BLOCK
+    ti = ti + base[:, None]
+    ts2, p = jax.lax.top_k(ts.reshape(B_, S * k), k)
+    ids = jnp.take_along_axis(ti.reshape(B_, S * k), p, axis=1)
+    return ts2, ids
+
+
 def stable_top_k(scores, k: int):
     """top-k membership by (score desc, doc id asc) — EXACTLY, on device.
 
@@ -126,23 +162,24 @@ def stable_top_k(scores, k: int):
     deterministic and depth-nested. (A 64-bit packed-key single top_k
     would be simpler, but jax_enable_x64 is off.)
 
-    The tie-class key tensor is F32, not int32: TPU lowers f32 top_k to
-    the PartialReduce op (bandwidth-speed — measured ~0.1ms over
-    [32, 524288]) while int32 top_k falls back to a sort (~35ms+ on the
-    same shape, and ~90ms inside the fused Stage-1 kernel). Doc ids are
+    The tie-class key tensor is F32, not int32: f32 top-k rides TPU's
+    PartialReduce while int32 top_k falls back to a sort (~35ms+ over
+    [32, 524288], ~90ms inside the fused Stage-1 kernel). Doc ids are
     exact in f32 below 2^24, the same bound the packed kernel output and
-    the 1<<24 sentinel already assume."""
+    the 1<<24 sentinel already assume. Both passes run hierarchically
+    (_hier_top_k) — exact values, and the masked pass's keys are UNIQUE
+    (the id iota), so selection is deterministic under any tie order."""
     one_d = scores.ndim == 1
     if one_d:
         scores = scores[None, :]
     n_pad = scores.shape[-1]
-    ts, ti = jax.lax.top_k(scores, k)
+    ts, ti = _hier_top_k(scores, k)
     s_k = ts[:, k - 1 : k]                                  # [B, 1]
     n_above = (ts > s_k).sum(axis=1, keepdims=True)         # [B, 1]
     iota = jnp.arange(n_pad, dtype=jnp.float32)
     keym = jnp.where(scores == s_k, iota[None, :],
                      jnp.float32(1 << 24))
-    low = (-jax.lax.top_k(-keym, k)[0]).astype(jnp.int32)   # id asc
+    low = (-_hier_top_k(-keym, k)[0]).astype(jnp.int32)     # id asc
     pos = jnp.arange(k, dtype=jnp.int32)[None, :]
     tidx = jnp.clip(pos - n_above, 0, k - 1)
     fill_ids = jnp.take_along_axis(low, tidx, axis=1)
@@ -176,7 +213,7 @@ def _lim_rows(m, k: int):
     k2 = min(LIM_K, k)
     iota_w = jnp.arange(w, dtype=jnp.float32)
     key = jnp.where(m[:, :w], iota_w[None, :], jnp.float32(1 << 24))
-    low = -jax.lax.top_k(-key, k2)[0]
+    low = -_hier_top_k(-key, k2)[0]
     pad = jnp.full((m.shape[0], k - k2), float(1 << 24), jnp.float32)
     return jnp.concatenate([low, pad], axis=1)
 
@@ -188,6 +225,21 @@ def _bucket(n: int, minimum: int) -> int:
     b = minimum
     while b < n:
         b *= 4
+    return b
+
+
+def _bucket2(n: int, minimum: int) -> int:
+    """Doubling shape buckets for the DENSE axes (doc axis, batch width,
+    fuzzy-group count): every [B, N]-shaped pass — the scatters, the
+    fuzzy presence matrix, and the three top-k passes — pays padding
+    waste LINEARLY, and at 1M docs the quadrupling bucket put n_pad at
+    2.1M (2.1x) and a 27-query group at B=64 (2.4x): ~5x redundant dense
+    work per call. Doubling caps the waste at 2x per axis for at most
+    one extra compile bucket per axis (the doc axis has ONE value per
+    corpus size at serving time anyway)."""
+    b = minimum
+    while b < n:
+        b *= 2
     return b
 
 
@@ -528,8 +580,9 @@ def prepare_batch_arrays(built: BuiltIndex, queries):
     mesh-sharded index (parallel/sharding.py)."""
     n_q = len(queries)
     # Bucket the batch width so partial batches reuse a compiled program
-    # (n_q is a static shape dim; pad rows cost one extra top-k row each).
-    n_q_pad = _bucket(n_q, 4)
+    # (n_q is a static shape dim; pad rows cost a full dense [N] row of
+    # scatter/top-k work each — doubling buckets, see _bucket2).
+    n_q_pad = _bucket2(n_q, 4)
 
     starts_l, lens_l, idfs_l, tq_l = [], [], [], []
     fz_starts_p, fz_lens_p, fz_group_p = [], [], []
@@ -590,7 +643,7 @@ def prepare_batch_arrays(built: BuiltIndex, queries):
         fz_group[: fz_group_all.size] = fz_group_all
         f_total = int(fz_lens_all.sum())
         f_pad = _bucket(max(f_total, 1), _MIN_E)
-        n_grp = _bucket(n_groups, 4)
+        n_grp = _bucket2(n_groups, 4)
         grp_query = np.zeros(n_grp, np.int32)
         grp_query[:n_groups] = grp_query_l
     else:
@@ -613,7 +666,7 @@ class DeviceIndex:
         self.num_docs = n
         # Pad the doc axis so scatter targets and top-k are aligned; the last
         # slot doubles as the parking spot for invalid lanes.
-        self.n_pad = max(_bucket(n + 1, 8), 128)
+        self.n_pad = max(_bucket2(n + 1, 8), 128)
         # Doc ids ride back packed into the f32 output row; f32 represents
         # integers exactly only up to 2^24 — fail loudly, never corrupt.
         if self.n_pad >= (1 << 24):
