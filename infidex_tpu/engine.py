@@ -499,6 +499,21 @@ class SearchEngine:
             return self._finalize_batch_results(
                 prepped, direct, statuses, results_by_query, t_start)
 
+    def serving_split(self, reset: bool = True) -> dict:
+        """Cumulative host/device serving split since the last reset:
+        ``device_wait_s`` is time the pipeline thread spent BLOCKED on
+        device readbacks (Stage-1 groups + coverage chunks) and
+        ``device_calls`` the round-trip count. Under the pipelined
+        scheduler, wall = host work + this blocked time, so the pair
+        tells which side binds a serving run (bench.py emits it)."""
+        p = self._pipeline
+        out = dict(device_wait_s=p.device_wait_s,
+                   device_calls=p.device_calls)
+        if reset:
+            p.device_wait_s = 0.0
+            p.device_calls = 0
+        return out
+
     def search_many(self, queries: List[Query], batch_size: int = 64,
                     pipeline_depth: int = 2) -> List[Result]:
         """Execute MANY searches as software-pipelined sub-batches.

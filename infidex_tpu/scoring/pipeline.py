@@ -91,6 +91,40 @@ WM_TAKE_MIN = int(_os.environ.get("INFIDEX_TPU_WM_TAKE_MIN", "256"))
 LIM_TAKE_MIN = int(_os.environ.get("INFIDEX_TPU_LIM_TAKE_MIN", "128"))
 DEVICE_COVERAGE_CHUNK_MIN = 2048
 
+
+def _chunk_sizes(n: int):
+    """Greedy power-of-two dispatch plan for ``n`` candidate rows.
+
+    Pad rows cost REAL kernel work (they park on a live query so loop
+    bounds stay tight), so the per-chunk waste is the padding, not the
+    launch: a 80k-row wave padded to one 131072 call wastes ~50k rows
+    (~300ms at 1M-doc shapes), while 65536 + 16384 wastes ~1.4k. Full
+    DEVICE_COVERAGE_CHUNK chunks go out first; each partial is split
+    into [largest power-of-two <= r] + remainder whenever that saves
+    slots vs padding r to its doubling bucket (dispatch is async, so
+    extra calls overlap in the device queue)."""
+    out = []
+    while n >= DEVICE_COVERAGE_CHUNK:
+        out.append(DEVICE_COVERAGE_CHUNK)
+        n -= DEVICE_COVERAGE_CHUNK
+    while n > 0:
+        b = DEVICE_COVERAGE_CHUNK_MIN
+        while b * 2 <= n:
+            b *= 2
+        if b >= n:                  # n <= CHUNK_MIN, or n exactly a bucket
+            out.append(n)
+            break
+        rem = n - b
+        rem_pad = DEVICE_COVERAGE_CHUNK_MIN
+        while rem_pad < rem:
+            rem_pad *= 2
+        if b + rem_pad >= b * 2:    # split saves nothing vs one padded call
+            out.append(n)
+            break
+        out.append(b)
+        n = rem
+    return out
+
 # Fixed query-batch width of the coverage kernel call: qsel routes each
 # candidate row to its query, so B queries cost the same round trips as one.
 # Padded to a constant so a single compiled program serves every batch size.
@@ -211,6 +245,14 @@ class SearchPipeline:
         #: because their docs exceed the device table shape caps
         self.coverage_host_fallback_count = 0
         self.coverage_device_count = 0
+        #: always-on serving-split counters (bench.py reads these):
+        #: seconds the pipeline thread spent BLOCKED on device readbacks
+        #: and the device round-trip count. Under the pipelined scheduler
+        #: a host-bound stream shows ~0 blocked time (readbacks return
+        #: already-finished work); a device-bound stream accumulates the
+        #: device's excess over the host here — wall = host + this.
+        self.device_wait_s = 0.0
+        self.device_calls = 0
         self._t_wm = 0.0
         self._t_prepq = 0.0
         self._t_prior = 0.0
@@ -653,13 +695,19 @@ class SearchPipeline:
             yield "s1"
             self._wm_tls.prefetch = prefetch_d
             self._wm_tls.conj = conj_d
+            t0w = _time.perf_counter()
             outs = model.stage1_backend.search_batch_collect(handles)
+            self.device_wait_s += _time.perf_counter() - t0w
+            self.device_calls += len(handles)
         if batch_items:
             _finish_s1(batch_items, outs)
         _mark("  s1-device")
         if fallback_handles is not None:
+            t0w = _time.perf_counter()
             fallback_outs = model.stage1_backend.search_batch_collect(
                 fallback_handles)
+            self.device_wait_s += _time.perf_counter() - t0w
+            self.device_calls += len(fallback_handles)
         if fallback_outs is not None:
             _finish_s1(fallback, fallback_outs)
 
@@ -1137,14 +1185,16 @@ class SearchPipeline:
                     qsel = np.concatenate(
                         [np.full(c["ids"].size, qi, np.int32)
                          for qi, c in acc[cls]])
-                    for s in range(0, ids.size, DEVICE_COVERAGE_CHUNK):
-                        e = min(s + DEVICE_COVERAGE_CHUNK, ids.size)
+                    s = 0
+                    for step in _chunk_sizes(int(ids.size)):
+                        e = s + step
                         out = self._dispatch_chunk(
                             ids[s:e], qsel[s:e], base[s:e], lcs_v[s:e],
                             wave_args[cls], configs[cls])
                         pending.append((out, qsel[s:e], idx[s:e], keys[s:e],
                                         e - s, wave_jobs))
                         n_chunks += 1
+                        s = e
                 if trace:
                     t_dispatch += _time.perf_counter() - t0
 
@@ -1862,10 +1912,12 @@ class SearchPipeline:
         tables = self._model.coverage_tables
         q_args, qlen_arg, lcs_args = wave_args
         n = int(ids.size)
-        # quadrupling sub-buckets keep partial chunks cheap
+        # doubling sub-buckets keep partial chunks cheap (pad rows cost
+        # REAL kernel work — they park on a live query — so padding is
+        # the dominant per-chunk waste; _chunk_sizes splits big partials)
         c_pad = DEVICE_COVERAGE_CHUNK_MIN
         while c_pad < n:
-            c_pad *= 4
+            c_pad *= 2
         c_pad = min(c_pad, DEVICE_COVERAGE_CHUNK)
         text_ids = np.zeros(c_pad, np.int32)
         text_ids[:n] = ids
@@ -1908,10 +1960,15 @@ class SearchPipeline:
         """Read back dispatched coverage chunks (one packed transfer per
         chunk; transfers overlap still-running later chunks) and route each
         row group to its owning job."""
+        import time as _time
+
         import jax
 
         for out, qsel, idx, keys, n, wave_jobs in pending:
+            t0w = _time.perf_counter()
             packed = jax.device_get(out)
+            self.device_wait_s += _time.perf_counter() - t0w
+            self.device_calls += 1
             score = packed[0][:n]
             if len(packed) == 2:
                 # device-LCS layout: one f32 row = tie<<16 | wh<<8 | lcs
