@@ -50,6 +50,9 @@ TARGET_TITLES = [
     "The Saphead", "Mae Martin SAP",
     "San Andreas", "San Andreas Quake", "San Andreas Mega Quake",
     "Two for the Money", "Two Faces", "Happy Feet Two", "Flat Two",
+    "Tea for Two",
+    "De De Pyaar De", "Deadly Descent", "Dear Dead Delilah",
+    "Intent to Destroy",
     "Aladdin", "After", "Alita Battle Angel",
     "Thor", "The Twilight Saga",
 ]
@@ -251,3 +254,92 @@ def test_two_letters_th(engine):
 def test_io_exact(engine):
     titles, _ = _top_titles(engine, "io")
     assert titles and titles[0] == "IO"
+
+
+def test_de_prefix_at_title_start(engine):
+    """De_PrefersPrefixAtTitleStart (MovieSearchParityTests.cs:510-552):
+    for single-term 'de', titles whose first token starts with 'de'
+    must form a PREFIX of the ranking — none may reappear after a
+    non-'de'-starting title."""
+    r = engine.search(Query("de", 200))
+    assert r.records
+    seen_non_de = False
+    for rec in r.records:
+        t = engine.get_document(rec.document_id).indexed_text
+        if t.lower().startswith("de"):
+            assert not seen_non_de, t
+        else:
+            seen_non_de = True
+
+
+def test_two_fo_exact_prefixes_before_partial(engine):
+    """Search_TwoFo_AllExactPrefixesBeforePartialMatches (:696-790):
+    every 'Two Fo…' title outranks the first non-prefix result at the
+    boundary, and 'Tea for Two' sorts after the 'Two for…' variants."""
+    r = engine.search(Query("two fo", 20))
+    assert len(r.records) >= 5
+    titles = [engine.get_document(x.document_id).indexed_text
+              for x in r.records]
+    boundary = -1
+    for i, t in enumerate(titles):
+        if not t.lower().startswith("two fo"):
+            boundary = i
+            break
+    if boundary > 0:
+        assert titles[boundary - 1].lower().startswith("two fo")
+        assert r.records[boundary - 1].score > r.records[boundary].score, (
+            titles[boundary - 1], titles[boundary])
+    if "Tea for Two" in titles:
+        tea = titles.index("Tea for Two")
+        for i, t in enumerate(titles):
+            if t.lower().startswith("two for"):
+                assert i < tea, (t, titles)
+
+
+# ----------------------------------------------------------------------
+# ShortQuery_* tiny-corpus lock-ins (MovieSearchParityTests.cs:999-1160):
+# standalone minimal engines, NOT the 40k fixture — they pin the char
+# n-gram fallback when no word-level match exists.
+
+
+def test_short_query_two_letters_partial_match():
+    eng = SearchEngine.create_default()
+    eng.index_documents([Document(1, "cat"), Document(2, "dog"),
+                         Document(3, "ape")])
+    r = eng.search(Query("va", 10))
+    assert r.records
+    top = eng.get_document(r.records[0].document_id).indexed_text
+    assert top in ("ape", "cat"), top
+    for rec in r.records[1:]:
+        assert r.records[0].score >= rec.score
+
+
+def test_short_query_two_letters_multiple_partials():
+    eng = SearchEngine.create_default()
+    eng.index_documents([Document(1, "apple"), Document(2, "banana"),
+                         Document(3, "cherry"), Document(4, "grape"),
+                         Document(5, "orange")])
+    r = eng.search(Query("ra", 10))
+    assert r.records
+    found = {eng.get_document(x.document_id).indexed_text
+             for x in r.records}
+    assert found & {"grape", "orange", "cherry"}, found
+
+
+def test_short_query_single_letter_returns_all_matches():
+    eng = SearchEngine.create_default()
+    eng.index_documents([Document(1, "alpha"), Document(2, "beta"),
+                         Document(3, "gamma"), Document(4, "delta")])
+    r = eng.search(Query("a", 10))
+    assert len(r.records) >= 3
+
+
+def test_short_query_no_exact_match_returns_partial():
+    eng = SearchEngine.create_default()
+    eng.index_documents([Document(1, "table"), Document(2, "chair"),
+                         Document(3, "desk"), Document(4, "lamp")])
+    r = eng.search(Query("ab", 10))
+    assert r.records
+    found = {eng.get_document(x.document_id).indexed_text
+             for x in r.records}
+    assert "table" in found, found
