@@ -68,20 +68,19 @@ def _champions(built, tid: int, cap: int) -> np.ndarray:
     return docs[np.sort(part)]
 
 
-def _member(sorted_postings: np.ndarray, cand: np.ndarray) -> np.ndarray:
-    """Boolean membership of ``cand`` (any order) in a sorted postings
-    array — one vectorized binary search per call."""
-    j = np.searchsorted(sorted_postings, cand)
-    jc = np.minimum(j, sorted_postings.size - 1)
-    return (j < sorted_postings.size) & (sorted_postings[jc] == cand)
-
-
 class _TokenEvidence:
-    __slots__ = ("anchors", "gram_tids")
+    __slots__ = ("anchors", "gram_tids", "anchor_union")
 
     def __init__(self, anchors: List[np.ndarray], gram_tids: List[int]):
         self.anchors = anchors
         self.gram_tids = gram_tids
+        # ONE sorted union per token, computed once: every pivot (and the
+        # strong-count ranking below) probes the same evidence — merging
+        # up front replaces len(anchors) probes per use with one.
+        self.anchor_union = (
+            np.unique(np.concatenate(
+                [np.asarray(a, np.int32) for a in anchors]))
+            if anchors else np.zeros(0, np.int32))
 
 
 def _token_evidence(model, word: str,
@@ -121,43 +120,58 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
     if built is None or len(word_groups) < 2:
         return np.zeros(0, np.int64)
 
-    infos = [_token_evidence(model, w, parts) for w, parts in word_groups]
+    # Per-word evidence memo, keyed to the built-index identity (a
+    # rebuild invalidates it wholesale). Query words repeat Zipf-style
+    # across a serving stream and _token_evidence's anchor-union merge
+    # is ~40% of the pool cost (scripts/host_hot_profile.py).
+    cache = getattr(model, "_conj_token_evidence", None)
+    if cache is None or cache[0] is not built:
+        cache = (built, {})
+        model._conj_token_evidence = cache
+    memo = cache[1]
+    infos = []
+    for w, parts in word_groups:
+        inf = memo.get(w)
+        if inf is None:
+            inf = _token_evidence(model, w, parts)
+            if len(memo) >= 8192:
+                memo.clear()
+            memo[w] = inf
+        infos.append(inf)
     evidenced = [inf for inf in infos if inf.gram_tids or inf.anchors]
     if len(evidenced) < 2:
         return np.zeros(0, np.int64)
+
+    from ..native import member_any_into
 
     pools: List[np.ndarray] = []
     for pi, inf in enumerate(infos):
         if not inf.anchors:
             continue
-        cand = np.unique(np.concatenate(inf.anchors))[:ANCHOR_CLIP]
-        cand = cand.astype(np.int64, copy=False)
+        cand = inf.anchor_union[:ANCHOR_CLIP].astype(np.int64)
         for oi, other in enumerate(infos):
             if oi == pi or not (other.gram_tids or other.anchors):
                 continue
             if cand.size == 0:
                 break
-            found = np.zeros(cand.size, bool)
-            # strong (WordMatcher/LD1) lists first: the coverage fuzzy
+            found = np.zeros(cand.size, np.uint8)
+            # strong (WordMatcher/LD1) union first: the coverage fuzzy
             # matcher credits LD1 tokens that share NO boundary gram with
             # the query token ('ran' -> 'han'), so gram probes alone
             # reject exactly the class fusion ranks highest.
-            for p in other.anchors:
-                if p.size:
-                    found |= _member(np.asarray(p), cand)
-                if found.all():
-                    break
+            member_any_into(other.anchor_union, cand, found)
             # most-common gram first: each probe costs the same, the
-            # biggest df covers the most candidates -> earliest exit.
+            # biggest df covers the most candidates -> earliest exit;
+            # member_any_into skips already-found candidates so the
+            # probe work shrinks with every list.
             if not found.all():
                 for tid in sorted(other.gram_tids,
                                   key=lambda t: -int(built.df[t])):
                     p = built.postings_for(tid)[0]
-                    if p.size:
-                        found |= _member(p, cand)
+                    member_any_into(p, cand, found)
                     if found.all():
                         break
-            cand = cand[found]
+            cand = cand[found.view(bool)]
         if cand.size:
             pools.append(cand)
     if not pools:
@@ -173,13 +187,8 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
     # doc token count asc, BM25 desc, id asc).
     strong = np.zeros(pool.size, np.int32)
     for inf in infos:
-        hit = np.zeros(pool.size, bool)
-        for p in inf.anchors:
-            ap = np.asarray(p)
-            if ap.size:
-                hit |= _member(ap, pool)
-            if hit.all():
-                break
+        hit = np.zeros(pool.size, np.uint8)
+        member_any_into(inf.anchor_union, pool, hit)
         strong += hit
     tables = getattr(model, "coverage_tables", None)
     if tables is not None and tables.tok_count_host is not None:

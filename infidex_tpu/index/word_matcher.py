@@ -52,6 +52,12 @@ class WordMatcher:
         self._sorted_words: List[str] = []
         self._sorted_rev: List[str] = []
         self._rev_to_word: Dict[str, str] = {}
+        # Per-word merged-affix memo (normalized word -> merged doc ids).
+        # Query words repeat Zipf-style across a serving stream and the
+        # merge concatenates up to 4096 tiny lists (~1ms/word at 1M docs,
+        # 21% of host time in scripts/host_hot_profile.py) — invalidated
+        # on finalize_index, bounded FIFO.
+        self._affix_cache: Dict[str, List[np.ndarray]] = {}
 
     # ------------------------------------------------------------------
     def _normalize(self, text: str) -> str:
@@ -118,6 +124,7 @@ class WordMatcher:
             self._sorted_words = sorted(self._affix_words.keys())
             self._rev_to_word = {w[::-1]: w for w in self._affix_words.keys()}
             self._sorted_rev = sorted(self._rev_to_word.keys())
+        self._affix_cache = {}
         self._finalized = True
 
     # ------------------------------------------------------------------
@@ -160,6 +167,9 @@ class WordMatcher:
         if not self._setup.support_affix or not self._sorted_words:
             return []
         normalized = self._normalize(query)
+        cached = self._affix_cache.get(normalized)
+        if cached is not None:
+            return cached
 
         matched_words: List[str] = []
         budget = MAX_FST_AFFIX_TERMS_PER_QUERY
@@ -173,7 +183,7 @@ class WordMatcher:
         suffix_count = rhi - rlo
 
         if prefix_count == 0 and suffix_count == 0:
-            return []
+            return self._affix_memo(normalized, [])
 
         if prefix_count > 0 and budget > 0:
             take = min(prefix_count, budget)
@@ -189,13 +199,20 @@ class WordMatcher:
                  for docs in (self._affix_words.get(w) for w in matched_words)
                  if docs is not None and len(docs)]
         if not lists:
-            return []
+            return self._affix_memo(normalized, [])
         # One merged sorted part instead of up-to-4096 tiny ones: the
         # roaring-union equivalent (ascending unique doc ids) — downstream
         # consumers do per-part work, so part count is the cost driver.
         merged = np.unique(np.concatenate(
             [np.asarray(d, dtype=np.int32) for d in lists]))
-        return [merged.astype(np.int32)]
+        return self._affix_memo(normalized, [merged.astype(np.int32)])
+
+    def _affix_memo(self, word: str,
+                    parts: List[np.ndarray]) -> List[np.ndarray]:
+        if len(self._affix_cache) >= 8192:
+            self._affix_cache.clear()
+        self._affix_cache[word] = parts
+        return parts
 
     # ------------------------------------------------------------------
     def lookup_query(self, query_text: str, cover_prefix_suffix: bool) -> np.ndarray:

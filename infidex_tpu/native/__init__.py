@@ -100,6 +100,9 @@ def _load() -> Optional[ctypes.CDLL]:
               ctypes.c_float, c_i64p, c_f32p, ctypes.c_int32,
               c_i64p, ctypes.c_int32, c_f32p],
              None),
+            ("infidex_member_any",
+             [c_i32p, ctypes.c_int64, c_i64p, ctypes.c_int64, c_u8p],
+             None),
         ):
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -209,3 +212,32 @@ def score_pool_native(term_offsets, postings_docs, postings_weights,
         ctypes.c_int32(int(ti.size)), pl_p, ctypes.c_int32(int(pl.size)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def member_any_into(postings, cand, mask) -> None:
+    """``mask[i] |= (cand[i] in postings)`` with already-set entries
+    SKIPPED (the conjunctive filter's unresolved set shrinks with every
+    evidence list, so probe work drops monotonically — numpy's
+    searchsorted re-probes everything). ``postings`` sorted int32
+    ascending, ``cand`` sorted int64 ascending, ``mask`` uint8 INOUT.
+
+    Falls back to one vectorized searchsorted when the native library
+    is unavailable (identical results)."""
+    n = int(cand.size)
+    if n == 0 or postings.size == 0:
+        return
+    if available:
+        p = np.ascontiguousarray(postings, np.int32)
+        c = np.ascontiguousarray(cand, np.int64)
+        _lib.infidex_member_any(
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(int(p.size)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return
+    j = np.searchsorted(postings, cand)
+    jc = np.minimum(j, postings.size - 1)
+    np.bitwise_or(mask, ((j < postings.size)
+                         & (postings[jc] == cand)).view(np.uint8),
+                  out=mask)

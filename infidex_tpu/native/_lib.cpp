@@ -935,4 +935,33 @@ void infidex_score_pool(const int64_t* term_offsets,
     }
 }
 
+// OR-into membership: mask[i] |= (cand[i] in post). cand ascending,
+// post sorted unique ascending (a postings list). Already-set entries
+// are SKIPPED — across the conjunctive filter's evidence lists the
+// unresolved set shrinks monotonically, so total probe work drops with
+// every list (numpy's searchsorted re-probes everything every time).
+// The moving lower bound + gallop makes one pass O(n_cand * log(gap)).
+void infidex_member_any(const int32_t* post, int64_t n_post,
+                        const int64_t* cand, int64_t n_cand,
+                        uint8_t* mask) {
+    int64_t lo = 0;
+    for (int64_t i = 0; i < n_cand && lo < n_post; i++) {
+        if (mask[i]) continue;
+        int32_t v = (int32_t)cand[i];
+        if (v < post[lo]) continue;
+        if (post[lo] == v) { mask[i] = 1; continue; }
+        // gallop forward from lo, then binary-search the bracket
+        int64_t step = 1, hi = lo;
+        while (hi < n_post && post[hi] < v) {
+            lo = hi + 1; hi = lo + step; step <<= 1;
+        }
+        if (hi > n_post) hi = n_post;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (post[mid] < v) lo = mid + 1; else hi = mid;
+        }
+        if (lo < n_post && post[lo] == v) mask[i] = 1;
+    }
+}
+
 }  // extern "C"
