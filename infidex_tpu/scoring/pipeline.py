@@ -91,6 +91,15 @@ WM_TAKE_MIN = int(_os.environ.get("INFIDEX_TPU_WM_TAKE_MIN", "256"))
 LIM_TAKE_MIN = int(_os.environ.get("INFIDEX_TPU_LIM_TAKE_MIN", "128"))
 DEVICE_COVERAGE_CHUNK_MIN = 2048
 
+# Single-query (interactive) threshold: one query's coverage wave is a
+# single ~500-1300-candidate chunk whose device call pays the full link
+# round trip (~28ms on the tunnel) while the host oracle scores the same
+# candidates bit-identically in a few ms — so a LONE coverage job stays
+# on the host until it is large enough for the kernel to win even with
+# the link floor. Batched serving is unaffected (more than one job).
+DEVICE_COVERAGE_MIN_SINGLE = int(_os.environ.get(
+    "INFIDEX_TPU_COVERAGE_MIN_SINGLE", "6144"))
+
 
 def _chunk_sizes(n: int):
     """Greedy power-of-two dispatch plan for ``n`` candidate rows.
@@ -1078,9 +1087,14 @@ class SearchPipeline:
                 continue
             n_work = (job["worklist_ids"].size if job.get("fast")
                       else len(job["worklist"]))
+            # Interactive path: a lone job below the single-query
+            # threshold scores on the host oracle (bit-identical to the
+            # kernel) instead of paying the device link round trip.
+            min_work = (DEVICE_COVERAGE_MIN_SINGLE
+                        if len(jobs) == 1 and job.get("fast")
+                        else DEVICE_COVERAGE_MIN_CANDIDATES)
             enc = None
-            if (model.coverage_tables is not None
-                    and n_work >= DEVICE_COVERAGE_MIN_CANDIDATES):
+            if (model.coverage_tables is not None and n_work >= min_work):
                 enc = self._encode_job_query(job)
             job["_host_all"] = enc is None
             if enc is not None:
