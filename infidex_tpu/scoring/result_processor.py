@@ -34,14 +34,33 @@ class ResultProcessor:
         self._column_store = column_store
 
     def _columnar_mask(self, flt):
-        """Dense bool mask for *flt*, or None if the VM path must be used."""
+        """Dense bool mask for *flt*, or None if the VM path must be used.
+
+        Cached per filter identity on the ColumnStore (the same cache the
+        facade's pre-filter uses; the store is replaced wholesale on
+        reindex, taking the cache with it): evaluating the mask costs two
+        full-corpus gathers per condition (~16ms/query at 1M docs — it
+        was the whole config-4 host bottleneck, 1.1s per 64-batch), while
+        serving streams repeat a handful of filter objects
+        (Filtering/FilterCache.cs is the reference's same trade)."""
         if self._column_store is None or flt is None:
             return None
         from ..filtering.columnar import contains_derived
 
         if contains_derived(flt):
             return None
-        return self._column_store.evaluate(flt)
+        store = self._column_store
+        cache = getattr(store, "_prefilter_masks", None)
+        if cache is None:
+            cache = store._prefilter_masks = {}
+        hit = cache.get(id(flt))
+        if hit is not None and hit[0] is flt:
+            return hit[1]
+        mask = store.evaluate(flt)
+        if len(cache) >= 64:
+            cache.clear()
+        cache[id(flt)] = (flt, mask)
+        return mask
 
     def _compile(self, flt):
         compiled = self._cache.get(flt)
