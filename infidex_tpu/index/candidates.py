@@ -213,7 +213,11 @@ class TieredStage1:
         lanes = int(sum(int(df[t]) for t in term_ids))
         return lanes > TIER_LANE_BUDGET
 
-    def run(self, term_ids, term_idf, top_k: int, mask=None):
+    def select_pool(self, term_ids, term_idf, top_k: int, mask=None):
+        """Candidate pool only (no scoring): (pool int64 asc, lim_ids)
+        or None when the query must ride the dense device path. The
+        scoring half runs either on host (``run``) or on device
+        (``DeviceIndex.pool_score_dispatch``) — identical results."""
         pool, tier = self._selector.select(
             [int(t) for t in term_ids], [float(i) for i in term_idf], top_k,
             want_union=False)
@@ -232,13 +236,20 @@ class TieredStage1:
                 return None
         if pool.size == 0:
             return None
+        return pool, self._lim_ids(term_ids, term_idf, mask)
+
+    def run(self, term_ids, term_idf, top_k: int, mask=None):
+        sel = self.select_pool(term_ids, term_idf, top_k, mask=mask)
+        if sel is None:
+            return None
+        pool, lim = sel
         scores = score_pool(self.built, term_ids, term_idf, pool)
         order = np.argsort(-scores, kind="stable")[:top_k]
         out_scores = np.zeros(top_k, np.float32)
         out_ids = np.zeros(top_k, np.int32)
         out_scores[: order.size] = scores[order]
         out_ids[: order.size] = pool[order]
-        return out_scores, out_ids, self._lim_ids(term_ids, term_idf, mask)
+        return out_scores, out_ids, lim
 
     def _lim_ids(self, term_ids, term_idf, mask=None) -> np.ndarray:
         """Low-id matcher ids (device.py LIM rows, host twin): the

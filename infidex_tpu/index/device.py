@@ -656,6 +656,75 @@ def prepare_batch_arrays(built: BuiltIndex, queries):
             fz_group, grp_query, f_pad, n_grp)
 
 
+#: binary-search depth for the pool-score join: covers term posting
+#: lists up to 2^21 docs (stop terms are dropped far earlier; one fixed
+#: depth keeps a single compiled program per shape bucket).
+_POOL_BSEARCH_BITS = 21
+
+
+@functools.partial(jax.jit, static_argnames=("t_pad", "k"))
+def _pool_score_kernel(
+    postings_docs: jax.Array,     # int32 [P] (base CSR + champion ext)
+    postings_weights: jax.Array,  # uint8 [P]
+    doc_lengths: jax.Array,       # f32 [N_pad]
+    pool: jax.Array,              # int32 [B, Pp] ascending; pad = N_pad-1
+    pool_valid: jax.Array,        # bool [B, Pp]
+    term_starts: jax.Array,       # int32 [B, T] FULL base CSR ranges
+    term_lens: jax.Array,         # int32 [B, T]
+    term_idf: jax.Array,          # f32 [B, T]
+    avgdl: jax.Array,             # f32 scalar
+    *,
+    t_pad: int,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact BM25+ of host-selected candidate pools (device score_pool).
+
+    Join strategy: per (query, pool doc, term), binary-search the doc in
+    the term's doc-sorted posting range — log2(df) gathers per probe on
+    the VPU, no lane expansion, so a 5k-doc pool over 300k total postings
+    costs ~100k gathers instead of a 300k-lane scatter. Accumulation is
+    in term order (fori_loop), the same f32 op order as the host/native
+    ``candidates.score_pool`` — scores are bit-compatible, so routing a
+    query host- or device-side cannot change its ranking.
+
+    Top-k uses ``stable_top_k`` over pool POSITIONS: the pool is
+    ascending, so position-ascending tie order == doc-id-ascending —
+    identical to the host twin's stable argsort.
+    """
+    avgdl = jnp.maximum(avgdl, 1e-9)
+    dl = doc_lengths[pool]
+    dl = jnp.where(dl <= 0.0, 1.0, dl)
+    norm = K1 * (1.0 - B + B * (dl / avgdl))          # [B, Pp]
+    p_size = postings_docs.shape[0]
+
+    def term_body(j, scores):
+        s = term_starts[:, j][:, None]                 # [B, 1]
+        n = term_lens[:, j][:, None]
+        idf = term_idf[:, j][:, None]
+        lo = jnp.zeros_like(pool)
+        hi = jnp.broadcast_to(n, pool.shape)
+
+        def bstep(_, lohi):
+            lo_, hi_ = lohi
+            mid = (lo_ + hi_) >> 1
+            v = postings_docs[jnp.minimum(s + mid, p_size - 1)]
+            lt = v < pool
+            return jnp.where(lt, mid + 1, lo_), jnp.where(lt, hi_, mid)
+
+        lo, _ = jax.lax.fori_loop(0, _POOL_BSEARCH_BITS, bstep, (lo, hi))
+        at = jnp.minimum(s + lo, p_size - 1)
+        found = (lo < n) & (postings_docs[at] == pool) & pool_valid
+        tf = jnp.where(found, postings_weights[at].astype(jnp.float32), 0.0)
+        contrib = idf * ((tf * (K1 + 1.0)) / (tf + norm) + DELTA)
+        return scores + jnp.where(found, contrib, 0.0)
+
+    scores = jax.lax.fori_loop(0, t_pad, term_body,
+                               jnp.zeros_like(norm))
+    top_scores, top_pos = stable_top_k(scores, k)
+    top_ids = jnp.take_along_axis(pool, top_pos, axis=1)
+    return top_scores, top_ids
+
+
 class DeviceIndex:
     """HBM-resident CSR postings + jitted Stage-1 search."""
 
@@ -1012,3 +1081,64 @@ class DeviceIndex:
         ids = packed[1].astype(np.int32)
         lim = packed[2].astype(np.int32)
         return [(scores[b], ids[b], lim[b]) for b in range(h["n_q"])]
+
+    # ---- tier-pool scoring (host-selected candidates, device BM25) ----
+    #
+    # The host tier path (index/candidates.py TieredStage1) selects a
+    # few-thousand-doc candidate pool per heavy multi-term query; exact
+    # BM25+ of that pool was the single largest host cost at 1M docs
+    # (native score_pool ~1.3ms/query of the ~4.4ms/query host hot path,
+    # scripts/host_r4b_lab.py). These kernels move that scoring onto the
+    # device as a batched binary-search join over the FULL base CSR (no
+    # champion clipping — same exactness as the host scorer), riding the
+    # same async-dispatch pipeline as the main Stage-1 group call.
+
+    def pool_score_dispatch(self, jobs, top_k: int):
+        """Async: score B host-selected pools on device; returns a handle.
+
+        ``jobs``: list of (pool int64[] ascending live doc ids,
+        term_ids, term_idf). Scoring is exact over the full base CSR —
+        bit-compatible with ``candidates.score_pool`` (same f32 op
+        order; parity pinned by tests/test_pool_device.py). Pair with
+        ``pool_score_collect``."""
+        built = self.built
+        n_jobs = len(jobs)
+        if n_jobs == 0:
+            return None
+        b_pad = _bucket2(n_jobs, 4)
+        p_max = max(int(np.asarray(j[0]).size) for j in jobs)
+        p_pad = _bucket2(max(p_max, 1), 512)
+        t_max = max(len(j[1]) for j in jobs)
+        t_pad = _bucket(max(t_max, 1), 8)
+
+        pool = np.full((b_pad, p_pad), self.n_pad - 1, np.int32)
+        valid = np.zeros((b_pad, p_pad), bool)
+        starts = np.zeros((b_pad, t_pad), np.int32)
+        lens = np.zeros((b_pad, t_pad), np.int32)
+        idfs = np.zeros((b_pad, t_pad), np.float32)
+        offsets = built.term_offsets
+        for b, (p, term_ids, term_idf) in enumerate(jobs):
+            p = np.asarray(p)
+            pool[b, : p.size] = p
+            valid[b, : p.size] = True
+            for j, tid in enumerate(np.asarray(term_ids, np.int64)):
+                starts[b, j] = offsets[tid]
+                lens[b, j] = offsets[tid + 1] - offsets[tid]
+                idfs[b, j] = term_idf[j]
+        k = min(int(top_k), p_pad)
+        out = _pool_score_kernel(
+            self.postings_docs, self.postings_weights, self.doc_lengths,
+            jnp.asarray(pool), jnp.asarray(valid), jnp.asarray(starts),
+            jnp.asarray(lens), jnp.asarray(idfs), self.avgdl,
+            t_pad=t_pad, k=k)
+        return dict(out=out, n=n_jobs)
+
+    @staticmethod
+    def pool_score_collect(handle):
+        """Blocking half of ``pool_score_dispatch``: one combined
+        readback; returns [(scores f32[k], ids int32[k])] per job."""
+        if handle is None:
+            return []
+        scores, ids = jax.device_get(handle["out"])
+        return [(scores[b], ids[b].astype(np.int32))
+                for b in range(handle["n"])]

@@ -1001,6 +1001,58 @@ class VectorModel:
         lanes = int(dfs.sum())
         return lanes > TIER_LANE_BUDGET
 
+    #: device pool scoring: "auto" = on when the backend is a real TPU
+    #: (the tier pool's exact BM25 was the largest single host cost at 1M
+    #: docs — ~1.3ms/query of a ~4.4ms/query host path — while the device
+    #: sat ~70% idle); CPU backends keep the host/native scorer, which
+    #: beats XLA-CPU at these shapes. "1"/"0" force. Results are
+    #: bit-identical either way (tests/test_pool_device.py).
+    POOL_DEVICE = __import__("os").environ.get("INFIDEX_TPU_POOL_DEVICE",
+                                               "auto")
+
+    def device_pool_scoring_ok(self) -> bool:
+        """True when batch tier queries should leave pool scoring to the
+        device (``DeviceIndex.pool_score_dispatch``)."""
+        if self.POOL_DEVICE in ("0", "off", "false"):
+            return False
+        if self.device is None or self.sharded is not None:
+            return False
+        if self.POOL_DEVICE == "auto":
+            import jax
+
+            return jax.default_backend() in ("tpu", "axon")
+        return True
+
+    def stage1_tier_select(self, prep, top_k: int, mask=None):
+        """Batch-path tier routing: returns
+        ``("scored", scores, ids, lim)`` (host-scored),
+        ``("pool", pool, term_ids, idfs, lim)`` (device scores the pool),
+        or None (ride the dense device disjunction)."""
+        term_ids, idfs, fuzzy_groups = prep
+        tiered = self._tiered_for()
+        if tiered is None or not tiered.applicable(term_ids, fuzzy_groups):
+            return None
+        if not self.device_pool_scoring_ok():
+            out = tiered.run(term_ids, idfs, top_k, mask=mask)
+            if out is None:
+                return None
+            return ("scored",) + out
+        sel = tiered.select_pool(term_ids, idfs, top_k, mask=mask)
+        if sel is None:
+            return None
+        pool, lim = sel
+        return "pool", pool, term_ids, idfs, lim
+
+    def _tiered_for(self):
+        if self.built is None or self._mmap_stage1 is not None:
+            return None
+        if self._tiered_stage1 is None:
+            from .candidates import TieredStage1
+
+            self._tiered_stage1 = TieredStage1(self.built, self.deleted_arr)
+        self._tiered_stage1.deleted_arr = self.deleted_arr
+        return self._tiered_stage1
+
     def stage1_tiered_maybe(self, prep, top_k: int, mask=None):
         """Host tiered Stage-1 (index/candidates.py) when the query's lane
         count makes the dense device scatter the slower option; returns
@@ -1009,15 +1061,8 @@ class VectorModel:
         the pool; a pool the mask shrinks below top_k routes to the
         device, whose masked full disjunction is exact."""
         term_ids, idfs, fuzzy_groups = prep
-        if self.built is None or self._mmap_stage1 is not None:
-            return None
-        if self._tiered_stage1 is None:
-            from .candidates import TieredStage1
-
-            self._tiered_stage1 = TieredStage1(self.built, self.deleted_arr)
-        tiered = self._tiered_stage1
-        tiered.deleted_arr = self.deleted_arr  # may be refreshed on delete
-        if not tiered.applicable(term_ids, fuzzy_groups):
+        tiered = self._tiered_for()
+        if tiered is None or not tiered.applicable(term_ids, fuzzy_groups):
             return None
         return tiered.run(term_ids, idfs, top_k, mask=mask)
 

@@ -588,8 +588,8 @@ class SearchPipeline:
             def _timed_tier(prep_):
                 t0_ = _time.perf_counter()
                 try:
-                    return model.stage1_tiered_maybe(prep_, coverage_depth,
-                                                     prefilter_mask)
+                    return model.stage1_tier_select(prep_, coverage_depth,
+                                                    prefilter_mask)
                 finally:
                     # Lock-guarded: += on an attribute is not atomic
                     # under the GIL. Trace-only diagnostics.
@@ -648,15 +648,23 @@ class SearchPipeline:
         fallback = []
         fallback_outs = None
         fallback_handles = None
+        pool_jobs: list = []      # (i, (pool, term_ids, idfs)) device-scored
+        pool_handle = None
         if tier_futures:
             for i, prep, fut in tier_futures:
                 out_t = fut.result()
                 if out_t is None:
                     fallback.append((i, prep))
                     continue
-                scores, ids = out_t[0], out_t[1]
-                if len(out_t) > 2:
-                    lims[i] = out_t[2]
+                if out_t[0] == "pool":
+                    # Device scores this pool (exact, full base CSR);
+                    # the LIM ids are already host-computed.
+                    _, cand_pool, t_ids, t_idfs, lim = out_t
+                    lims[i] = lim
+                    pool_jobs.append((i, (cand_pool, t_ids, t_idfs)))
+                    continue
+                _, scores, ids, lim = out_t
+                lims[i] = lim
                 if fast_ok:
                     stage1[i] = model.finish_stage1_arrays(scores, ids)
                 else:
@@ -697,6 +705,12 @@ class SearchPipeline:
                             stop_term_limit=model.stop_term_limit,
                             live_override=model.stage1_live_override(
                                 prefilter_mask))
+        if pool_jobs:
+            # ONE device call scores every tier pool exactly (full base
+            # CSR binary-search join, device.py _pool_score_kernel),
+            # queued behind the main group — async, collected below.
+            pool_handle = model.device.pool_score_dispatch(
+                [job for _, job in pool_jobs], coverage_depth)
 
         if handles is not None:
             # Pipeline point 1: everything Stage-1 is in flight; yield so
@@ -719,6 +733,16 @@ class SearchPipeline:
             self.device_calls += len(fallback_handles)
         if fallback_outs is not None:
             _finish_s1(fallback, fallback_outs)
+        if pool_handle is not None:
+            t0w = _time.perf_counter()
+            pool_outs = model.device.pool_score_collect(pool_handle)
+            self.device_wait_s += _time.perf_counter() - t0w
+            self.device_calls += 1
+            for (i, _), (scores, ids) in zip(pool_jobs, pool_outs):
+                if fast_ok:
+                    stage1[i] = model.finish_stage1_arrays(scores, ids)
+                else:
+                    stage1[i] = model.finish_stage1(scores, ids, bsm[i])
 
         _mark("stage1")
 
