@@ -53,6 +53,23 @@ def _ordered_isect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return small[big[pos_c] == small]
 
 
+def top_weight_idx(w: np.ndarray, cap: int) -> np.ndarray:
+    """Positions of the ``cap`` largest uint8 weights, ties resolved
+    toward LOWER position, returned position-ascending. One bincount +
+    one boolean pass (O(n), no sort) — and, unlike argpartition, a
+    DETERMINISTIC rule the native twin (infidex_tier_select champions)
+    reproduces bit-for-bit."""
+    hist = np.bincount(w, minlength=256)
+    cum = hist[::-1].cumsum()[::-1]       # cum[v] = count(weight >= v)
+    ge_cap = cum >= cap
+    wt = int(np.nonzero(ge_cap)[0][-1]) if ge_cap.any() else 0
+    n_above = int(cum[wt + 1]) if wt < 255 else 0
+    idx = np.nonzero(w >= wt)[0]
+    eq = w[idx] == wt
+    keep = ~eq | (np.cumsum(eq) <= cap - n_above)
+    return idx[keep]
+
+
 class TieredCandidateSelector:
     """Candidate-doc generation with tiered intersection early-exits."""
 
@@ -74,8 +91,7 @@ class TieredCandidateSelector:
         if docs.size <= cap:
             return docs
         w = self.built.postings_weights[s:e]
-        part = np.argpartition(-w.astype(np.int16), cap - 1)[:cap]
-        return docs[np.sort(part)]
+        return docs[top_weight_idx(w, cap)]
 
     def select(self, term_ids: List[int], term_idf: List[float],
                top_k: int, want_union: bool = True) -> Tuple[np.ndarray, str]:
@@ -109,7 +125,23 @@ class TieredCandidateSelector:
             return np.unique(np.concatenate(parts)), "union"
 
         cap = top_k * TIER_EXITS[3]
-        order = np.argsort(dfs)
+        # stable: df ties keep query-term order — the native twin
+        # replicates the ordering, so both paths build identical pools.
+        order = np.argsort(dfs, kind="stable")
+
+        from .. import native as _nat
+
+        if _nat.available:
+            ordered = np.array([live[oi][0] for oi in order], np.int64)
+            max_idf = max(i for _, i in live)
+            selective = [t for t, i in live
+                         if i >= IDF_SELECTIVE_FRACTION * max_idf]
+            selective.sort(key=lambda t: int(built.df[t]))
+            pool, label = _nat.tier_select(
+                built.term_offsets, built.postings_docs,
+                built.postings_weights, ordered,
+                np.array(selective[:2], np.int64), top_k)
+            return pool, label
 
         # Tier 1: all-terms intersection, rarest first (leapfrog analogue)
         inter = self._postings(live[order[0]][0])

@@ -57,15 +57,17 @@ GRAM_CHAMPIONS = 4096
 
 def _champions(built, tid: int, cap: int) -> np.ndarray:
     """The term's ``cap`` best postings by byte-quantized tf, doc-id
-    ascending (same selection as TieredCandidateSelector._champions)."""
+    ascending (same deterministic weight-desc/doc-asc rule as
+    TieredCandidateSelector._champions)."""
+    from .candidates import top_weight_idx
+
     s = int(built.term_offsets[tid])
     e = int(built.term_offsets[tid + 1])
     docs = built.postings_docs[s:e]
     if docs.size <= cap:
         return docs
     w = built.postings_weights[s:e]
-    part = np.argpartition(-w.astype(np.int16), cap - 1)[:cap]
-    return docs[np.sort(part)]
+    return docs[top_weight_idx(w, cap)]
 
 
 class _TokenEvidence:

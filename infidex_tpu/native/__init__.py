@@ -103,6 +103,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ("infidex_member_any",
              [c_i32p, ctypes.c_int64, c_i64p, ctypes.c_int64, c_u8p],
              None),
+            ("infidex_tier_select",
+             [c_i64p, c_i32p, c_u8p, c_i64p, ctypes.c_int32,
+              c_i64p, ctypes.c_int32, ctypes.c_int32, c_i64p,
+              ctypes.POINTER(ctypes.c_int32)],
+             ctypes.c_int64),
         ):
             fn = getattr(lib, name)
             fn.argtypes = args
@@ -212,6 +217,34 @@ def score_pool_native(term_offsets, postings_docs, postings_weights,
         ctypes.c_int32(int(ti.size)), pl_p, ctypes.c_int32(int(pl.size)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+_TIER_LABELS = {1: "all", 2: "all-minus-one", 3: "selective"}
+
+
+def tier_select(term_offsets, postings_docs, postings_weights,
+                ordered_tids, sel_tids, top_k):
+    """Tiered candidate pool (candidates.TieredCandidateSelector.select
+    non-union twin): returns (pool int64 ascending-unique, tier label).
+    ``ordered_tids`` = live term ids sorted (df asc, stable);
+    ``sel_tids`` = the <=2 selective high-IDF ids, df-sorted."""
+    def p(arr, dt, ct):
+        a = np.ascontiguousarray(arr, dt)
+        return a, a.ctypes.data_as(ctypes.POINTER(ct))
+
+    to, to_p = p(term_offsets, np.int64, ctypes.c_int64)
+    pd, pd_p = p(postings_docs, np.int32, ctypes.c_int32)
+    pw, pw_p = p(postings_weights, np.uint8, ctypes.c_uint8)
+    ot, ot_p = p(ordered_tids, np.int64, ctypes.c_int64)
+    st, st_p = p(sel_tids, np.int64, ctypes.c_int64)
+    out = np.empty(5 * top_k * 10 + 16, np.int64)
+    label = ctypes.c_int32(0)
+    n = _lib.infidex_tier_select(
+        to_p, pd_p, pw_p, ot_p, ctypes.c_int32(int(ot.size)),
+        st_p, ctypes.c_int32(int(st.size)), ctypes.c_int32(int(top_k)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(label))
+    return out[:n].copy(), _TIER_LABELS[label.value]
 
 
 def member_any_into(postings, cand, mask) -> None:

@@ -964,4 +964,161 @@ void infidex_member_any(const int32_t* post, int64_t n_post,
     }
 }
 
+// ---------------------------------------------------------------------
+// Tiered candidate selection (candidates.TieredCandidateSelector.select
+// twin; behavioral reference Scoring/TieredCandidateSelector.cs tiered-AND
+// path). Produces the IDENTICAL pool as the numpy implementation: same
+// deterministic champion rule (top-cap by weight desc, doc asc), same
+// intersection order (terms pre-sorted df-asc by the caller), same
+// sorted-unique union, same per-tier size exits.
+
+namespace tier {
+
+// intersection of two sorted-unique int32 arrays (gallop the smaller
+// through the larger with a moving lower bound); result ascending.
+static void isect(const int32_t* a, int64_t na, const int32_t* b, int64_t nb,
+                  std::vector<int32_t>& out) {
+    out.clear();
+    if (na > nb) { std::swap(a, b); std::swap(na, nb); }
+    int64_t lo = 0;
+    for (int64_t i = 0; i < na && lo < nb; i++) {
+        int32_t v = a[i];
+        int64_t step = 1, hi = lo;
+        while (hi < nb && b[hi] < v) { lo = hi + 1; hi = lo + step; step <<= 1; }
+        if (hi > nb) hi = nb;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (b[mid] < v) lo = mid + 1; else hi = mid;
+        }
+        if (lo < nb && b[lo] == v) out.push_back(v);
+    }
+}
+
+// top-cap postings by (weight desc, doc asc), doc-ascending output —
+// the deterministic champion rule (candidates._top_weight_idx twin).
+static void champions(const int32_t* docs, const uint8_t* w, int64_t n,
+                      int64_t cap, std::vector<int32_t>& out) {
+    out.clear();
+    if (n <= cap) { out.assign(docs, docs + n); return; }
+    int64_t hist[256] = {0};
+    for (int64_t i = 0; i < n; i++) hist[w[i]]++;
+    int64_t above = 0, wt = 255;
+    for (;; wt--) {               // largest wt with count(>= wt) >= cap
+        if (above + hist[wt] >= cap || wt == 0) break;
+        above += hist[wt];
+    }
+    int64_t take_eq = cap - above;
+    out.reserve((size_t)cap);
+    for (int64_t i = 0; i < n && (int64_t)out.size() < cap; i++) {
+        if (w[i] > wt) out.push_back(docs[i]);
+        else if (w[i] == wt && take_eq > 0) { out.push_back(docs[i]); take_eq--; }
+    }
+}
+
+// sorted-unique union of sorted parts (repeated two-way merges; parts
+// are few and cap-bounded).
+static void merge_unique(const std::vector<std::vector<int32_t>>& parts,
+                         std::vector<int32_t>& out) {
+    out.clear();
+    std::vector<int32_t> tmp;
+    for (const auto& p : parts) {
+        if (p.empty()) continue;
+        if (out.empty()) { out = p; continue; }
+        tmp.clear();
+        tmp.reserve(out.size() + p.size());
+        size_t i = 0, j = 0;
+        while (i < out.size() && j < p.size()) {
+            int32_t a = out[i], b = p[j];
+            if (a < b) { tmp.push_back(a); i++; }
+            else if (b < a) { tmp.push_back(b); j++; }
+            else { tmp.push_back(a); i++; j++; }
+        }
+        while (i < out.size()) tmp.push_back(out[i++]);
+        while (j < p.size()) tmp.push_back(p[j++]);
+        out.swap(tmp);
+    }
+}
+
+}  // namespace tier
+
+// ordered_tids: live term ids sorted (df asc, stable); sel_tids: the
+// <=2 selective high-IDF term ids (df-sorted); out_pool capacity >=
+// 5 * top_k * 10. Returns pool size; *tier_out = 1 "all",
+// 2 "all-minus-one", 3 "selective".
+int64_t infidex_tier_select(const int64_t* term_offsets,
+                            const int32_t* postings_docs,
+                            const uint8_t* postings_weights,
+                            const int64_t* ordered_tids, int32_t n_terms,
+                            const int64_t* sel_tids, int32_t n_sel,
+                            int32_t top_k,
+                            int64_t* out_pool, int32_t* tier_out) {
+    using tier::champions;
+    using tier::isect;
+    using tier::merge_unique;
+
+    const int64_t cap = (int64_t)top_k * 10;
+    auto range = [&](int64_t t, const int32_t** d, const uint8_t** w,
+                     int64_t* n) {
+        int64_t s = term_offsets[t], e = term_offsets[t + 1];
+        *d = postings_docs + s;
+        *w = postings_weights + s;
+        *n = e - s;
+    };
+
+    std::vector<std::vector<int32_t>> parts;
+    std::vector<int32_t> merged, tmp;
+
+    // Tier 1: all-terms intersection, rarest first.
+    const int32_t* d0; const uint8_t* w0; int64_t n0;
+    range(ordered_tids[0], &d0, &w0, &n0);
+    std::vector<int32_t> inter(d0, d0 + n0);
+    for (int32_t i = 1; i < n_terms && !inter.empty(); i++) {
+        const int32_t* di; const uint8_t* wi; int64_t ni;
+        range(ordered_tids[i], &di, &wi, &ni);
+        isect(inter.data(), (int64_t)inter.size(), di, ni, tmp);
+        inter.swap(tmp);
+    }
+    int64_t inter_full = (int64_t)inter.size();
+    if (inter_full > cap) inter.resize((size_t)cap);
+    parts.push_back(inter);
+    parts.emplace_back();
+    champions(d0, w0, n0, cap, parts.back());
+    merge_unique(parts, merged);
+    int32_t label = 3;
+    if (inter_full >= (int64_t)top_k * 2) {
+        label = 1;
+    } else {
+        // Tier 2: n-1 terms (drop the rarest).
+        if (n_terms >= 3) {
+            const int32_t* d1; const uint8_t* w1; int64_t n1;
+            range(ordered_tids[1], &d1, &w1, &n1);
+            std::vector<int32_t> inter2(d1, d1 + n1);
+            for (int32_t i = 2; i < n_terms && !inter2.empty(); i++) {
+                const int32_t* di; const uint8_t* wi; int64_t ni;
+                range(ordered_tids[i], &di, &wi, &ni);
+                isect(inter2.data(), (int64_t)inter2.size(), di, ni, tmp);
+                inter2.swap(tmp);
+            }
+            if ((int64_t)inter2.size() > cap) inter2.resize((size_t)cap);
+            parts.push_back(std::move(inter2));
+            merge_unique(parts, merged);
+            if ((int64_t)merged.size() >= (int64_t)top_k * 3) label = 2;
+        }
+        if (label == 3) {
+            // Tier 3: <= 2 selective high-IDF champion lists.
+            for (int32_t i = 0; i < n_sel; i++) {
+                const int32_t* di; const uint8_t* wi; int64_t ni;
+                range(sel_tids[i], &di, &wi, &ni);
+                parts.emplace_back();
+                champions(di, wi, ni, cap, parts.back());
+                merge_unique(parts, merged);
+                if ((int64_t)merged.size() >= (int64_t)top_k * 10) break;
+            }
+        }
+    }
+    *tier_out = label;
+    for (size_t i = 0; i < merged.size(); i++) out_pool[i] = merged[i];
+    return (int64_t)merged.size();
+}
+
 }  // extern "C"
