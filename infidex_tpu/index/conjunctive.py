@@ -144,6 +144,26 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
     if len(evidenced) < 2:
         return np.zeros(0, np.int64)
 
+    from .. import native
+
+    if native.available and not os.environ.get("INFIDEX_TPU_CONJ_PY"):
+        # One native call replaces the whole probe/rank loop below
+        # (~45% of the per-query host budget at 1M —
+        # scripts/host_hot_profile.py); byte-identical output pinned by
+        # tests/test_conjunctive.py::test_native_pool_parity.
+        if prep is not None:
+            score_tids = [int(t) for t in np.asarray(prep[0]).tolist()]
+            score_idfs = [float(i) for i in np.asarray(prep[1]).tolist()]
+        else:
+            score_tids, score_idfs = [], []
+        tables = getattr(model, "coverage_tables", None)
+        tok_count = (tables.tok_count_host if tables is not None
+                     and tables.tok_count_host is not None else None)
+        return native.conj_pool_native(
+            built, [inf.anchor_union for inf in infos],
+            [inf.gram_tids for inf in infos], score_tids, score_idfs,
+            tok_count, ANCHOR_CLIP, CONJ_CAP)
+
     from ..native import member_any_into
 
     pools: List[np.ndarray] = []

@@ -85,3 +85,26 @@ def test_batch_and_single_agree(engine):
         sr = engine.search(Query(q, 10))
         assert [r.document_id for r in sr.records] == \
                [r.document_id for r in br.records], q
+
+
+def test_native_pool_parity(engine, monkeypatch):
+    """The one-call C++ pool (native.conj_pool_native) must be
+    byte-identical to the pure-numpy path for ranked, unranked, and
+    typo-bearing queries."""
+    from infidex_tpu import native
+
+    if not native.available:
+        pytest.skip("native library unavailable")
+    model = engine.vector_model
+    wm = engine._pipeline._word_matcher
+    for text in ["common tail", "another tailword", "comon tailwrd",
+                 "filler common tail", "number entry"]:
+        groups = wm.lookup_parts_grouped(text, True)
+        for prep in (model.prepare_stage1(text), None):
+            monkeypatch.setenv("INFIDEX_TPU_CONJ_PY", "1")
+            model._conj_token_evidence = None
+            py = conjunctive_pool(model, groups, prep)
+            monkeypatch.delenv("INFIDEX_TPU_CONJ_PY")
+            model._conj_token_evidence = None
+            nat = conjunctive_pool(model, groups, prep)
+            assert np.array_equal(py, nat), (text, prep is None, py, nat)
