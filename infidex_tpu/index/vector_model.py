@@ -340,7 +340,7 @@ class VectorModel:
 
             self._materialize_bulk()
             self.built = build_union_index(self, n)
-            self._mmap_stage1 = MmapStage1(self)
+            self._mmap_stage1 = MmapStage1(self, device_stream=True)
         elif self._segments:
             self._materialize_bulk()
             self.built = self._build_unified_csr(n)

@@ -85,6 +85,48 @@ def test_typo_query_reaches_segment_docs(engines):
         [r.document_id for r in b.records]
 
 
+def test_device_streaming_matches_resident_device(engines, monkeypatch):
+    """The mmap streaming path (per-batch mini CSR through
+    device._stage1_kernel_batch) must return BIT-IDENTICAL Stage-1
+    results to the resident DeviceIndex: same champion rule, same
+    kernel, same f32 op order. Forced onto the device route by zeroing
+    the host-routing thresholds."""
+    mmap_eng, uni_eng = engines
+    mm = mmap_eng.vector_model
+    um = uni_eng.vector_model
+    s1 = mm._mmap_stage1
+    assert s1 is not None and s1.device_stream
+    monkeypatch.setattr(type(mm), "HOST_S1_MAX_BATCH", 0, raising=False)
+    monkeypatch.setattr(type(mm), "HOST_S1_MAX_LANES", 0, raising=False)
+    texts = ["alpha document", "charlie", "foxtrot echo", "document 42",
+             "charlei", "india juliet golf"]
+    preps_m = [mm.prepare_stage1(t) for t in texts]
+    preps_u = [um.prepare_stage1(t) for t in texts]
+    assert s1._device_ok([p for p in preps_m if p is not None])
+    outs_m = s1.search_batch([p for p in preps_m if p is not None], 50)
+    outs_u = um.device.search_batch([p for p in preps_u if p is not None], 50)
+    for t, a, b in zip(texts, outs_m, outs_u):
+        np.testing.assert_array_equal(a[0], b[0], err_msg=t)  # scores
+        np.testing.assert_array_equal(a[1], b[1], err_msg=t)  # ids
+        np.testing.assert_array_equal(np.sort(a[2]), np.sort(b[2]),
+                                      err_msg=t)              # LIM rows
+
+
+def test_device_streaming_facade_parity(engines, monkeypatch):
+    """Full facade results in mmap mode with the streaming path forced
+    match the materialized engine (the host-path parity above, restated
+    for the device route)."""
+    mmap_eng, uni_eng = engines
+    mm = mmap_eng.vector_model
+    monkeypatch.setattr(type(mm), "HOST_S1_MAX_BATCH", 0, raising=False)
+    monkeypatch.setattr(type(mm), "HOST_S1_MAX_LANES", 0, raising=False)
+    for text in ("alpha document", "charlie", "foxtrot echo", "charlei"):
+        a = mmap_eng.search(Query(text, 10))
+        b = uni_eng.search(Query(text, 10))
+        assert [r.document_id for r in a.records] == \
+            [r.document_id for r in b.records], text
+
+
 def test_save_materializes_and_roundtrips(engines, tmp_path):
     mmap_eng, _ = engines
     before = [(r.document_id, round(r.score, 4))
