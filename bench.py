@@ -205,11 +205,23 @@ def _measure(engine, queries, Query, max_results=10, make_query=None):
     # groups of 4, 125 QPS whole-stream). Per-batch latency is the
     # steady-state amortized cost wall/n_batches — under continuous
     # pipelining a query's wall latency is ~pipeline_depth batch slots.
-    engine.serving_split()   # reset the host/device counters
-    t0 = _t.perf_counter()
-    engine.search_many([make_query(q) for q in queries], batch_size=BATCH)
-    wall = _t.perf_counter() - t0
-    split = engine.serving_split()
+    # Repeated stream passes: the tunneled link drifts run-to-run
+    # (README: 335/254/191 QPS on identical runs), so a single point is
+    # weak evidence. Median-of-3 passes + the spread ride along in the
+    # JSON (qps_runs) so the driver capture carries its own dispersion.
+    runs = []
+    for _rep in range(3):
+        engine.serving_split()   # reset the host/device counters
+        t0 = _t.perf_counter()
+        engine.search_many([make_query(q) for q in queries],
+                           batch_size=BATCH)
+        w = _t.perf_counter() - t0
+        runs.append((w, engine.serving_split()))
+        log(f"[bench] stream pass {_rep + 1}/3: "
+            f"{len(queries) / w:.1f} QPS")
+    runs.sort(key=lambda r: r[0])
+    wall, split = runs[1]   # median pass (and its own host/device split)
+    qps_runs = [round(len(queries) / w, 1) for w, _ in runs]
     device_ms = split["device_wait_s"] * 1000.0 / n_batches
     batch_ms = wall / n_batches * 1000.0
     # Blocked-on-device vs host-working decomposition of the amortized
@@ -219,7 +231,8 @@ def _measure(engine, queries, Query, max_results=10, make_query=None):
     split_ms = dict(device_ms=round(device_ms, 1),
                     host_ms=round(batch_ms - device_ms, 1),
                     device_calls_per_batch=round(
-                        split["device_calls"] / n_batches, 1))
+                        split["device_calls"] / n_batches, 1),
+                    qps_runs=qps_runs)
     return (len(queries) / wall, batch_ms, warmup_s, split_ms)
 
 
