@@ -71,7 +71,8 @@ def _champions(built, tid: int, cap: int) -> np.ndarray:
 
 
 class _TokenEvidence:
-    __slots__ = ("anchors", "gram_tids", "anchor_union")
+    __slots__ = ("anchors", "gram_tids", "anchor_union",
+                 "ev_bits", "an_bits")
 
     def __init__(self, anchors: List[np.ndarray], gram_tids: List[int]):
         self.anchors = anchors
@@ -83,6 +84,24 @@ class _TokenEvidence:
             np.unique(np.concatenate(
                 [np.asarray(a, np.int32) for a in anchors]))
             if anchors else np.zeros(0, np.int32))
+        self.ev_bits = None   # packed evidence bitset (anchors | grams)
+        self.an_bits = None   # packed anchors-only bitset
+
+    def ensure_bits(self, built) -> None:
+        """Packed per-doc membership bitsets (little bitorder; bit d =
+        doc d carries this token's evidence). Built once per WORD per
+        index image — one pass over the same postings the per-query
+        galloping probes used to walk per (pivot, other) pair — then
+        every query reusing the word filters in O(n_cand) byte gathers
+        (the native ``infidex_conj_pool`` twin)."""
+        if self.ev_bits is not None:
+            return
+        b = np.zeros(built.num_docs, bool)
+        b[self.anchor_union] = True
+        self.an_bits = np.packbits(b, bitorder="little")
+        for tid in self.gram_tids:
+            b[built.postings_for(int(tid))[0]] = True
+        self.ev_bits = np.packbits(b, bitorder="little")
 
 
 def _token_evidence(model, word: str,
@@ -136,7 +155,10 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
         inf = memo.get(w)
         if inf is None:
             inf = _token_evidence(model, w, parts)
-            if len(memo) >= 8192:
+            # memo cap: bitset entries cost ~2 * num_docs/8 bytes each
+            # (ensure_bits), so bound the memo's worst case at ~512MB.
+            cap = max(512, min(8192, (1 << 31) // max(built.num_docs, 1)))
+            if len(memo) >= cap:
                 memo.clear()
             memo[w] = inf
         infos.append(inf)
@@ -159,10 +181,15 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
         tables = getattr(model, "coverage_tables", None)
         tok_count = (tables.tok_count_host if tables is not None
                      and tables.tok_count_host is not None else None)
+        for inf in infos:
+            inf.ensure_bits(built)
         return native.conj_pool_native(
             built, [inf.anchor_union for inf in infos],
-            [inf.gram_tids for inf in infos], score_tids, score_idfs,
-            tok_count, ANCHOR_CLIP, CONJ_CAP)
+            np.stack([inf.ev_bits for inf in infos]),
+            np.stack([inf.an_bits for inf in infos]),
+            np.array([1 if (inf.gram_tids or inf.anchors) else 0
+                      for inf in infos], np.uint8),
+            score_tids, score_idfs, tok_count, ANCHOR_CLIP, CONJ_CAP)
 
     from ..native import member_any_into
 

@@ -109,11 +109,11 @@ def _load() -> Optional[ctypes.CDLL]:
               ctypes.POINTER(ctypes.c_int32)],
              ctypes.c_int64),
             ("infidex_conj_pool",
-             [c_i64p, c_i32p, c_i32p, c_u8p, c_f32p, ctypes.c_int64,
-              ctypes.c_float, c_i32p, c_i64p, c_i64p, c_i64p,
-              ctypes.c_int32, c_i64p, c_f32p, ctypes.c_int32,
-              c_i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-              c_i64p],
+             [c_i64p, c_i32p, c_u8p, c_f32p, ctypes.c_int64,
+              ctypes.c_float, c_i32p, c_i64p, c_u8p, c_u8p, c_u8p,
+              ctypes.c_int64, ctypes.c_int32, c_i64p, c_f32p,
+              ctypes.c_int32, c_i32p, ctypes.c_int64, ctypes.c_int32,
+              ctypes.c_int32, c_i64p],
              ctypes.c_int64),
         ):
             fn = getattr(lib, name)
@@ -283,18 +283,19 @@ def member_any_into(postings, cand, mask) -> None:
                   out=mask)
 
 
-def conj_pool_native(built, anchor_unions, gram_tid_lists,
+def conj_pool_native(built, anchor_unions, ev_bits, an_bits, has_ev,
                      score_tids, score_idfs, tok_count,
                      anchor_clip, conj_cap) -> np.ndarray:
     """One-call twin of conjunctive.conjunctive_pool's probe/rank core:
-    per-pivot anchor-union filtering against every other token's evidence,
-    pool merge, and the (strong desc, tok_n asc, BM25 desc, id asc)
-    ranking — byte-identical to the numpy path (tests/test_conjunctive.py).
+    per-pivot anchor-union filtering against every other token's evidence
+    BITSET, pool merge, and the (strong desc, tok_n asc, BM25 desc,
+    id asc) ranking — byte-identical to the numpy path
+    (tests/test_conjunctive.py::test_native_pool_parity).
 
-    ``anchor_unions``: per token sorted-unique int32 doc arrays;
-    ``gram_tid_lists``: per token gram term-ids IN LOOKUP ORDER (the
-    native side re-sorts by df desc with a stable sort, matching
-    Python's ``sorted(key=-df)``); ``score_tids/idfs`` empty => unranked
+    ``anchor_unions``: per token sorted-unique int32 doc arrays (pivot
+    candidate sources); ``ev_bits``/``an_bits``: [n_tok, nbytes] packed
+    little-bitorder bitsets (evidence = anchors|grams; anchors only);
+    ``has_ev``: uint8 [n_tok]; ``score_tids/idfs`` empty => unranked
     clip; ``tok_count`` None => zeros (BM25/id ordering only)."""
     n_tok = len(anchor_unions)
     af = (np.concatenate([np.ascontiguousarray(a, np.int32)
@@ -302,9 +303,6 @@ def conj_pool_native(built, anchor_unions, gram_tid_lists,
           if any(a.size for a in anchor_unions) else np.zeros(0, np.int32))
     ao = np.zeros(n_tok + 1, np.int64)
     np.cumsum([a.size for a in anchor_unions], out=ao[1:])
-    gf = np.asarray([t for g in gram_tid_lists for t in g], np.int64)
-    go = np.zeros(n_tok + 1, np.int64)
-    np.cumsum([len(g) for g in gram_tid_lists], out=go[1:])
 
     def p(arr, dt, ct):
         a = np.ascontiguousarray(arr, dt)
@@ -312,13 +310,14 @@ def conj_pool_native(built, anchor_unions, gram_tid_lists,
 
     to, to_p = p(built.term_offsets, np.int64, ctypes.c_int64)
     pd, pd_p = p(built.postings_docs, np.int32, ctypes.c_int32)
-    df, df_p = p(built.df, np.int32, ctypes.c_int32)
     pw, pw_p = p(built.postings_weights, np.uint8, ctypes.c_uint8)
     dl, dl_p = p(built.doc_lengths, np.float32, ctypes.c_float)
     af, af_p = p(af, np.int32, ctypes.c_int32)
     ao, ao_p = p(ao, np.int64, ctypes.c_int64)
-    gf, gf_p = p(gf, np.int64, ctypes.c_int64)
-    go, go_p = p(go, np.int64, ctypes.c_int64)
+    ev, ev_p = p(ev_bits, np.uint8, ctypes.c_uint8)
+    an, an_p = p(an_bits, np.uint8, ctypes.c_uint8)
+    he, he_p = p(has_ev, np.uint8, ctypes.c_uint8)
+    nbytes = int(ev.shape[1]) if ev.ndim == 2 else 0
     st, st_p = p(np.asarray(score_tids), np.int64, ctypes.c_int64)
     si, si_p = p(np.asarray(score_idfs), np.float32, ctypes.c_float)
     if tok_count is None:
@@ -328,8 +327,9 @@ def conj_pool_native(built, anchor_unions, gram_tid_lists,
         tc_len = int(tc.size)
     out = np.empty(int(conj_cap), np.int64)
     n = _lib.infidex_conj_pool(
-        to_p, pd_p, df_p, pw_p, dl_p, ctypes.c_int64(int(dl.size)),
-        ctypes.c_float(float(built.avgdl)), af_p, ao_p, gf_p, go_p,
+        to_p, pd_p, pw_p, dl_p, ctypes.c_int64(int(dl.size)),
+        ctypes.c_float(float(built.avgdl)), af_p, ao_p, ev_p, an_p, he_p,
+        ctypes.c_int64(nbytes),
         ctypes.c_int32(n_tok), st_p, si_p, ctypes.c_int32(int(st.size)),
         tc_p, ctypes.c_int64(tc_len), ctypes.c_int32(int(anchor_clip)),
         ctypes.c_int32(int(conj_cap)),

@@ -1124,105 +1124,53 @@ int64_t infidex_tier_select(const int64_t* term_offsets,
 // ---------------------------------------------------------------------
 // Token-conjunctive candidate pool (conjunctive.conjunctive_pool twin):
 // per pivot token, its anchor-union candidates filtered so every OTHER
-// token has evidence (anchor union first, then gram postings most-common
-// first with early exit); pools merged, ranked by (strong-evidence count
+// token has evidence; pools merged, ranked by (strong-evidence count
 // desc, doc token count asc, exact BM25 desc, id asc), clipped.
-// Produces byte-identical output to the numpy implementation.
+// Evidence membership comes from per-token PACKED BITSETS (bit d =
+// doc d carries the token's anchors / any gram; built and memoized per
+// query WORD on the Python side — Zipf reuse makes the per-query
+// filter O(n_tok^2 * n_cand) byte gathers instead of galloping probes
+// over full posting lists). Byte-identical to the numpy path.
 
 namespace conjp {
 
-// mask[i] |= cand[i] in post; already-set entries skipped (the
-// unresolved set shrinks monotonically across evidence lists).
-static void member_any32(const int32_t* post, int64_t n_post,
-                         const int32_t* cand, int64_t n_cand,
-                         uint8_t* mask) {
-    int64_t lo = 0;
-    for (int64_t i = 0; i < n_cand && lo < n_post; i++) {
-        if (mask[i]) continue;
-        int32_t v = cand[i];
-        if (v < post[lo]) continue;
-        if (post[lo] == v) { mask[i] = 1; continue; }
-        int64_t step = 1, hi = lo;
-        while (hi < n_post && post[hi] < v) {
-            lo = hi + 1; hi = lo + step; step <<= 1;
-        }
-        if (hi > n_post) hi = n_post;
-        while (lo < hi) {
-            int64_t mid = (lo + hi) >> 1;
-            if (post[mid] < v) lo = mid + 1; else hi = mid;
-        }
-        if (lo < n_post && post[lo] == v) mask[i] = 1;
-    }
+static inline bool bit(const uint8_t* bits, int64_t d) {
+    return (bits[d >> 3] >> (d & 7)) & 1;
 }
 
 }  // namespace conjp
 
 int64_t infidex_conj_pool(
     const int64_t* term_offsets, const int32_t* postings_docs,
-    const int32_t* df, const uint8_t* postings_weights,
+    const uint8_t* postings_weights,
     const float* doc_lengths, int64_t n_docs, float avgdl,
     const int32_t* anchors_flat, const int64_t* anchor_offsets,
-    const int64_t* gram_flat, const int64_t* gram_offsets,
+    const uint8_t* ev_bits,   // [n_tok * nbytes] evidence (anchors|grams)
+    const uint8_t* an_bits,   // [n_tok * nbytes] anchors only
+    const uint8_t* has_ev,    // [n_tok] token has any evidence
+    int64_t nbytes,
     int32_t n_tok,
     const int64_t* score_tids, const float* score_idfs, int32_t n_score,
     const int32_t* tok_count, int64_t tok_count_len,
     int32_t anchor_clip, int32_t conj_cap,
     int64_t* out_pool) {
-    using conjp::member_any32;
-
-    auto anchors = [&](int32_t t, const int32_t** a, int64_t* n) {
-        *a = anchors_flat + anchor_offsets[t];
-        *n = anchor_offsets[t + 1] - anchor_offsets[t];
-    };
-    // per-token gram tids sorted by (df desc, position asc) — matches
-    // Python's stable sorted(key=-df); computed once per call.
-    std::vector<std::vector<int64_t>> grams_sorted((size_t)n_tok);
-    for (int32_t t = 0; t < n_tok; t++) {
-        auto& g = grams_sorted[(size_t)t];
-        g.assign(gram_flat + gram_offsets[t], gram_flat + gram_offsets[t + 1]);
-        std::stable_sort(g.begin(), g.end(), [&](int64_t a, int64_t b) {
-            return df[a] > df[b];
-        });
-    }
-    auto has_evidence = [&](int32_t t) {
-        return (gram_offsets[t + 1] > gram_offsets[t])
-            || (anchor_offsets[t + 1] > anchor_offsets[t]);
-    };
+    using conjp::bit;
 
     std::vector<std::vector<int32_t>> pools;
     std::vector<int32_t> cand, next;
-    std::vector<uint8_t> found;
     for (int32_t pi = 0; pi < n_tok; pi++) {
-        const int32_t* pa; int64_t pn;
-        anchors(pi, &pa, &pn);
+        const int32_t* pa = anchors_flat + anchor_offsets[pi];
+        int64_t pn = anchor_offsets[pi + 1] - anchor_offsets[pi];
         if (pn == 0) continue;
         if (pn > anchor_clip) pn = anchor_clip;
         cand.assign(pa, pa + pn);
         for (int32_t oi = 0; oi < n_tok; oi++) {
-            if (oi == pi || !has_evidence(oi)) continue;
+            if (oi == pi || !has_ev[oi]) continue;
             if (cand.empty()) break;
-            found.assign(cand.size(), 0);
-            const int32_t* oa; int64_t on;
-            anchors(oi, &oa, &on);
-            if (on > 0)
-                member_any32(oa, on, cand.data(), (int64_t)cand.size(),
-                             found.data());
-            bool all = true;
-            for (uint8_t f : found) if (!f) { all = false; break; }
-            if (!all) {
-                for (int64_t tid : grams_sorted[(size_t)oi]) {
-                    const int32_t* p = postings_docs + term_offsets[tid];
-                    int64_t np_ = term_offsets[tid + 1] - term_offsets[tid];
-                    member_any32(p, np_, cand.data(), (int64_t)cand.size(),
-                                 found.data());
-                    all = true;
-                    for (uint8_t f : found) if (!f) { all = false; break; }
-                    if (all) break;
-                }
-            }
+            const uint8_t* bits = ev_bits + (int64_t)oi * nbytes;
             next.clear();
-            for (size_t i = 0; i < cand.size(); i++)
-                if (found[i]) next.push_back(cand[i]);
+            for (int32_t c : cand)
+                if (bit(bits, c)) next.push_back(c);
             cand.swap(next);
         }
         if (!cand.empty()) pools.push_back(cand);
@@ -1238,16 +1186,12 @@ int64_t infidex_conj_pool(
         return n;
     }
 
-    // strong-evidence token count per pool doc
+    // strong-evidence (anchor-class) token count per pool doc
     std::vector<int32_t> strong((size_t)n_pool, 0);
-    found.assign((size_t)n_pool, 0);
     for (int32_t t = 0; t < n_tok; t++) {
-        const int32_t* a; int64_t n;
-        anchors(t, &a, &n);
-        if (n == 0) continue;
-        std::fill(found.begin(), found.end(), 0);
-        member_any32(a, n, pool.data(), n_pool, found.data());
-        for (int64_t i = 0; i < n_pool; i++) strong[(size_t)i] += found[(size_t)i];
+        const uint8_t* bits = an_bits + (int64_t)t * nbytes;
+        for (int64_t i = 0; i < n_pool; i++)
+            strong[(size_t)i] += bit(bits, pool[(size_t)i]);
     }
     // doc token counts + exact BM25 of the pool
     std::vector<int64_t> pool64(pool.begin(), pool.end());
