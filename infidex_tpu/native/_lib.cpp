@@ -1193,37 +1193,73 @@ int64_t infidex_conj_pool(
         for (int64_t i = 0; i < n_pool; i++)
             strong[(size_t)i] += bit(bits, pool[(size_t)i]);
     }
-    // doc token counts + exact BM25 of the pool
-    std::vector<int64_t> pool64(pool.begin(), pool.end());
-    std::vector<float> scores((size_t)n_pool);
-    infidex_score_pool(term_offsets, postings_docs, postings_weights,
-                       doc_lengths, n_docs, avgdl, score_tids, score_idfs,
-                       n_score, pool64.data(), (int32_t)n_pool,
-                       scores.data());
     std::vector<int32_t> tok_n((size_t)n_pool, 0);
     if (tok_count != nullptr && tok_count_len > 0) {
         for (int64_t i = 0; i < n_pool; i++) {
-            int64_t d = pool64[(size_t)i];
+            int64_t d = pool[(size_t)i];
             if (d >= tok_count_len) d = tok_count_len - 1;
             tok_n[(size_t)i] = tok_count[d];
         }
     }
-    // (strong desc, tok_n asc, score desc, id asc) — ids unique, so the
-    // comparator is a total order == numpy's stable lexsort.
-    std::vector<int64_t> order(pool64.size());
+    // BM25 is only the THIRD ranking key: a (strong, tok_n) class that
+    // starts at or past conj_cap can never surface, whatever its
+    // scores. Order by class first (scoreless), keep the prefix of
+    // whole classes covering conj_cap, and score ONLY those docs —
+    // at 1M a 10-30k merged pool shrinks to ~conj_cap scored docs with
+    // an unchanged result (class-internal order is all scores decide).
+    std::vector<int64_t> order(pool.size());
     for (size_t i = 0; i < order.size(); i++) order[i] = (int64_t)i;
     std::sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
         if (strong[(size_t)x] != strong[(size_t)y])
             return strong[(size_t)x] > strong[(size_t)y];
         if (tok_n[(size_t)x] != tok_n[(size_t)y])
             return tok_n[(size_t)x] < tok_n[(size_t)y];
+        return pool[(size_t)x] < pool[(size_t)y];
+    });
+    int64_t kept = n_pool;
+    if (n_pool > conj_cap) {
+        kept = conj_cap;   // extend through the straddling class
+        while (kept < n_pool
+               && strong[(size_t)order[kept]] ==
+                      strong[(size_t)order[kept - 1]]
+               && tok_n[(size_t)order[kept]] ==
+                      tok_n[(size_t)order[kept - 1]])
+            kept++;
+    }
+    // exact BM25 of the kept docs (score_pool wants ascending ids for
+    // its monotone galloping join — sort, score, scatter back)
+    std::vector<int64_t> kept_sorted(order.begin(), order.begin() + kept);
+    std::sort(kept_sorted.begin(), kept_sorted.end(), [&](int64_t x,
+                                                          int64_t y) {
+        return pool[(size_t)x] < pool[(size_t)y];
+    });
+    std::vector<int64_t> kept_docs((size_t)kept);
+    for (int64_t i = 0; i < kept; i++)
+        kept_docs[(size_t)i] = pool[(size_t)kept_sorted[(size_t)i]];
+    std::vector<float> kept_scores((size_t)kept);
+    infidex_score_pool(term_offsets, postings_docs, postings_weights,
+                       doc_lengths, n_docs, avgdl, score_tids, score_idfs,
+                       n_score, kept_docs.data(), (int32_t)kept,
+                       kept_scores.data());
+    std::vector<float> scores((size_t)n_pool, 0.0f);
+    for (int64_t i = 0; i < kept; i++)
+        scores[(size_t)kept_sorted[(size_t)i]] = kept_scores[(size_t)i];
+    // final order within the kept prefix: (strong desc, tok_n asc,
+    // score desc, id asc) — ids unique, so the comparator is a total
+    // order == numpy's stable lexsort over the full pool.
+    std::sort(order.begin(), order.begin() + kept, [&](int64_t x,
+                                                       int64_t y) {
+        if (strong[(size_t)x] != strong[(size_t)y])
+            return strong[(size_t)x] > strong[(size_t)y];
+        if (tok_n[(size_t)x] != tok_n[(size_t)y])
+            return tok_n[(size_t)x] < tok_n[(size_t)y];
         if (scores[(size_t)x] != scores[(size_t)y])
             return scores[(size_t)x] > scores[(size_t)y];
-        return pool64[(size_t)x] < pool64[(size_t)y];
+        return pool[(size_t)x] < pool[(size_t)y];
     });
     int64_t n = n_pool < conj_cap ? n_pool : conj_cap;
     for (int64_t i = 0; i < n; i++)
-        out_pool[i] = pool64[(size_t)order[(size_t)i]];
+        out_pool[i] = pool[(size_t)order[(size_t)i]];
     return n;
 }
 
