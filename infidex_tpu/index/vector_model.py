@@ -1001,26 +1001,25 @@ class VectorModel:
         lanes = int(dfs.sum())
         return lanes > TIER_LANE_BUDGET
 
-    #: device pool scoring: "auto" = on when the backend is a real TPU
-    #: (the tier pool's exact BM25 was the largest single host cost at 1M
-    #: docs — ~1.3ms/query of a ~4.4ms/query host path — while the device
-    #: sat ~70% idle); CPU backends keep the host/native scorer, which
-    #: beats XLA-CPU at these shapes. "1"/"0" force. Results are
-    #: bit-identical either way (tests/test_pool_device.py).
+    #: device pool scoring: OFF by default. The binary-search join of
+    #: ``_pool_score_kernel`` costs B x Pp x log2(P) x t_pad random HBM
+    #: gathers over the full CSR; traced on the real chip (2026-08-19,
+    #: scripts' trace300k) it added ~10s per 64-batch at 300k docs —
+    #: ~80x the ~1.3ms/query native host scorer it replaced, and the
+    #: whole difference between 8 QPS and the healthy steady state. The
+    #: host scorer runs on the prefetch pool overlapped with the device
+    #: wait, so it is effectively free until the host binds. "1" forces
+    #: the device path (bit-identical results, tests/test_pool_device.py).
     POOL_DEVICE = __import__("os").environ.get("INFIDEX_TPU_POOL_DEVICE",
-                                               "auto")
+                                               "0")
 
     def device_pool_scoring_ok(self) -> bool:
         """True when batch tier queries should leave pool scoring to the
         device (``DeviceIndex.pool_score_dispatch``)."""
-        if self.POOL_DEVICE in ("0", "off", "false"):
+        if self.POOL_DEVICE in ("0", "off", "false", "auto"):
             return False
         if self.device is None or self.sharded is not None:
             return False
-        if self.POOL_DEVICE == "auto":
-            import jax
-
-            return jax.default_backend() in ("tpu", "axon")
         return True
 
     def stage1_tier_select(self, prep, top_k: int, mask=None):
