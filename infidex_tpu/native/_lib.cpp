@@ -917,19 +917,55 @@ void infidex_score_pool(const int64_t* term_offsets,
         int64_t lo = 0;
         for (int32_t i = 0; i < n_pool && lo < n; i++) {
             int32_t d = (int32_t)pool[i];
-            // gallop forward then binary-search the bracket
-            int64_t step = 1, hi = lo;
-            while (hi < n && p[hi] < d) { lo = hi + 1; hi = lo + step; step <<= 1; }
-            if (hi > n) hi = n;
-            while (lo < hi) {
-                int64_t mid = (lo + hi) >> 1;
-                if (p[mid] < d) lo = mid + 1; else hi = mid;
-            }
-            if (lo < n && p[lo] == d) {
+            if (d < p[lo]) continue;
+            if (p[lo] == d) {
                 float tf = (float)w[lo];
                 out[i] += idf * ((tf * (K1 + 1.0f)) / (tf + norm[(size_t)i])
                                  + DELTA);
                 lo++;
+                continue;
+            }
+            if (d > p[n - 1]) { lo = n; break; }  // pool ascending: done
+            // Interpolation-start probe: postings ids are near-uniform
+            // over the doc space, so estimate the position and bracket
+            // with a short local gallop — ~3 touches of the (large,
+            // cache-cold) posting array instead of log2(df) ~ 20 for a
+            // from-scratch binary search. Search strategy only; the
+            // lower-bound result (and the f32 op order) are unchanged.
+            double span = (double)p[n - 1] - (double)p[lo];
+            int64_t est = lo;
+            if (span > 0.0)
+                est = lo + (int64_t)(((double)d - (double)p[lo]) / span
+                                     * (double)(n - 1 - lo));
+            if (est < lo) est = lo;
+            if (est >= n) est = n - 1;
+            int64_t a, b, step = 8;
+            if (p[est] < d) {
+                a = est + 1;
+                b = a + step;
+                while (b < n && p[b] < d) { a = b + 1; b += (step <<= 1); }
+                if (b > n) b = n;
+            } else {
+                b = est;
+                a = b - step;
+                if (a < lo) a = lo;
+                while (a > lo && p[a] > d) {
+                    b = a;
+                    a -= (step <<= 1);
+                    if (a < lo) a = lo;
+                }
+            }
+            while (a < b) {
+                int64_t mid = (a + b) >> 1;
+                if (p[mid] < d) a = mid + 1; else b = mid;
+            }
+            if (a < n && p[a] == d) {
+                float tf = (float)w[a];
+                out[i] += idf * ((tf * (K1 + 1.0f)) / (tf + norm[(size_t)i])
+                                 + DELTA);
+                lo = a + 1;
+            } else {
+                lo = a;
             }
         }
     }
