@@ -538,12 +538,31 @@ def _probe_backend(timeout_s: int = 240) -> bool:
 if __name__ == "__main__":
     if not _probe_backend():
         import os as _os
+        import time as _time
 
-        log("[bench] TPU backend init failed/hung — CPU fallback at "
-            "reduced scale (tunnel down; QPS not comparable)")
-        _os.environ["JAX_PLATFORMS"] = "cpu"
-        N_DOCS = min(N_DOCS, 10_000)
-        N_QUERIES = min(N_QUERIES, 128)
+        # INFIDEX_TPU_REQUIRE_TPU: measurement sessions (scripts/
+        # r4_queue.sh etc.) would rather WAIT out a tunnel flap than
+        # capture a useless CPU-fallback point. Retry the probe for up
+        # to 30 minutes, then give up loudly.
+        waited = False
+        if _os.environ.get("INFIDEX_TPU_REQUIRE_TPU"):
+            deadline = _time.time() + 1800
+            while _time.time() < deadline:
+                log("[bench] tunnel down; REQUIRE_TPU set — retrying "
+                    "probe in 60s")
+                _time.sleep(60)
+                if _probe_backend():
+                    waited = True
+                    break
+            else:
+                log("[bench] tunnel still down after 30min — giving up")
+                raise SystemExit(3)
+        if not waited:
+            log("[bench] TPU backend init failed/hung — CPU fallback at "
+                "reduced scale (tunnel down; QPS not comparable)")
+            _os.environ["JAX_PLATFORMS"] = "cpu"
+            N_DOCS = min(N_DOCS, 10_000)
+            N_QUERIES = min(N_QUERIES, 128)
     import jax as _jax
 
     # _setup_cache FIRST: it pins jax_platforms=cpu for CPU-forced runs
