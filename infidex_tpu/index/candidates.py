@@ -180,6 +180,26 @@ class TieredCandidateSelector:
         return merged, "selective"
 
 
+def top_desc_idx(scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the ``k`` largest f32 scores, ordered (score desc,
+    index asc) — exactly ``np.argsort(-scores, kind="stable")[:k]`` but
+    O(n + k log k): scores pack with their index into one strictly-
+    ordered uint64 key, argpartition selects, and only the k winners
+    sort. Replaces the former full-pool stable argsort in the tier hot
+    path (~0.3ms/query at 5k-doc pools, 1M corpus)."""
+    n = scores.size
+    if n <= k:
+        return np.argsort(-scores, kind="stable")
+    # monotone f32 -> uint32 map (sign-flip trick), inverted for desc
+    bits = scores.view(np.uint32)
+    asc = np.where(bits & 0x80000000, ~bits, bits | np.uint32(0x80000000))
+    key = ((~asc).astype(np.uint64) << np.uint64(32)) | np.arange(
+        n, dtype=np.uint64)
+    part = np.argpartition(key, k)[:k]
+    winners = part[np.argsort(key[part])]
+    return winners.astype(np.int64)
+
+
 def score_pool(built, term_ids, term_idf, pool: np.ndarray) -> np.ndarray:
     """Exact BM25+ of *pool* docs over the query terms (f32, device math).
 
@@ -276,7 +296,7 @@ class TieredStage1:
             return None
         pool, lim = sel
         scores = score_pool(self.built, term_ids, term_idf, pool)
-        order = np.argsort(-scores, kind="stable")[:top_k]
+        order = top_desc_idx(scores, top_k)
         out_scores = np.zeros(top_k, np.float32)
         out_ids = np.zeros(top_k, np.int32)
         out_scores[: order.size] = scores[order]

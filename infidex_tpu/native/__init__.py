@@ -43,9 +43,18 @@ def _compile() -> bool:
     try:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
         os.close(fd)
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-               "-o", tmp, _SRC]
-        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        # -march=native: the bitset gathers / merge loops in the tier and
+        # conjunctive kernels want popcount + wide loads. -ffp-contract=off
+        # keeps f32 BM25 bit-identical to the numpy path (FMA contraction
+        # would change the rounding; parity is pinned by
+        # tests/test_lim_class.py and test_conjunctive.py). Falls back to
+        # the portable build if the host compiler rejects -march=native.
+        base = ["g++", "-O3", "-std=c++17", "-ffp-contract=off",
+                "-shared", "-fPIC", "-o", tmp, _SRC]
+        res = subprocess.run(base[:1] + ["-march=native"] + base[1:],
+                             capture_output=True, timeout=120)
+        if res.returncode != 0:
+            res = subprocess.run(base, capture_output=True, timeout=120)
         if res.returncode != 0:
             os.unlink(tmp)
             return False

@@ -914,6 +914,27 @@ void infidex_score_pool(const int64_t* term_offsets,
         const uint8_t* w = postings_weights + term_offsets[tid];
         int64_t n = term_offsets[tid + 1] - term_offsets[tid];
         if (n <= 0) continue;
+        // Postings slices are cache-cold at 1M docs: a SEQUENTIAL scan
+        // rides the hardware prefetcher (~2G entries/s), while each
+        // probe is a ~100ns dependent miss. 3 probes/doc beats a linear
+        // scan only when df >> ~600 * n_pool; below a conservative
+        // 64 * n_pool, two-pointer linear merge wins outright. Join
+        // strategy only — the accumulation order (ascending pool, term
+        // outer loop) and f32 ops are identical either way.
+        if (n <= (int64_t)n_pool * 64) {
+            int64_t li = 0;
+            for (int32_t i = 0; i < n_pool && li < n; i++) {
+                int32_t d = (int32_t)pool[i];
+                while (li < n && p[li] < d) li++;
+                if (li < n && p[li] == d) {
+                    float tf = (float)w[li];
+                    out[i] += idf * ((tf * (K1 + 1.0f))
+                                     / (tf + norm[(size_t)i]) + DELTA);
+                    li++;
+                }
+            }
+            continue;
+        }
         int64_t lo = 0;
         for (int32_t i = 0; i < n_pool && lo < n; i++) {
             int32_t d = (int32_t)pool[i];
@@ -1243,35 +1264,47 @@ int64_t infidex_conj_pool(
     // whole classes covering conj_cap, and score ONLY those docs —
     // at 1M a 10-30k merged pool shrinks to ~conj_cap scored docs with
     // an unchanged result (class-internal order is all scores decide).
-    std::vector<int64_t> order(pool.size());
-    for (size_t i = 0; i < order.size(); i++) order[i] = (int64_t)i;
-    std::sort(order.begin(), order.end(), [&](int64_t x, int64_t y) {
-        if (strong[(size_t)x] != strong[(size_t)y])
-            return strong[(size_t)x] > strong[(size_t)y];
-        if (tok_n[(size_t)x] != tok_n[(size_t)y])
-            return tok_n[(size_t)x] < tok_n[(size_t)y];
-        return pool[(size_t)x] < pool[(size_t)y];
-    });
+    //
+    // The class order is one PACKED 64-bit key per doc — strong
+    // (inverted, desc) | tok_n (asc) | pool index (asc == id asc, pool
+    // is sorted-unique) — so prefix selection is a branch-predictable
+    // nth_element + partition over plain integers, O(n_pool), instead
+    // of a full comparator sort doing ~log(n) random gathers per doc
+    // (the former conj_pool hot spot: ~3-4ms of a 5.5ms call at 1M).
+    // Bit budget: strong <= n_tok < 2^15, tok_n < 2^24 (doc token
+    // count), index < 2^24 (pools are conj-cap-bounded merges).
+    std::vector<uint64_t> keys((size_t)n_pool);
+    for (int64_t i = 0; i < n_pool; i++)
+        keys[(size_t)i] =
+            ((uint64_t)(n_tok - strong[(size_t)i]) << 48)
+            | ((uint64_t)(uint32_t)tok_n[(size_t)i] << 24)
+            | (uint64_t)i;
+    const uint64_t CLASS_MASK = ~(uint64_t)0 << 24;
     int64_t kept = n_pool;
+    std::vector<int64_t> order;
+    order.reserve((size_t)n_pool);
     if (n_pool > conj_cap) {
-        kept = conj_cap;   // extend through the straddling class
-        while (kept < n_pool
-               && strong[(size_t)order[kept]] ==
-                      strong[(size_t)order[kept - 1]]
-               && tok_n[(size_t)order[kept]] ==
-                      tok_n[(size_t)order[kept - 1]])
-            kept++;
+        // The kept set is every whole class up to and including the
+        // straddling one — the class of the (conj_cap-1)-th key in
+        // ascending order (classes before it lie inside the prefix;
+        // the boundary class extends to its end, exactly the old
+        // "extend through the straddling class" loop).
+        std::vector<uint64_t> sel(keys);
+        std::nth_element(sel.begin(), sel.begin() + (conj_cap - 1),
+                         sel.end());
+        const uint64_t boundary = sel[(size_t)(conj_cap - 1)] & CLASS_MASK;
+        for (int64_t i = 0; i < n_pool; i++)
+            if ((keys[(size_t)i] & CLASS_MASK) <= boundary)
+                order.push_back(i);
+        kept = (int64_t)order.size();
+    } else {
+        for (int64_t i = 0; i < n_pool; i++) order.push_back(i);
     }
-    // exact BM25 of the kept docs (score_pool wants ascending ids for
-    // its monotone galloping join — sort, score, scatter back)
-    std::vector<int64_t> kept_sorted(order.begin(), order.begin() + kept);
-    std::sort(kept_sorted.begin(), kept_sorted.end(), [&](int64_t x,
-                                                          int64_t y) {
-        return pool[(size_t)x] < pool[(size_t)y];
-    });
+    // exact BM25 of the kept docs (score_pool wants ascending ids —
+    // ``order`` is built index-ascending == id-ascending already)
     std::vector<int64_t> kept_docs((size_t)kept);
     for (int64_t i = 0; i < kept; i++)
-        kept_docs[(size_t)i] = pool[(size_t)kept_sorted[(size_t)i]];
+        kept_docs[(size_t)i] = pool[(size_t)order[(size_t)i]];
     std::vector<float> kept_scores((size_t)kept);
     infidex_score_pool(term_offsets, postings_docs, postings_weights,
                        doc_lengths, n_docs, avgdl, score_tids, score_idfs,
@@ -1279,7 +1312,7 @@ int64_t infidex_conj_pool(
                        kept_scores.data());
     std::vector<float> scores((size_t)n_pool, 0.0f);
     for (int64_t i = 0; i < kept; i++)
-        scores[(size_t)kept_sorted[(size_t)i]] = kept_scores[(size_t)i];
+        scores[(size_t)order[(size_t)i]] = kept_scores[(size_t)i];
     // final order within the kept prefix: (strong desc, tok_n asc,
     // score desc, id asc) — ids unique, so the comparator is a total
     // order == numpy's stable lexsort over the full pool.
