@@ -332,12 +332,25 @@ def _recall_unclipped(engine, queries, Query, n_docs, sample=128):
     return (hits / total if total else 1.0), len(qs)
 
 
+# Stamped into every emitted JSON line so a fallback capture can never be
+# mistaken for a TPU regression (VERDICT r4 weak #1): "tpu" when the axon
+# backend served the run, "cpu-fallback" when the tunnel was down and the
+# harness substituted the CPU backend, "cpu-forced" when the caller pinned
+# JAX_PLATFORMS=cpu deliberately (parity/diag runs).
+BACKEND = "tpu"
+
+
 def _emit(metric, qps, extra="", recall=None, **fields):
     out = {
         "metric": metric + extra,
         "value": round(qps, 2),
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_QPS, 4),
+        "backend": BACKEND,
+        # Only TPU-backed runs are comparable to BASELINE_QPS — the whole
+        # point of the framework is the device; a CPU number at reduced
+        # scale answers a different question.
+        "comparable": BACKEND == "tpu",
     }
     if recall is not None:
         out["recall_at_10"] = round(recall, 4)
@@ -536,30 +549,40 @@ def _probe_backend(timeout_s: int = 240) -> bool:
 
 
 if __name__ == "__main__":
-    if not _probe_backend():
-        import os as _os
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        BACKEND = "cpu-forced"
+    elif not _probe_backend():
         import time as _time
 
-        # INFIDEX_TPU_REQUIRE_TPU: measurement sessions (scripts/
-        # r4_queue.sh etc.) would rather WAIT out a tunnel flap than
-        # capture a useless CPU-fallback point. Retry the probe for up
-        # to 30 minutes, then give up loudly.
+        # Tunnel down. DEFAULT behavior is now the bounded wait (VERDICT
+        # r4 task #1): retry the probe for up to 30 minutes rather than
+        # capture a useless CPU point that mimics a regression. Opt OUT
+        # with INFIDEX_TPU_NO_WAIT=1 (interactive/diagnostic runs).
         waited = False
-        if _os.environ.get("INFIDEX_TPU_REQUIRE_TPU"):
+        if not _os.environ.get("INFIDEX_TPU_NO_WAIT"):
             deadline = _time.time() + 1800
             while _time.time() < deadline:
-                log("[bench] tunnel down; REQUIRE_TPU set — retrying "
-                    "probe in 60s")
+                log("[bench] tunnel down — retrying TPU probe in 60s "
+                    "(bounded wait, 30min total; INFIDEX_TPU_NO_WAIT=1 "
+                    "to skip)")
                 _time.sleep(60)
                 if _probe_backend():
                     waited = True
                     break
-            else:
-                log("[bench] tunnel still down after 30min — giving up")
-                raise SystemExit(3)
         if not waited:
-            log("[bench] TPU backend init failed/hung — CPU fallback at "
-                "reduced scale (tunnel down; QPS not comparable)")
+            if _os.environ.get("INFIDEX_TPU_REQUIRE_TPU"):
+                log("[bench] tunnel still down — REQUIRE_TPU set, "
+                    "giving up")
+                raise SystemExit(3)
+            # Emit an explicit non-comparable record and run a reduced
+            # CPU capture for smoke value. The JSON is stamped
+            # backend=cpu-fallback, comparable=false so the driver/judge
+            # can never mistake it for a TPU regression.
+            log("[bench] TPU backend unreachable after bounded wait — "
+                "CPU fallback at reduced scale (NOT comparable)")
+            BACKEND = "cpu-fallback"
             _os.environ["JAX_PLATFORMS"] = "cpu"
             N_DOCS = min(N_DOCS, 10_000)
             N_QUERIES = min(N_QUERIES, 128)

@@ -31,7 +31,31 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_lib.cpp")
-_SO = os.path.join(_HERE, "_infidex_native.so")
+
+
+def _isa_tag() -> str:
+    """Short hash of this host's CPU ISA feature set. The library is
+    compiled with ``-march=native``, so a cached .so copied to a host
+    with a different microarchitecture (docker layer, NFS) would SIGILL
+    at the first call — mtime alone can't see that. Keying the filename
+    by the ISA tag forces a rebuild on a foreign host instead."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    raw = platform.machine() + ":" + " ".join(sorted(flags.split()))
+    return hashlib.sha1(raw.encode()).hexdigest()[:10]
+
+
+_SO = os.path.join(_HERE, f"_infidex_native.{_isa_tag()}.so")
 
 _lib = None
 _lock = threading.Lock()
