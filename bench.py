@@ -526,13 +526,17 @@ MODES = {
     "incremental": bench_incremental,  # config 5
 }
 
-def _probe_backend(timeout_s: int = 240) -> bool:
+def _probe_backend(timeout_s: int = 600) -> bool:
     """True when TPU backend init succeeds within ``timeout_s``.
 
     Probed in a SUBPROCESS: a dead tunnel makes backend init hang
     uninterruptibly inside the plugin, so the only safe check is one we
     can kill. On failure the bench falls back to the CPU backend at a
-    reduced scale rather than hanging the driver forever."""
+    reduced scale rather than hanging the driver forever.
+
+    Default raised 240->600s: a degraded-but-ALIVE tunnel measured 515s
+    for its first tiny matmul this session — a 240s probe misclassifies
+    that as down and the bench loses the only real TPU capture."""
     import os as _os
     import subprocess as _sp
     import sys as _sys

@@ -137,10 +137,13 @@ class TermDictionary:
 #: recall plateaus at 4096 and QPS at 2048. Smaller champion lists concentrate
 #: Stage-1's coverage-depth budget on the docs that actually carry
 #: weight for the query's rare terms.
+import itertools as _itertools
 import os as _os
 
 DEVICE_TERM_CAP = int(_os.environ.get("INFIDEX_TPU_DEVICE_TERM_CAP",
                                       "2048"))
+
+_BUILD_GEN = _itertools.count(1)
 
 
 @dataclass
@@ -165,6 +168,11 @@ class BuiltIndex:
     champion_len: int = 0
     ext_docs: Optional[np.ndarray] = None
     ext_weights: Optional[np.ndarray] = None
+    # Monotone build token: keys the native champion-list memo
+    # (native/_lib.cpp champions_cached) — a new BuiltIndex gets a new
+    # generation, so memoized champion lists can never leak across
+    # finalizes (same contract as WordMatcher's per-finalize memos).
+    gen: int = field(default_factory=lambda: next(_BUILD_GEN))
 
     def postings_for(self, term_id: int) -> Tuple[np.ndarray, np.ndarray]:
         s, e = self.term_offsets[term_id], self.term_offsets[term_id + 1]

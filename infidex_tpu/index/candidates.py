@@ -140,7 +140,8 @@ class TieredCandidateSelector:
             pool, label = _nat.tier_select(
                 built.term_offsets, built.postings_docs,
                 built.postings_weights, ordered,
-                np.array(selective[:2], np.int64), top_k)
+                np.array(selective[:2], np.int64), top_k,
+                generation=getattr(built, "gen", 0))
             return pool, label
 
         # Tier 1: all-terms intersection, rarest first (leapfrog analogue)
@@ -186,7 +187,12 @@ def top_desc_idx(scores: np.ndarray, k: int) -> np.ndarray:
     O(n + k log k): scores pack with their index into one strictly-
     ordered uint64 key, argpartition selects, and only the k winners
     sort. Replaces the former full-pool stable argsort in the tier hot
-    path (~0.3ms/query at 5k-doc pools, 1M corpus)."""
+    path (~0.3ms/query at 5k-doc pools, 1M corpus).
+
+    Caveat: the bit-trick total order differs from argsort for NaN
+    (NaNs sort as huge magnitudes, not last) — unreachable from BM25+
+    scores, which are finite by construction."""
+    scores = np.ascontiguousarray(scores, np.float32)
     n = scores.size
     if n <= k:
         return np.argsort(-scores, kind="stable")

@@ -58,6 +58,9 @@ class WordMatcher:
         # 21% of host time in scripts/host_hot_profile.py) — invalidated
         # on finalize_index, bounded FIFO.
         self._affix_cache: Dict[str, List[np.ndarray]] = {}
+        # Exact+LD1 union memo (see lookup()) — created here, not only in
+        # finalize_index, so pre-finalize instances stay consistent.
+        self._lookup_cache: Dict[str, Optional[np.ndarray]] = {}
 
     # ------------------------------------------------------------------
     def _normalize(self, text: str) -> str:
@@ -301,4 +304,6 @@ class WordMatcher:
         self._sorted_words = []
         self._sorted_rev = []
         self._rev_to_word = {}
+        self._affix_cache = {}
+        self._lookup_cache = {}
         self._finalized = False

@@ -136,10 +136,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ("infidex_member_any",
              [c_i32p, ctypes.c_int64, c_i64p, ctypes.c_int64, c_u8p],
              None),
+            ("infidex_tier_phase_stats",
+             [ctypes.POINTER(ctypes.c_double), ctypes.c_int32],
+             None),
             ("infidex_tier_select",
              [c_i64p, c_i32p, c_u8p, c_i64p, ctypes.c_int32,
-              c_i64p, ctypes.c_int32, ctypes.c_int32, c_i64p,
-              ctypes.POINTER(ctypes.c_int32)],
+              c_i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+              c_i64p, ctypes.POINTER(ctypes.c_int32)],
              ctypes.c_int64),
             ("infidex_conj_pool",
              [c_i64p, c_i32p, c_u8p, c_f32p, ctypes.c_int64,
@@ -262,12 +265,26 @@ def score_pool_native(term_offsets, postings_docs, postings_weights,
 _TIER_LABELS = {1: "all", 2: "all-minus-one", 3: "selective"}
 
 
+def tier_phase_stats(reset=False):
+    """Cumulative wall seconds per phase inside infidex_tier_select:
+    dict with isect, champ0, isect2, sel_champ, merge, calls —
+    measurement tooling (scripts/tier_profile.py), not a serving API."""
+    out = np.zeros(8, np.float64)
+    _lib.infidex_tier_phase_stats(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(1 if reset else 0))
+    return {"isect": out[0], "champ0": out[1], "isect2": out[2],
+            "sel_champ": out[3], "merge": out[4], "calls": int(out[5])}
+
+
 def tier_select(term_offsets, postings_docs, postings_weights,
-                ordered_tids, sel_tids, top_k):
+                ordered_tids, sel_tids, top_k, generation=0):
     """Tiered candidate pool (candidates.TieredCandidateSelector.select
     non-union twin): returns (pool int64 ascending-unique, tier label).
     ``ordered_tids`` = live term ids sorted (df asc, stable);
-    ``sel_tids`` = the <=2 selective high-IDF ids, df-sorted."""
+    ``sel_tids`` = the <=2 selective high-IDF ids, df-sorted;
+    ``generation`` keys the in-library champion memo (pass the
+    BuiltIndex.gen token so a re-finalize invalidates it)."""
     def p(arr, dt, ct):
         a = np.ascontiguousarray(arr, dt)
         return a, a.ctypes.data_as(ctypes.POINTER(ct))
@@ -282,6 +299,7 @@ def tier_select(term_offsets, postings_docs, postings_weights,
     n = _lib.infidex_tier_select(
         to_p, pd_p, pw_p, ot_p, ctypes.c_int32(int(ot.size)),
         st_p, ctypes.c_int32(int(st.size)), ctypes.c_int32(int(top_k)),
+        ctypes.c_uint64(int(generation)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.byref(label))
     return out[:n].copy(), _TIER_LABELS[label.value]

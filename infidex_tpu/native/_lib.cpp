@@ -235,7 +235,9 @@ int64_t infidex_gvi_decode_delta(const uint8_t* in, int64_t n,
 
 #include <cstdint>
 #include <cstring>
+#include <chrono>
 #include <cmath>
+#include <mutex>
 #include <vector>
 #include <string>
 #include <unordered_map>
@@ -1096,20 +1098,79 @@ static void merge_unique(const std::vector<std::vector<int32_t>>& parts,
     }
 }
 
+// Champion-list memo: champions(term, cap) is deterministic per index
+// build, costs two full passes over a df-sized postings slice (the
+// histogram + the selection scan — ~0.5ms at df 10^5), and serving
+// streams repeat terms Zipf-style. Keyed by (tid, cap) and invalidated
+// whenever the caller's generation token changes (BuiltIndex.gen bumps
+// per finalize — same invalidation contract as the WordMatcher.lookup
+// memo). Mutex-guarded: tier_select may run on prefetch-pool threads.
+static std::mutex g_champ_mu;
+static std::unordered_map<uint64_t, std::vector<int32_t>> g_champ;
+static uint64_t g_champ_gen = ~(uint64_t)0;
+static size_t g_champ_ints = 0;
+static const size_t CHAMP_CACHE_MAX_INTS = 16u << 20;  // 64MB of int32
+
+static void champions_cached(uint64_t generation, int64_t tid,
+                             const int32_t* docs, const uint8_t* w,
+                             int64_t n, int64_t cap,
+                             std::vector<int32_t>& out) {
+    if (n <= cap) { out.assign(docs, docs + n); return; }
+    if (generation == 0) {  // no build token: caller opted out of memo
+        tier::champions(docs, w, n, cap, out);
+        return;
+    }
+    const uint64_t key = ((uint64_t)tid << 20) | (uint64_t)(cap & 0xFFFFF);
+    {
+        std::lock_guard<std::mutex> g(g_champ_mu);
+        if (generation != g_champ_gen) {
+            g_champ.clear();
+            g_champ_ints = 0;
+            g_champ_gen = generation;
+        }
+        auto it = g_champ.find(key);
+        if (it != g_champ.end()) { out = it->second; return; }
+    }
+    tier::champions(docs, w, n, cap, out);
+    std::lock_guard<std::mutex> g(g_champ_mu);
+    if (generation == g_champ_gen) {
+        if (g_champ_ints + out.size() > CHAMP_CACHE_MAX_INTS) {
+            g_champ.clear();
+            g_champ_ints = 0;
+        }
+        auto ins = g_champ.emplace(key, out);
+        if (ins.second) g_champ_ints += out.size();
+    }
+}
+
+// Cumulative per-phase wall seconds inside infidex_tier_select, for
+// the measurement scripts (scripts/tier_profile.py): [0]=inter copy +
+// all-terms isect, [1]=rarest champions, [2]=n-1 isect, [3]=selective
+// champions, [4]=merges, [5]=call count. ~100ns of clock reads per
+// call against a ~1ms body.
+static double g_tier_phase[8] = {0};
+
 }  // namespace tier
+
+extern "C" void infidex_tier_phase_stats(double* out, int32_t reset) {
+    for (int i = 0; i < 8; i++) out[i] = tier::g_tier_phase[i];
+    if (reset)
+        for (int i = 0; i < 8; i++) tier::g_tier_phase[i] = 0.0;
+}
 
 // ordered_tids: live term ids sorted (df asc, stable); sel_tids: the
 // <=2 selective high-IDF term ids (df-sorted); out_pool capacity >=
 // 5 * top_k * 10. Returns pool size; *tier_out = 1 "all",
-// 2 "all-minus-one", 3 "selective".
+// 2 "all-minus-one", 3 "selective". ``generation`` keys the champion
+// memo (bump per index build to invalidate).
 int64_t infidex_tier_select(const int64_t* term_offsets,
                             const int32_t* postings_docs,
                             const uint8_t* postings_weights,
                             const int64_t* ordered_tids, int32_t n_terms,
                             const int64_t* sel_tids, int32_t n_sel,
-                            int32_t top_k,
+                            int32_t top_k, uint64_t generation,
                             int64_t* out_pool, int32_t* tier_out) {
-    using tier::champions;
+    using tier::champions_cached;
     using tier::isect;
     using tier::merge_unique;
 
@@ -1121,6 +1182,12 @@ int64_t infidex_tier_select(const int64_t* term_offsets,
         *w = postings_weights + s;
         *n = e - s;
     };
+    auto now = [] {
+        return std::chrono::duration<double>(
+            std::chrono::steady_clock::now().time_since_epoch()).count();
+    };
+    double t0 = now(), t1;
+    tier::g_tier_phase[5] += 1.0;
 
     std::vector<std::vector<int32_t>> parts;
     std::vector<int32_t> merged, tmp;
@@ -1137,10 +1204,14 @@ int64_t infidex_tier_select(const int64_t* term_offsets,
     }
     int64_t inter_full = (int64_t)inter.size();
     if (inter_full > cap) inter.resize((size_t)cap);
+    t1 = now(); tier::g_tier_phase[0] += t1 - t0; t0 = t1;
     parts.push_back(inter);
     parts.emplace_back();
-    champions(d0, w0, n0, cap, parts.back());
+    champions_cached(generation, ordered_tids[0], d0, w0, n0, cap,
+                     parts.back());
+    t1 = now(); tier::g_tier_phase[1] += t1 - t0; t0 = t1;
     merge_unique(parts, merged);
+    t1 = now(); tier::g_tier_phase[4] += t1 - t0; t0 = t1;
     int32_t label = 3;
     if (inter_full >= (int64_t)top_k * 2) {
         label = 1;
@@ -1157,8 +1228,10 @@ int64_t infidex_tier_select(const int64_t* term_offsets,
                 inter2.swap(tmp);
             }
             if ((int64_t)inter2.size() > cap) inter2.resize((size_t)cap);
+            t1 = now(); tier::g_tier_phase[2] += t1 - t0; t0 = t1;
             parts.push_back(std::move(inter2));
             merge_unique(parts, merged);
+            t1 = now(); tier::g_tier_phase[4] += t1 - t0; t0 = t1;
             if ((int64_t)merged.size() >= (int64_t)top_k * 3) label = 2;
         }
         if (label == 3) {
@@ -1167,8 +1240,11 @@ int64_t infidex_tier_select(const int64_t* term_offsets,
                 const int32_t* di; const uint8_t* wi; int64_t ni;
                 range(sel_tids[i], &di, &wi, &ni);
                 parts.emplace_back();
-                champions(di, wi, ni, cap, parts.back());
+                champions_cached(generation, sel_tids[i], di, wi, ni, cap,
+                                 parts.back());
+                t1 = now(); tier::g_tier_phase[3] += t1 - t0; t0 = t1;
                 merge_unique(parts, merged);
+                t1 = now(); tier::g_tier_phase[4] += t1 - t0; t0 = t1;
                 if ((int64_t)merged.size() >= (int64_t)top_k * 10) break;
             }
         }
@@ -1271,19 +1347,30 @@ int64_t infidex_conj_pool(
     // nth_element + partition over plain integers, O(n_pool), instead
     // of a full comparator sort doing ~log(n) random gathers per doc
     // (the former conj_pool hot spot: ~3-4ms of a 5.5ms call at 1M).
-    // Bit budget: strong <= n_tok < 2^15, tok_n < 2^24 (doc token
-    // count), index < 2^24 (pools are conj-cap-bounded merges).
+    // Bit budget: strong <= n_tok < 2^15, tok_n clamped to 2^24-1 (doc
+    // token count; clamping merges the classes of >16M-token docs,
+    // which only widens the kept set — class clipping is result-
+    // neutral, so a superset is too), index < 2^24. Pools are anchor-
+    // clip-bounded per query token (n_pool <= n_tok * ANCHOR_CLIP), so
+    // a swept ANCHOR_CLIP can push n_pool past 2^24 — in that case the
+    // index field would corrupt class order; skip clipping entirely
+    // (score the whole pool: slower, identical result).
+    const int64_t IDX_MAX = (int64_t)1 << 24;
     std::vector<uint64_t> keys((size_t)n_pool);
-    for (int64_t i = 0; i < n_pool; i++)
-        keys[(size_t)i] =
-            ((uint64_t)(n_tok - strong[(size_t)i]) << 48)
-            | ((uint64_t)(uint32_t)tok_n[(size_t)i] << 24)
-            | (uint64_t)i;
+    if (n_pool < IDX_MAX)
+        for (int64_t i = 0; i < n_pool; i++) {
+            uint64_t tn = (uint64_t)(uint32_t)tok_n[(size_t)i];
+            if (tn >= (uint64_t)IDX_MAX) tn = (uint64_t)IDX_MAX - 1;
+            keys[(size_t)i] =
+                ((uint64_t)(n_tok - strong[(size_t)i]) << 48)
+                | (tn << 24)
+                | (uint64_t)i;
+        }
     const uint64_t CLASS_MASK = ~(uint64_t)0 << 24;
     int64_t kept = n_pool;
     std::vector<int64_t> order;
     order.reserve((size_t)n_pool);
-    if (n_pool > conj_cap) {
+    if (n_pool > conj_cap && n_pool < IDX_MAX) {
         // The kept set is every whole class up to and including the
         // straddling one — the class of the (conj_cap-1)-th key in
         // ascending order (classes before it lie inside the prefix;

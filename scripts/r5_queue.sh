@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-5 TPU measurement queue — run with a HEALTHY tunnel only
+# (gate: scripts/link_health.py exit 0). Single-tenant chip + 1-core
+# host: nothing else may run concurrently or every number is garbage.
+# Run: nohup bash scripts/r5_queue.sh & — output in /tmp/r5_queue.log
+cd /root/repo
+exec > /tmp/r5_queue.log 2>&1
+set -x
+date
+# 1. Headline: fuzzy 1M (what the driver captures as BENCH_r05)
+timeout 4000 python bench.py 2>&1 | grep -a -v cpu_aot_loader
+date
+# 2. BASELINE configs at 1M (VERDICT r4 task #4)
+for mode in exact multifield filters incremental; do
+  timeout 3000 python bench.py "$mode" 1000000 512 2>&1 | grep -a -v cpu_aot_loader
+  date
+done
+# 3. mmap serving A/B at 300k (VERDICT r4 task #6a)
+timeout 2400 python scripts/mmap_ab.py 300000 256 2>&1 | grep -a -v cpu_aot_loader
+date
+# 4. Batch-width A/B at 1M (VERDICT r4 task #8)
+for b in 128 256; do
+  timeout 3000 python bench.py fuzzy 1000000 768 "$b" 2>&1 \
+    | grep -a -v cpu_aot_loader
+  date
+done
+echo "=== r5 queue done ==="

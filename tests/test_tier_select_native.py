@@ -71,3 +71,37 @@ def test_native_select_matches_numpy():
             nat.available = old
         assert native_label == np_label, trial
         np.testing.assert_array_equal(native_pool, np_pool), trial
+
+
+@pytest.mark.skipif(not native.available, reason="native lib unavailable")
+def test_champion_memo_generation_invalidation():
+    """The native champion memo (keyed by (tid, cap), invalidated by the
+    generation token) must never serve champions from a previous build:
+    two indexes with identical term ids / caps but different postings,
+    queried with distinct generations, must each match their own numpy
+    twin."""
+    rng = np.random.default_rng(7)
+    for gen in (101, 102):   # distinct fake build tokens
+        built = _random_built(rng)
+        sel = TieredCandidateSelector(built)
+        built.gen = gen      # picked up via getattr(built, "gen", 0)
+        term_ids = [0, 1, 2]
+        idfs = [2.0, 1.5, 1.0]
+        for top_k in (5, 20):   # repeat caps across generations
+            native_pool, native_label = sel.select(
+                term_ids, idfs, top_k, want_union=False)
+            # same call twice: second hits the memo, must be identical
+            again_pool, again_label = sel.select(
+                term_ids, idfs, top_k, want_union=False)
+            np.testing.assert_array_equal(native_pool, again_pool)
+            assert native_label == again_label
+            import infidex_tpu.native as nat
+            old = nat.available
+            try:
+                nat.available = False
+                np_pool, np_label = sel.select(term_ids, idfs, top_k,
+                                               want_union=False)
+            finally:
+                nat.available = old
+            assert native_label == np_label
+            np.testing.assert_array_equal(native_pool, np_pool)
