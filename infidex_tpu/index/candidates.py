@@ -309,6 +309,43 @@ class TieredStage1:
         out_ids[: order.size] = pool[order]
         return out_scores, out_ids, lim
 
+    def run_batch(self, preps, top_k: int):
+        """Whole-batch ``run`` in ONE native call (no mask support —
+        callers with a pre-filter mask use the per-query path).
+
+        ``preps`` = [(term_ids, idfs, fuzzy_groups), ...]; returns a list
+        aligned with preps whose entries are (scores, ids, lim) — the
+        ``run`` convention — or None (union route / empty pool / not
+        applicable: ride the device path). Bit-identical to per-query
+        ``run``: selection, deleted filter, BM25 f32 op order and the
+        (score desc, id asc) top-k rule all replicate inside
+        native/_lib.cpp infidex_tier_batch."""
+        from .. import native as _nat
+
+        if not _nat.available:
+            return [self.run(t, i, top_k) if self.applicable(t, f) else None
+                    for t, i, f in preps]
+        queries = []
+        live_idx = []
+        out: list = [None] * len(preps)
+        for qi, (term_ids, idfs, fuzzy_groups) in enumerate(preps):
+            if not self.applicable(term_ids, fuzzy_groups):
+                continue
+            queries.append(([int(t) for t in term_ids],
+                            [float(v) for v in idfs]))
+            live_idx.append(qi)
+        if not queries:
+            return out
+        scores, ids, labels = _nat.tier_batch(
+            self.built, queries, top_k, deleted_arr=self.deleted_arr)
+        for row, qi in enumerate(live_idx):
+            if labels[row] == 0:
+                continue
+            term_ids, idfs, _ = preps[qi]
+            lim = self._lim_ids(term_ids, idfs)
+            out[qi] = (scores[row], ids[row], lim)
+        return out
+
     def _lim_ids(self, term_ids, term_idf, mask=None) -> np.ndarray:
         """Low-id matcher ids (device.py LIM rows, host twin): the
         lowest LIM_K ids of the maximum-gram-coverage class — docs

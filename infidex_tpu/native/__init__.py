@@ -144,6 +144,12 @@ def _load() -> Optional[ctypes.CDLL]:
               c_i64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
               c_i64p, ctypes.POINTER(ctypes.c_int32)],
              ctypes.c_int64),
+            ("infidex_tier_batch",
+             [c_i64p, c_i32p, c_u8p, c_f32p, ctypes.c_int64,
+              ctypes.c_float, c_i32p, c_i64p, c_i64p, c_f32p,
+              ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+              c_u8p, ctypes.c_int64, c_f32p, c_i32p, c_i32p],
+             ctypes.c_int64),
             ("infidex_conj_pool",
              [c_i64p, c_i32p, c_u8p, c_f32p, ctypes.c_int64,
               ctypes.c_float, c_i32p, c_i64p, c_u8p, c_u8p, c_u8p,
@@ -303,6 +309,64 @@ def tier_select(term_offsets, postings_docs, postings_weights,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.byref(label))
     return out[:n].copy(), _TIER_LABELS[label.value]
+
+
+def tier_batch(built, queries, top_k, deleted_arr=None):
+    """Whole-batch tier Stage-1 in ONE GIL-released native call
+    (candidates.TieredStage1.run twin per query, minus LIM ids):
+    select + deleted-filter + exact BM25 + top-k.
+
+    ``queries`` = [(term_ids, idfs), ...] in ORIGINAL query order (the
+    C side derives the df ordering, selectivity and union routing from
+    BuiltIndex.df exactly as TieredCandidateSelector.select does).
+    Returns (scores f32[Q, top_k], ids i32[Q, top_k], labels i32[Q]);
+    labels use the tier_select convention, 0 = union/empty pool (the
+    caller routes those queries to the device path)."""
+    def p(arr, dt, ct):
+        a = np.ascontiguousarray(arr, dt)
+        return a, a.ctypes.data_as(ctypes.POINTER(ct))
+
+    nq = len(queries)
+    q_off = np.zeros(nq + 1, np.int64)
+    for i, (tids, _) in enumerate(queries):
+        q_off[i + 1] = q_off[i] + len(tids)
+    flat_t = np.empty(int(q_off[-1]), np.int64)
+    flat_i = np.empty(int(q_off[-1]), np.float32)
+    for i, (tids, idfs) in enumerate(queries):
+        s, e = int(q_off[i]), int(q_off[i + 1])
+        flat_t[s:e] = tids
+        flat_i[s:e] = idfs
+
+    to, to_p = p(built.term_offsets, np.int64, ctypes.c_int64)
+    pd, pd_p = p(built.postings_docs, np.int32, ctypes.c_int32)
+    pw, pw_p = p(built.postings_weights, np.uint8, ctypes.c_uint8)
+    dl, dl_p = p(built.doc_lengths, np.float32, ctypes.c_float)
+    dfar, df_p = p(built.df, np.int32, ctypes.c_int32)
+    qo, qo_p = p(q_off, np.int64, ctypes.c_int64)
+    ft, ft_p = p(flat_t, np.int64, ctypes.c_int64)
+    fi, fi_p = p(flat_i, np.float32, ctypes.c_float)
+    if deleted_arr is not None and deleted_arr.size:
+        da, da_p = p(deleted_arr, np.uint8, ctypes.c_uint8)
+        n_del = int(da.size)
+    else:
+        da = np.zeros(1, np.uint8)
+        da_p = da.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        n_del = 0
+    out_scores = np.zeros((nq, top_k), np.float32)
+    out_ids = np.zeros((nq, top_k), np.int32)
+    out_label = np.zeros(nq, np.int32)
+    _lib.infidex_tier_batch(
+        to_p, pd_p, pw_p, dl_p,
+        ctypes.c_int64(int(built.doc_lengths.size)),
+        ctypes.c_float(float(max(built.avgdl, 1e-9))),
+        df_p, qo_p, ft_p, fi_p,
+        ctypes.c_int32(nq), ctypes.c_int32(int(top_k)),
+        ctypes.c_uint64(int(getattr(built, "gen", 0))),
+        da_p, ctypes.c_int64(n_del),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out_scores, out_ids, out_label
 
 
 def member_any_into(postings, cand, mask) -> None:

@@ -1158,22 +1158,23 @@ extern "C" void infidex_tier_phase_stats(double* out, int32_t reset) {
         for (int i = 0; i < 8; i++) tier::g_tier_phase[i] = 0.0;
 }
 
-// ordered_tids: live term ids sorted (df asc, stable); sel_tids: the
-// <=2 selective high-IDF term ids (df-sorted); out_pool capacity >=
-// 5 * top_k * 10. Returns pool size; *tier_out = 1 "all",
-// 2 "all-minus-one", 3 "selective". ``generation`` keys the champion
-// memo (bump per index build to invalidate).
-int64_t infidex_tier_select(const int64_t* term_offsets,
-                            const int32_t* postings_docs,
-                            const uint8_t* postings_weights,
-                            const int64_t* ordered_tids, int32_t n_terms,
-                            const int64_t* sel_tids, int32_t n_sel,
-                            int32_t top_k, uint64_t generation,
-                            int64_t* out_pool, int32_t* tier_out) {
-    using tier::champions_cached;
-    using tier::isect;
-    using tier::merge_unique;
+namespace tier {
 
+// Shared select core (infidex_tier_select and infidex_tier_batch):
+// ordered_tids df-asc, sel_tids the <=2 selective high-IDF ids. Fills
+// ``merged`` (sorted-unique pool) and returns the tier label 1/2/3.
+// Identical pool to the numpy twin; the only deviation from the numpy
+// structure is intersecting the first two postings slices DIRECTLY
+// instead of copying the rarest term's full df-sized slice first (the
+// copy was ~25% of phase-0 time at 1M; the intersection result is
+// identical).
+static int32_t select_core(const int64_t* term_offsets,
+                           const int32_t* postings_docs,
+                           const uint8_t* postings_weights,
+                           const int64_t* ordered_tids, int32_t n_terms,
+                           const int64_t* sel_tids, int32_t n_sel,
+                           int32_t top_k, uint64_t generation,
+                           std::vector<int32_t>& merged) {
     const int64_t cap = (int64_t)top_k * 10;
     auto range = [&](int64_t t, const int32_t** d, const uint8_t** w,
                      int64_t* n) {
@@ -1187,31 +1188,38 @@ int64_t infidex_tier_select(const int64_t* term_offsets,
             std::chrono::steady_clock::now().time_since_epoch()).count();
     };
     double t0 = now(), t1;
-    tier::g_tier_phase[5] += 1.0;
+    g_tier_phase[5] += 1.0;
 
     std::vector<std::vector<int32_t>> parts;
-    std::vector<int32_t> merged, tmp;
+    std::vector<int32_t> tmp;
 
     // Tier 1: all-terms intersection, rarest first.
     const int32_t* d0; const uint8_t* w0; int64_t n0;
     range(ordered_tids[0], &d0, &w0, &n0);
-    std::vector<int32_t> inter(d0, d0 + n0);
-    for (int32_t i = 1; i < n_terms && !inter.empty(); i++) {
-        const int32_t* di; const uint8_t* wi; int64_t ni;
-        range(ordered_tids[i], &di, &wi, &ni);
-        isect(inter.data(), (int64_t)inter.size(), di, ni, tmp);
-        inter.swap(tmp);
+    std::vector<int32_t> inter;
+    if (n_terms >= 2) {
+        const int32_t* d1; const uint8_t* w1; int64_t n1;
+        range(ordered_tids[1], &d1, &w1, &n1);
+        isect(d0, n0, d1, n1, inter);
+        for (int32_t i = 2; i < n_terms && !inter.empty(); i++) {
+            const int32_t* di; const uint8_t* wi; int64_t ni;
+            range(ordered_tids[i], &di, &wi, &ni);
+            isect(inter.data(), (int64_t)inter.size(), di, ni, tmp);
+            inter.swap(tmp);
+        }
+    } else {
+        inter.assign(d0, d0 + n0);
     }
     int64_t inter_full = (int64_t)inter.size();
     if (inter_full > cap) inter.resize((size_t)cap);
-    t1 = now(); tier::g_tier_phase[0] += t1 - t0; t0 = t1;
+    t1 = now(); g_tier_phase[0] += t1 - t0; t0 = t1;
     parts.push_back(inter);
     parts.emplace_back();
     champions_cached(generation, ordered_tids[0], d0, w0, n0, cap,
                      parts.back());
-    t1 = now(); tier::g_tier_phase[1] += t1 - t0; t0 = t1;
+    t1 = now(); g_tier_phase[1] += t1 - t0; t0 = t1;
     merge_unique(parts, merged);
-    t1 = now(); tier::g_tier_phase[4] += t1 - t0; t0 = t1;
+    t1 = now(); g_tier_phase[4] += t1 - t0; t0 = t1;
     int32_t label = 3;
     if (inter_full >= (int64_t)top_k * 2) {
         label = 1;
@@ -1220,18 +1228,21 @@ int64_t infidex_tier_select(const int64_t* term_offsets,
         if (n_terms >= 3) {
             const int32_t* d1; const uint8_t* w1; int64_t n1;
             range(ordered_tids[1], &d1, &w1, &n1);
-            std::vector<int32_t> inter2(d1, d1 + n1);
-            for (int32_t i = 2; i < n_terms && !inter2.empty(); i++) {
+            const int32_t* d2; const uint8_t* w2; int64_t n2;
+            range(ordered_tids[2], &d2, &w2, &n2);
+            std::vector<int32_t> inter2;
+            isect(d1, n1, d2, n2, inter2);
+            for (int32_t i = 3; i < n_terms && !inter2.empty(); i++) {
                 const int32_t* di; const uint8_t* wi; int64_t ni;
                 range(ordered_tids[i], &di, &wi, &ni);
                 isect(inter2.data(), (int64_t)inter2.size(), di, ni, tmp);
                 inter2.swap(tmp);
             }
             if ((int64_t)inter2.size() > cap) inter2.resize((size_t)cap);
-            t1 = now(); tier::g_tier_phase[2] += t1 - t0; t0 = t1;
+            t1 = now(); g_tier_phase[2] += t1 - t0; t0 = t1;
             parts.push_back(std::move(inter2));
             merge_unique(parts, merged);
-            t1 = now(); tier::g_tier_phase[4] += t1 - t0; t0 = t1;
+            t1 = now(); g_tier_phase[4] += t1 - t0; t0 = t1;
             if ((int64_t)merged.size() >= (int64_t)top_k * 3) label = 2;
         }
         if (label == 3) {
@@ -1242,16 +1253,186 @@ int64_t infidex_tier_select(const int64_t* term_offsets,
                 parts.emplace_back();
                 champions_cached(generation, sel_tids[i], di, wi, ni, cap,
                                  parts.back());
-                t1 = now(); tier::g_tier_phase[3] += t1 - t0; t0 = t1;
+                t1 = now(); g_tier_phase[3] += t1 - t0; t0 = t1;
                 merge_unique(parts, merged);
-                t1 = now(); tier::g_tier_phase[4] += t1 - t0; t0 = t1;
+                t1 = now(); g_tier_phase[4] += t1 - t0; t0 = t1;
                 if ((int64_t)merged.size() >= (int64_t)top_k * 10) break;
             }
         }
     }
-    *tier_out = label;
+    return label;
+}
+
+}  // namespace tier
+
+// ordered_tids: live term ids sorted (df asc, stable); sel_tids: the
+// <=2 selective high-IDF term ids (df-sorted); out_pool capacity >=
+// 5 * top_k * 10. Returns pool size; *tier_out = 1 "all",
+// 2 "all-minus-one", 3 "selective". ``generation`` keys the champion
+// memo (bump per index build to invalidate).
+int64_t infidex_tier_select(const int64_t* term_offsets,
+                            const int32_t* postings_docs,
+                            const uint8_t* postings_weights,
+                            const int64_t* ordered_tids, int32_t n_terms,
+                            const int64_t* sel_tids, int32_t n_sel,
+                            int32_t top_k, uint64_t generation,
+                            int64_t* out_pool, int32_t* tier_out) {
+    std::vector<int32_t> merged;
+    *tier_out = tier::select_core(term_offsets, postings_docs,
+                                  postings_weights, ordered_tids, n_terms,
+                                  sel_tids, n_sel, top_k, generation,
+                                  merged);
     for (size_t i = 0; i < merged.size(); i++) out_pool[i] = merged[i];
     return (int64_t)merged.size();
+}
+
+// ---------------------------------------------------------------------
+// Batched tier Stage-1 (VERDICT r4 task #3): select + deleted-filter +
+// exact BM25 + top-k for a WHOLE batch of tier-gated queries in ONE
+// GIL-released call — replaces per-query Python glue (thread-pool
+// submit, ctypes marshalling, numpy temporaries, argsort) that cost
+// ~0.7ms/query of the 2.4ms/query warm host cost at 1M docs.
+//
+// Per query q (replicating candidates.TieredCandidateSelector.select +
+// TieredStage1.run EXACTLY — behavioral ref Scoring/
+// TieredCandidateSelector.cs:108-236):
+//   terms   = term_ids[q_off[q]:q_off[q+1]] with idfs aligned
+//   live    = terms with df > 0 (df read straight from the CSR offsets)
+//   union routing (single live term / missing terms / typo-suspect
+//     df < 10) => label 0: caller sends the query to the device path
+//   ordered = live stable-sorted df-asc; selective = idf >= 0.3*max,
+//     stable df-asc, first 2
+//   pool    = tier::select_core(...); deleted docs dropped
+//   scores  = BM25+ over the ORIGINAL term order (f32 op order matches
+//     the numpy twin bit-for-bit); top_k by (score desc, id asc)
+// Outputs are zero-padded [n_queries x top_k] slabs. out_label[q] = 0
+// means "route to device" (union or empty pool).
+int64_t infidex_tier_batch(
+    const int64_t* term_offsets, const int32_t* postings_docs,
+    const uint8_t* postings_weights, const float* doc_lengths,
+    int64_t n_docs, float avgdl,
+    const int32_t* df,                 // BuiltIndex.df — NOT the CSR
+                                       // delta: occurrence-counted, -1
+                                       // for stop terms, decremented on
+                                       // delete (builder.py Term)
+    const int64_t* q_offsets,          // [n_queries + 1]
+    const int64_t* term_ids_flat,      // query order, concatenated
+    const float* idfs_flat,            // aligned with term_ids_flat
+    int32_t n_queries, int32_t top_k, uint64_t generation,
+    const uint8_t* deleted, int64_t n_deleted,   // 0 => no filter
+    float* out_scores, int32_t* out_ids, int32_t* out_label) {
+    const int32_t TYPO_SUSPECT_DF = 10;
+    std::vector<int32_t> merged;
+    std::vector<int64_t> pool;
+    std::vector<float> scores;
+    std::vector<int32_t> order;
+    std::vector<int64_t> ordered, sel;
+    std::vector<float> live_idf;
+    std::vector<int64_t> live_t;
+
+    for (int32_t q = 0; q < n_queries; q++) {
+        float* o_sc = out_scores + (int64_t)q * top_k;
+        int32_t* o_id = out_ids + (int64_t)q * top_k;
+        std::memset(o_sc, 0, sizeof(float) * (size_t)top_k);
+        std::memset(o_id, 0, sizeof(int32_t) * (size_t)top_k);
+        out_label[q] = 0;
+        const int64_t s = q_offsets[q], e = q_offsets[q + 1];
+        const int64_t nt = e - s;
+        if (nt <= 0) continue;
+
+        // live terms (df > 0), preserving query order — df semantics
+        // exactly as candidates.select: BuiltIndex.df, not the CSR span
+        live_t.clear(); live_idf.clear();
+        bool typo_suspect = false;
+        for (int64_t i = s; i < e; i++) {
+            int64_t t = term_ids_flat[i];
+            if (t < 0 || df[t] <= 0) continue;
+            if (df[t] < TYPO_SUSPECT_DF) typo_suspect = true;
+            live_t.push_back(t);
+            live_idf.push_back(idfs_flat[i]);
+        }
+        const int64_t nl = (int64_t)live_t.size();
+        bool missing = nl < nt;
+        if (nl == 0 || nl == 1 || missing || typo_suspect)
+            continue;  // union => device path (label stays 0)
+
+        // stable df-asc ordering of the live terms
+        ordered.resize((size_t)nl);
+        for (int64_t i = 0; i < nl; i++) ordered[(size_t)i] = i;
+        std::stable_sort(ordered.begin(), ordered.end(),
+                         [&](int64_t a, int64_t b) {
+            return df[live_t[(size_t)a]] < df[live_t[(size_t)b]];
+        });
+        for (int64_t i = 0; i < nl; i++)
+            ordered[(size_t)i] = live_t[(size_t)ordered[(size_t)i]];
+
+        // selective: idf >= 0.3 * max_idf, stable df-asc, first 2.
+        // Threshold in DOUBLE: the Python twin compares in float64
+        // (idfs are f32-exact values, so widening loses nothing and the
+        // borderline classification matches bit-for-bit).
+        float max_idf = live_idf[0];
+        for (float v : live_idf) if (v > max_idf) max_idf = v;
+        sel.clear();
+        for (int64_t i = 0; i < nl; i++)
+            if ((double)live_idf[(size_t)i] >= 0.3 * (double)max_idf)
+                sel.push_back(live_t[(size_t)i]);
+        std::stable_sort(sel.begin(), sel.end(),
+                         [&](int64_t a, int64_t b) {
+            return df[a] < df[b];
+        });
+        if (sel.size() > 2) sel.resize(2);
+
+        merged.clear();
+        int32_t label = tier::select_core(
+            term_offsets, postings_docs, postings_weights,
+            ordered.data(), (int32_t)nl, sel.data(), (int32_t)sel.size(),
+            top_k, generation, merged);
+
+        // deleted filter (pool stays ascending)
+        pool.clear();
+        pool.reserve(merged.size());
+        if (n_deleted > 0) {
+            for (int32_t d : merged)
+                if (!(d >= 0 && d < n_deleted && deleted[d]))
+                    pool.push_back((int64_t)d);
+        } else {
+            for (int32_t d : merged) pool.push_back((int64_t)d);
+        }
+        const int64_t np = (int64_t)pool.size();
+        if (np == 0) continue;  // label 0: device fallback
+
+        // exact BM25+ over the LIVE terms in ORIGINAL query order —
+        // bit-identical to the numpy twin scoring the full list, since
+        // dead terms (t < 0 or empty postings) contribute exactly 0 and
+        // skipping them cannot reorder the f32 accumulation. (Negative
+        // ids would also be out-of-bounds reads on term_offsets here.)
+        scores.resize((size_t)np);
+        infidex_score_pool(term_offsets, postings_docs, postings_weights,
+                           doc_lengths, n_docs, avgdl,
+                           live_t.data(), live_idf.data(), (int32_t)nl,
+                           pool.data(), (int32_t)np, scores.data());
+
+        // top_k by (score desc, pool index asc) == top_desc_idx
+        order.resize((size_t)np);
+        for (int64_t i = 0; i < np; i++) order[(size_t)i] = (int32_t)i;
+        auto cmp = [&](int32_t a, int32_t b) {
+            float sa = scores[(size_t)a], sb = scores[(size_t)b];
+            if (sa != sb) return sa > sb;
+            return a < b;
+        };
+        const int64_t k = np < (int64_t)top_k ? np : (int64_t)top_k;
+        if (np > (int64_t)top_k)
+            std::partial_sort(order.begin(), order.begin() + (size_t)k,
+                              order.end(), cmp);
+        else
+            std::sort(order.begin(), order.end(), cmp);
+        for (int64_t i = 0; i < k; i++) {
+            o_sc[i] = scores[(size_t)order[(size_t)i]];
+            o_id[i] = (int32_t)pool[(size_t)order[(size_t)i]];
+        }
+        out_label[q] = label;
+    }
+    return 0;
 }
 
 // ---------------------------------------------------------------------

@@ -579,25 +579,51 @@ class SearchPipeline:
         # Tiered queries run on host threads (numpy set ops release the
         # GIL) and OVERLAP the blocking device round trip below.
         tier_futures = []
+        tier_batch_fut = None
         pool = None
         if tier_jobs:
             from concurrent.futures import ThreadPoolExecutor
 
-            pool = ThreadPoolExecutor(max_workers=min(8, len(tier_jobs)))
+            from .. import native as _nat
 
-            def _timed_tier(prep_):
-                t0_ = _time.perf_counter()
-                try:
-                    return model.stage1_tier_select(prep_, coverage_depth,
-                                                    prefilter_mask)
-                finally:
-                    # Lock-guarded: += on an attribute is not atomic
-                    # under the GIL. Trace-only diagnostics.
-                    with self._trace_lock:
-                        self._t_tier_cpu += _time.perf_counter() - t0_
+            batchable = (_nat.available and prefilter_mask is None
+                         and not model.device_pool_scoring_ok()
+                         and model._tiered_for() is not None)
+            pool = ThreadPoolExecutor(
+                max_workers=1 if batchable else min(8, len(tier_jobs)))
 
-            for i, prep in tier_jobs:
-                tier_futures.append((i, prep, pool.submit(_timed_tier, prep)))
+            if batchable:
+                # ONE GIL-released native call selects + scores the whole
+                # tier group (native/_lib.cpp infidex_tier_batch) —
+                # replaces per-query submit/marshal/argsort glue that
+                # cost ~0.7ms/query warm at 1M docs (VERDICT r4 task #3).
+                tiered_ = model._tiered_for()
+                preps_t = [prep for _, prep in tier_jobs]
+
+                def _timed_tier_batch():
+                    t0_ = _time.perf_counter()
+                    try:
+                        return tiered_.run_batch(preps_t, coverage_depth)
+                    finally:
+                        with self._trace_lock:
+                            self._t_tier_cpu += _time.perf_counter() - t0_
+
+                tier_batch_fut = pool.submit(_timed_tier_batch)
+            else:
+                def _timed_tier(prep_):
+                    t0_ = _time.perf_counter()
+                    try:
+                        return model.stage1_tier_select(
+                            prep_, coverage_depth, prefilter_mask)
+                    finally:
+                        # Lock-guarded: += on an attribute is not atomic
+                        # under the GIL. Trace-only diagnostics.
+                        with self._trace_lock:
+                            self._t_tier_cpu += _time.perf_counter() - t0_
+
+                for i, prep in tier_jobs:
+                    tier_futures.append(
+                        (i, prep, pool.submit(_timed_tier, prep)))
 
         handles = None
         outs: list = []
@@ -650,9 +676,15 @@ class SearchPipeline:
         fallback_handles = None
         pool_jobs: list = []      # (i, (pool, term_ids, idfs)) device-scored
         pool_handle = None
+        if tier_batch_fut is not None:
+            # Whole-group native results, aligned with tier_jobs: entries
+            # are (scores, ids, lim) or None (union/empty -> device).
+            for (i, prep), out_b in zip(tier_jobs, tier_batch_fut.result()):
+                tier_futures.append((i, prep, out_b))
         if tier_futures:
             for i, prep, fut in tier_futures:
-                out_t = fut.result()
+                out_t = fut.result() if hasattr(fut, "result") else (
+                    None if fut is None else ("scored",) + fut)
                 if out_t is None:
                     fallback.append((i, prep))
                     continue

@@ -105,3 +105,73 @@ def test_champion_memo_generation_invalidation():
                 nat.available = old
             assert native_label == np_label
             np.testing.assert_array_equal(native_pool, np_pool)
+
+
+@pytest.mark.skipif(not native.available, reason="native lib unavailable")
+def test_tier_batch_matches_per_query_numpy(monkeypatch):
+    """infidex_tier_batch (whole-batch select+filter+score+topk in one
+    native call) must be bit-identical to the per-query NUMPY path:
+    same routing (union/typo-suspect -> None), same pools after the
+    deleted filter, same f32 BM25 scores, same (score desc, id asc)
+    top-k — including zero-padding of short pools."""
+    import infidex_tpu.index.candidates as cand_mod
+    import infidex_tpu.native as nat
+    from infidex_tpu.index.candidates import TieredStage1
+
+    monkeypatch.setattr(cand_mod, "TIER_LANE_BUDGET", 1)
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        built = _random_built(rng)
+        n_docs = 5000
+        # one RARE term (df < 10) to exercise the typo-suspect union route
+        rare_docs = np.unique(
+            rng.integers(0, n_docs, size=5)).astype(np.int32)
+        built.postings_docs = np.concatenate([built.postings_docs,
+                                              rare_docs])
+        built.postings_weights = np.concatenate(
+            [built.postings_weights,
+             rng.integers(1, 20, size=rare_docs.size).astype(np.uint8)])
+        built.term_offsets = np.concatenate(
+            [built.term_offsets,
+             [built.term_offsets[-1] + rare_docs.size]])
+        built.df = np.concatenate([built.df,
+                                   np.asarray([rare_docs.size], np.int32)])
+        built.doc_lengths = rng.uniform(
+            1.0, 30.0, size=n_docs).astype(np.float32)
+        built.avgdl = float(built.doc_lengths.mean())
+        built.gen = 1000 + trial
+        built.champion_starts = None   # term_device_range: full CSR
+        n_terms = len(built.df)
+
+        deleted = None
+        if trial % 2:
+            deleted = np.zeros(n_docs, bool)
+            deleted[rng.choice(n_docs, size=500, replace=False)] = True
+
+        preps = []
+        for _ in range(6):
+            k = int(rng.integers(2, 5))
+            tids = rng.choice(n_terms, size=k, replace=False).tolist()
+            idfs = rng.uniform(0.1, 5.0, size=k).tolist()
+            fuzzy = [] if rng.random() < 0.9 else [[0]]
+            preps.append((tids, idfs, fuzzy))
+        top_k = int(rng.integers(5, 60))
+
+        ts = TieredStage1(built, deleted)
+        batch_out = ts.run_batch(preps, top_k)
+
+        old = nat.available
+        try:
+            nat.available = False
+            ref = [ts.run(t, i, top_k) if ts.applicable(t, f) else None
+                   for t, i, f in preps]
+        finally:
+            nat.available = old
+
+        for qi, (b, r) in enumerate(zip(batch_out, ref)):
+            if r is None or b is None:
+                assert (b is None) == (r is None), (trial, qi)
+                continue
+            np.testing.assert_array_equal(b[0], r[0], err_msg=f"{trial}/{qi}")
+            np.testing.assert_array_equal(b[1], r[1], err_msg=f"{trial}/{qi}")
+            np.testing.assert_array_equal(b[2], r[2], err_msg=f"{trial}/{qi}")
