@@ -89,6 +89,16 @@ class DocumentCollection:
         docs = self.get_documents_by_key(document_key)
         return docs[0] if docs else None
 
+    def first_live_id(self, document_key: int) -> Optional[int]:
+        """Internal id of the first non-deleted doc for ``document_key``
+        — the row ``get_document_by_public_key`` resolves to. Columnar
+        facet/filter paths use this to map result entries onto
+        ColumnStore rows without materializing Document objects."""
+        for i in self._key_to_ids.get(document_key, ()):
+            if not self._documents[i].deleted:
+                return i
+        return None
+
     def get_documents_for_public_key(self, document_key: int) -> List[Document]:
         """All docs for key, including deleted (segment consolidation path)."""
         ids = self._key_to_ids.get(document_key, [])

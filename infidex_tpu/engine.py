@@ -399,8 +399,7 @@ class SearchEngine:
 
             facets = None
             if q.enable_facets:
-                facets = facet_builder.build_facets(
-                    results, self._vector_model.documents, self._document_field_schema)
+                facets = self._build_facets_batch([results])[0]
 
             top = results[: q.max_number_of_records_to_return]
             return Result(
@@ -617,16 +616,25 @@ class SearchEngine:
         import time as _time
 
         out: List[Result] = []
+        processed: Dict[int, List[ScoreEntry]] = {
+            i: self._apply_post_processing(results_by_query[i], q)
+            for i, q in enumerate(prepped) if i not in direct}
+        # Facets for the WHOLE batch in one pass per field: the counts
+        # matrix is a single device segment-sum (ops/facets.py) or a host
+        # bincount, never a per-result Python document walk.
+        facet_idx = [i for i, q in enumerate(prepped)
+                     if i not in direct and q.enable_facets]
+        facet_maps = {}
+        if facet_idx:
+            batch_facets = self._build_facets_batch(
+                [processed[i] for i in facet_idx])
+            facet_maps = dict(zip(facet_idx, batch_facets))
         for i, q in enumerate(prepped):
             if i in direct:
                 out.append(direct[i])
                 continue
-            results = self._apply_post_processing(results_by_query[i], q)
-            facets = None
-            if q.enable_facets:
-                facets = facet_builder.build_facets(
-                    results, self._vector_model.documents,
-                    self._document_field_schema)
+            results = processed[i]
+            facets = facet_maps.get(i) if q.enable_facets else None
             top = results[: q.max_number_of_records_to_return]
             out.append(Result(
                 records=top,
@@ -781,6 +789,63 @@ class SearchEngine:
         if mask is None or mask.size < self._vector_model.doc_keys_arr.size:
             return None
         return mask
+
+    def _build_facets_batch(self, results_lists):
+        """Facet dicts for several queries' result lists at once.
+
+        Reference semantics: Core/FacetBuilder.cs:19-56 (count field
+        values over the result set via the first live document per public
+        key; count desc / value asc; top 100 per field). Counting runs
+        over ColumnStore dictionary codes — one device segment-sum for
+        the whole batch when it amortizes a dispatch, host bincounts
+        otherwise — instead of the reference's per-document host walk.
+        """
+        schema = self._document_field_schema
+        facetable = schema.get_facetable_field_list() if schema else []
+        if not facetable:
+            return [{} for _ in results_lists]
+        import numpy as _np
+
+        docs = self._vector_model.documents
+        store = self._get_column_store()
+        id_lists = []
+        for results in results_lists:
+            ids = [docs.first_live_id(e.document_id) for e in results]
+            id_lists.append(_np.asarray(
+                [i for i in ids if i is not None], dtype=_np.int64))
+        ctr = self._facet_device_counter(store)
+        out = [dict() for _ in results_lists]
+        for field in facetable:
+            pairs_per_q = store.facet_pairs_batch(
+                field.name, id_lists, is_array=field.is_array,
+                device_counter=ctr)
+            for i, pairs in enumerate(pairs_per_q):
+                if pairs:
+                    out[i][field.name] = pairs
+        return out
+
+    def _facet_device_counter(self, store):
+        """DeviceFacetCounter tied to this ColumnStore (rebuilt stores
+        drop their device code tables with them). INFIDEX_TPU_DEVICE_FACETS:
+        "0" never dispatch, "1" dispatch whenever the cardinality cap
+        allows, unset/auto = dispatch only when the Stage-1 device backend
+        is active and the batch amortizes the link round trip."""
+        import os as _os
+
+        mode = _os.environ.get("INFIDEX_TPU_DEVICE_FACETS", "auto")
+        if mode == "0":
+            return None
+        if self._vector_model.device is None and mode != "1":
+            return None
+        ctr = getattr(store, "_device_facet_counter", None)
+        if ctr is None:
+            from .ops.facets import DeviceFacetCounter
+
+            ctr = DeviceFacetCounter()
+            store._device_facet_counter = ctr
+        if mode == "1":
+            ctr.MIN_BATCH_IDS = 0
+        return ctr
 
     def _get_column_store(self):
         """Lazily-built ColumnStore; a fully-built store is published with

@@ -277,22 +277,61 @@ class ColumnStore:
         if codes.size == 0:
             return []
         counts = np.bincount(codes, minlength=len(col.values))
-        agg: Dict[str, int] = {}
-        for i, c in enumerate(counts):
-            if c <= 0:
-                continue
-            value = col.values[i]
-            if value is None:
-                continue
-            if is_array and isinstance(value, (list, tuple)):
-                elements = [str(v) for v in value if v is not None]
-            else:
-                elements = [str(value)]
-            for s in elements:
-                if s:
-                    agg[s] = agg.get(s, 0) + int(c)
-        pairs = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
-        return pairs[:max_per_field]
+        return _counts_to_pairs(counts, col.values, is_array, max_per_field)
+
+    # ------------------------------------------------------------------
+    def facet_pairs_batch(self, field_name: str,
+                          id_lists: List[np.ndarray],
+                          max_per_field: int = 100,
+                          is_array: bool = False,
+                          device_counter=None) -> List[list]:
+        """Per-query facet pairs for a whole serving batch at once.
+
+        Counts are a [B, n_values] matrix — one device segment-sum when a
+        ``DeviceFacetCounter`` is supplied and the batch amortizes the
+        dispatch (ops/facets.py), per-row host bincounts otherwise. Only
+        the tiny top-``max_per_field`` formatting runs per query.
+        Reference semantics: Core/FacetBuilder.cs:19-56.
+        """
+        col = self.column(field_name)
+        if col is None:
+            return [[] for _ in id_lists]
+        n_values = len(col.values)
+        if n_values == 0:
+            return [[] for _ in id_lists]
+        from ..ops.facets import facet_counts_batch_host
+
+        total = sum(len(a) for a in id_lists)
+        if device_counter is not None and device_counter.worth_it(
+                n_values, total, len(id_lists)):
+            mat = device_counter.counts(field_name, col.codes, n_values,
+                                        id_lists)
+        else:
+            mat = facet_counts_batch_host(col.codes, n_values, id_lists)
+        return [_counts_to_pairs(row, col.values, is_array, max_per_field)
+                for row in mat]
+
+
+def _counts_to_pairs(counts: np.ndarray, values: List[Any], is_array: bool,
+                     max_per_field: int) -> list:
+    """Format a per-unique-value count vector as sorted (value, count)
+    pairs — count desc, value asc, top ``max_per_field``
+    (Core/FacetBuilder.cs:19-56). Array values expand element-wise."""
+    agg: Dict[str, int] = {}
+    for i in np.nonzero(counts)[0]:
+        value = values[i]
+        if value is None:
+            continue
+        c = int(counts[i])
+        if is_array and isinstance(value, (list, tuple)):
+            elements = [str(v) for v in value if v is not None]
+        else:
+            elements = [str(value)]
+        for s in elements:
+            if s:
+                agg[s] = agg.get(s, 0) + c
+    pairs = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pairs[:max_per_field]
 
 
 def contains_derived(f: Optional[Filter]) -> bool:
