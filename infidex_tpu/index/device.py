@@ -526,6 +526,33 @@ def _stage1_kernel_batch_chunked(
                       _s1_lim(m, k)])
 
 
+def _s1_traffic_bytes(lanes: int, lane_bytes: int, f_pad: int, n_grp: int,
+                      n_q: int, n_pad: int) -> int:
+    """COMPULSORY HBM traffic of one batched Stage-1 call, in bytes.
+
+    A lower bound by construction — each term is data the program cannot
+    avoid moving, regardless of fusion decisions:
+      * lane expansion: ``lanes * lane_bytes`` posting reads (chunked
+        path: 4B doc + 4B cfac = 8; XLA path: 4B doc + 1B weight + 4B
+        doc-length gather = 9) plus an 8B read-modify-write into each of
+        the scores and cnt scatter targets;
+      * fuzzy block: 4B posting-doc read + 8B presence RMW per fuzzy
+        lane, then the [n_grp, n_pad] presence matrix written once and
+        read twice (df row-sum + the MXU matmul operand);
+      * dense epilogue over the [n_q, n_pad] matrices: scores live-mask
+        read+write, cnt read (coverage class), top-k scan read, LIM read
+        — 5 passes of 4B.
+    Real traffic is >= this (gather inefficiency, partial fusion), so
+    achieved-GB/s computed from it UNDERSTATES true link utilization —
+    safe for judging "is the device time explained by bandwidth".
+    """
+    b = lanes * (lane_bytes + 16)
+    if f_pad > 0 and n_grp > 0:
+        b += f_pad * 12 + n_grp * n_pad * 4 * 3
+    b += n_q * n_pad * 4 * 5
+    return b
+
+
 def split_batch_by_lanes(built: BuiltIndex, queries,
                          cap: int = 0) -> list:
     """Contiguous (lo, hi) query groups whose lane totals fit the per-call
@@ -1011,7 +1038,9 @@ class DeviceIndex:
             cve[:off.size] = vend
             ci[:off.size] = idf_c
             cb[:off.size] = base
-            out = _stage1_kernel_batch_chunked(
+            from ..ops.stage1_lanes import CHUNK as _CHUNK
+
+            args = (
                 self.postings_docs,
                 self._ensure_cfac(),
                 self.doc_lengths,
@@ -1028,17 +1057,20 @@ class DeviceIndex:
                 jnp.float32(td),
                 jnp.float32(stop_term_limit),
                 self.avgdl,
-                c_pad=c_pad,
-                f_pad=f_pad,
-                k=k,
-                n_q=n_q_pad,
-                n_grp=n_grp,
             )
+            statics = dict(c_pad=c_pad, f_pad=f_pad, k=k, n_q=n_q_pad,
+                           n_grp=n_grp)
+            out = _stage1_kernel_batch_chunked(*args, **statics)
+            self._last_s1 = dict(
+                fn=_stage1_kernel_batch_chunked, args=args, statics=statics,
+                td_index=13,
+                bytes=_s1_traffic_bytes(c_pad * _CHUNK, 8, f_pad, n_grp,
+                                        n_q_pad, self.n_pad))
             return dict(out=out, n_q=n_q, trace=trace, t0=t0,
                         t_prep=t_prep, t1=_time.perf_counter() if trace
                         else 0.0, desc=f"c_pad={c_pad} f_pad={f_pad} "
                         f"n_grp={n_grp}")
-        out = _stage1_kernel_batch(
+        args = (
             self.postings_docs,
             self.postings_weights,
             self.doc_lengths,
@@ -1054,16 +1086,45 @@ class DeviceIndex:
             jnp.float32(td),
             jnp.float32(stop_term_limit),
             self.avgdl,
-            l_pad=l_pad,
-            f_pad=f_pad,
-            k=k,
-            n_q=n_q_pad,
-            n_grp=n_grp,
         )
+        statics = dict(l_pad=l_pad, f_pad=f_pad, k=k, n_q=n_q_pad,
+                       n_grp=n_grp)
+        out = _stage1_kernel_batch(*args, **statics)
+        self._last_s1 = dict(
+            fn=_stage1_kernel_batch, args=args, statics=statics, td_index=12,
+            bytes=_s1_traffic_bytes(l_pad, 9, f_pad, n_grp, n_q_pad,
+                                    self.n_pad))
         import time as _time2
         return dict(out=out, n_q=n_q, trace=trace, t0=t0, t_prep=t_prep,
                     t1=_time2.perf_counter() if trace else 0.0,
                     desc=f"l_pad={l_pad} f_pad={f_pad} n_grp={n_grp}")
+
+    def replay_last_s1(self, reps: int = 5):
+        """Re-execute the most recent Stage-1 group call synchronously,
+        ``reps`` times, returning (wall_seconds_list, compulsory_bytes).
+
+        Bandwidth-utilization evidence: serving dispatches are async and
+        pipelined, so per-kernel device time is not observable there; this
+        replays the exact compiled program on the exact serving shapes
+        with a blocking wait per call. The total-docs scalar is perturbed
+        per rep (same shapes -> no recompile) because the tunneled backend
+        memoizes identical executions. Returns None if no Stage-1 call has
+        been dispatched yet."""
+        import time as _time
+
+        last = getattr(self, "_last_s1", None)
+        if last is None:
+            return None
+        args = list(last["args"])
+        ti = last["td_index"]
+        walls = []
+        for i in range(reps):
+            args[ti] = jnp.float32(float(last["args"][ti]) + 1e-3 * (i + 1))
+            t0 = _time.perf_counter()
+            out = last["fn"](*args, **last["statics"])
+            jax.block_until_ready(out)
+            walls.append(_time.perf_counter() - t0)
+        return walls, last["bytes"]
 
     @staticmethod
     def _collect_group(h: dict) -> list:

@@ -10,7 +10,10 @@ production pipeline (coverage_depth=500) against a deep oracle
   - "ranked-out": the doc was scored but lost the coverage rerank
     (inherent depth/scoring behavior).
 
-Usage: python scripts/recall_study.py [n_docs] [per_mode]
+Usage: python scripts/recall_study.py [n_docs] [per_mode] [unclipped]
+Pass "unclipped" as the third arg to score the oracle on FULL host
+postings (no champion clipping — bench._recall_unclipped's routing), the
+honest per-mode number VERDICT r4 task #7 asks for at 1M.
 Needs PYTHONPATH=/root/repo when run by path.
 """
 
@@ -30,6 +33,7 @@ from infidex_tpu import Document, Query, SearchEngine
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
 PER_MODE = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+UNCLIPPED = "unclipped" in sys.argv[3:]
 ORACLE_DEPTH = min(N_DOCS, 20_000)
 BATCH = 32
 
@@ -103,7 +107,23 @@ def main():
                 oq = Query(q, 10)
                 oq.coverage_depth = ORACLE_DEPTH
                 oracle_qs.append(oq)
-            orac_rs = engine.search_batch(oracle_qs)
+            if UNCLIPPED:
+                from infidex_tpu.index.vector_model import VectorModel
+
+                old = (VectorModel.HOST_S1_MAX_LANES,
+                       VectorModel.HOST_S1_MAX_BATCH)
+                VectorModel.HOST_S1_MAX_LANES = 1 << 62
+                VectorModel.HOST_S1_MAX_BATCH = 8
+                try:
+                    orac_rs = []
+                    for o in range(0, len(oracle_qs), 8):
+                        orac_rs.extend(
+                            engine.search_batch(oracle_qs[o : o + 8]))
+                finally:
+                    (VectorModel.HOST_S1_MAX_LANES,
+                     VectorModel.HOST_S1_MAX_BATCH) = old
+            else:
+                orac_rs = engine.search_batch(oracle_qs)
             for q, pr, orr in zip(chunk, prod_rs, orac_rs):
                 want = [r.document_id for r in orr.records]
                 if not want:

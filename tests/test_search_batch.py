@@ -207,3 +207,24 @@ def test_champion_clipping_bounds_device_lanes():
     # full CSR untouched for exact host paths
     full_docs, _ = built.postings_for(tid)
     assert full_docs.size == built.df[tid]
+
+
+def test_replay_last_s1(engine):
+    """replay_last_s1 re-executes the last Stage-1 program and returns
+    (walls, compulsory_bytes) — the bandwidth-evidence hook bench.py's
+    hbm_gbps field is built on. Must not perturb serving results."""
+    import numpy as np
+
+    model = engine.vector_model
+    device = model.device
+    preps = [model.prepare_stage1(q) for q in ["shawshank", "star wars"]]
+    base = device.search_batch(preps, 8, total_docs=model.documents.count)
+    r = device.replay_last_s1(reps=2)
+    assert r is not None
+    walls, nbytes = r
+    assert len(walls) == 2 and all(w > 0 for w in walls)
+    assert nbytes > 0
+    again = device.search_batch(preps, 8, total_docs=model.documents.count)
+    for (s1, i1, _), (s2, i2, _) in zip(base, again):
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(i1, i2)
