@@ -43,23 +43,32 @@ texts = [eng._normalize_query(q) if hasattr(eng, "_normalize_query") else q
 
 
 def one_pass():
+    """Mirror the SERVING host path: per-query prepare + WM lookup +
+    conjunctive pool, then the whole tier group through ONE native
+    infidex_tier_batch call per 64-batch (scoring/pipeline.py:596-611),
+    not the legacy per-query run()."""
     from infidex_tpu.index.conjunctive import conjunctive_pool
 
     stats = {"tier": 0, "dev": 0}
-    for q in texts:
-        prep = model.prepare_stage1(q)
-        if prep is None:
-            continue
-        # WordMatcher lookup (what the wm prefetch job runs)
-        groups = pipeline._wm_lookup_parts(q, True)
-        # Conjunctive pool (what the conj prefetch job runs)
-        if len(groups) >= 2 and model.built is not None:
-            conjunctive_pool(model, groups, prep)
-        if model._tier_gate(prep):
-            stats["tier"] += 1
-            model.stage1_tiered_maybe(prep, 500)
-        else:
-            stats["dev"] += 1
+    tiered = model._tiered_for()
+    for lo in range(0, len(texts), 64):
+        tier_preps = []
+        for q in texts[lo : lo + 64]:
+            prep = model.prepare_stage1(q)
+            if prep is None:
+                continue
+            # WordMatcher lookup (what the wm prefetch job runs)
+            groups = pipeline._wm_lookup_parts(q, True)
+            # Conjunctive pool (what the conj prefetch job runs)
+            if len(groups) >= 2 and model.built is not None:
+                conjunctive_pool(model, groups, prep)
+            if model._tier_gate(prep):
+                stats["tier"] += 1
+                tier_preps.append(prep)
+            else:
+                stats["dev"] += 1
+        if tier_preps and tiered is not None:
+            tiered.run_batch(tier_preps, 500)
     return stats
 
 
