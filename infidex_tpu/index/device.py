@@ -608,8 +608,12 @@ def prepare_batch_arrays(built: BuiltIndex, queries):
     n_q = len(queries)
     # Bucket the batch width so partial batches reuse a compiled program
     # (n_q is a static shape dim; pad rows cost a full dense [N] row of
-    # scatter/top-k work each — doubling buckets, see _bucket2).
-    n_q_pad = _bucket2(n_q, 4)
+    # scatter/top-k work each — doubling buckets, see _bucket2). Minimum
+    # bucket is 1, not 4: the interactive path dispatches B=1 calls, and
+    # padding those to 4 rows quadruples the dense scatter-target +
+    # top-k epilogue (the whole device cost at 1M beyond the link floor)
+    # for nothing. Serving batches (>=4 queries) are unaffected.
+    n_q_pad = _bucket2(n_q, 1)
 
     starts_l, lens_l, idfs_l, tq_l = [], [], [], []
     fz_starts_p, fz_lens_p, fz_group_p = [], [], []
@@ -670,7 +674,9 @@ def prepare_batch_arrays(built: BuiltIndex, queries):
         fz_group[: fz_group_all.size] = fz_group_all
         f_total = int(fz_lens_all.sum())
         f_pad = _bucket(max(f_total, 1), _MIN_E)
-        n_grp = _bucket2(n_groups, 4)
+        # min bucket 1 (see n_q_pad): a lone fuzzy query pads its
+        # [n_grp, N] presence matrix rows 4x otherwise.
+        n_grp = _bucket2(n_groups, 1)
         grp_query = np.zeros(n_grp, np.int32)
         grp_query[:n_groups] = grp_query_l
     else:
