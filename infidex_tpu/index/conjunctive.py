@@ -136,10 +136,40 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
     used for exact BM25 ranking of the pool; fuzzy-group contributions
     are intentionally omitted (the pool exists to surface candidates —
     the coverage/fusion rerank does the real ordering).
+
+    The finished pool is memoized per (query words, scoring term ids),
+    keyed to the built-index identity like the token-evidence memo
+    below: the pool is a pure function of the build, query words repeat
+    Zipf-style across a serving stream, and the native probe/rank pass
+    costs ~1.8ms per multi-word query at 1M docs
+    (scripts/begin_profile.py) — the single largest begin-path item.
+    Entries are treated as immutable by every caller (_assemble_prior
+    slices/filters into fresh arrays). Bounded: CONJ_CAP int64 ids per
+    entry, 4096 entries (~64MB worst case), wholesale clear on overflow
+    or rebuild.
     """
     built = model.built
     if built is None or len(word_groups) < 2:
         return np.zeros(0, np.int64)
+
+    pool_key = (tuple(w for w, _ in word_groups),
+                tuple(int(t) for t in np.asarray(prep[0]).tolist())
+                if prep is not None else None)
+    pcache = getattr(model, "_conj_pool_memo", None)
+    if pcache is None or pcache[0] is not built:
+        pcache = (built, {})
+        model._conj_pool_memo = pcache
+    hit = pcache[1].get(pool_key)
+    if hit is not None:
+        return hit
+    pool = _conjunctive_pool_impl(model, built, word_groups, prep)
+    if len(pcache[1]) >= 4096:
+        pcache[1].clear()
+    pcache[1][pool_key] = pool
+    return pool
+
+
+def _conjunctive_pool_impl(model, built, word_groups, prep) -> np.ndarray:
 
     # Per-word evidence memo, keyed to the built-index identity (a
     # rebuild invalidates it wholesale). Query words repeat Zipf-style

@@ -103,8 +103,33 @@ def test_native_pool_parity(engine, monkeypatch):
         for prep in (model.prepare_stage1(text), None):
             monkeypatch.setenv("INFIDEX_TPU_CONJ_PY", "1")
             model._conj_token_evidence = None
+            model._conj_pool_memo = None   # don't let the py pool satisfy
             py = conjunctive_pool(model, groups, prep)
             monkeypatch.delenv("INFIDEX_TPU_CONJ_PY")
             model._conj_token_evidence = None
+            model._conj_pool_memo = None   # ...the native call via memo
             nat = conjunctive_pool(model, groups, prep)
             assert np.array_equal(py, nat), (text, prep is None, py, nat)
+
+
+def test_pool_memo_hits_and_invalidates(engine):
+    """The finished-pool memo returns the identical array for a repeat
+    (words, scoring-terms) key and drops wholesale when the index is
+    rebuilt (keyed on BuiltIndex identity)."""
+    model = engine.vector_model
+    wm = engine._pipeline._word_matcher
+    text = "common tail"
+    groups = wm.lookup_parts_grouped(text, True)
+    prep = model.prepare_stage1(text)
+    model._conj_pool_memo = None
+    first = conjunctive_pool(model, groups, prep)
+    assert conjunctive_pool(model, groups, prep) is first   # memo hit
+    old_built = model.built
+    model.build_inverted_lists()                            # re-finalize
+    assert model.built is not old_built or \
+        model._conj_pool_memo[0] is old_built
+    groups2 = wm.lookup_parts_grouped(text, True)
+    prep2 = model.prepare_stage1(text)
+    again = conjunctive_pool(model, groups2, prep2)
+    assert np.array_equal(np.sort(first), np.sort(again))
+    assert again is not first                               # fresh entry
