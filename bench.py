@@ -519,6 +519,8 @@ def bench_incremental(n_docs=10_000, n_queries=200):
 
 
 def main():
+    import os as _os
+
     import jax
 
     from infidex_tpu import Document, Query, SearchEngine
@@ -547,6 +549,16 @@ def main():
         log(f"[bench] stage-1 replay {hbm['s1_replay_ms']}ms -> "
             f"{hbm['hbm_gbps']} GB/s ({hbm['hbm_frac_of_peak']:.0%} of "
             f"{hbm['hbm_peak_gbps']:.0f} peak, compulsory-bytes model)")
+    if _os.environ.get("INFIDEX_TPU_BENCH_QPS_ONLY"):
+        # A/B sweep mode: throughput + split only. Recall and the
+        # single-query latency ladder don't change with batch width or
+        # pipeline depth and cost ~10 min per 1M run.
+        _emit(f"fuzzy-query QPS ({N_DOCS} docs, batch={BATCH}, "
+              f"p50={p50:.1f}ms, index={index_secs:.1f}s)", qps,
+              p50_batch_ms=round(p50, 1),
+              link_floor_ms=round(link_floor, 2),
+              warmup_s=round(warmup_s, 1), n_docs=N_DOCS, **split, **hbm)
+        return
     p50_single, p90_single = _single_query_p50(engine, queries, Query)
     log(f"[bench] single-query p50 {p50_single:.1f}ms p90 {p90_single:.1f}ms")
     log("[bench] measuring recall@10 vs full-depth oracle (clipped)")

@@ -513,8 +513,17 @@ class SearchEngine:
             p.device_calls = 0
         return out
 
+    #: default software-pipeline depth for search_many. Depth 2 overlaps
+    #: each device program with ONE other batch's host segment; when a
+    #: single program (the 1M Stage-1 group, ~195ms) outlasts that
+    #: segment the readback still blocks (BENCH r4: 118ms blocked/batch
+    #: with 293ms of host work available). Deeper pipelines overlap more
+    #: segments at the cost of per-query latency; tuned by TPU A/B.
+    PIPELINE_DEPTH = int(__import__("os").environ.get(
+        "INFIDEX_TPU_PIPELINE_DEPTH", "2"))
+
     def search_many(self, queries: List[Query], batch_size: int = 64,
-                    pipeline_depth: int = 2) -> List[Result]:
+                    pipeline_depth: Optional[int] = None) -> List[Result]:
         """Execute MANY searches as software-pipelined sub-batches.
 
         Splits the queries into ``batch_size`` batches and overlaps batch
@@ -527,6 +536,8 @@ class SearchEngine:
         """
         import time as _time
 
+        if pipeline_depth is None:
+            pipeline_depth = self.PIPELINE_DEPTH
         t_start = _time.perf_counter()
         with self._rw_lock.read_lock():
             if not self._servable():

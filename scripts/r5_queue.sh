@@ -7,21 +7,32 @@ cd /root/repo
 exec > /tmp/r5_queue.log 2>&1
 set -x
 date
-# 1. Headline: fuzzy 1M (what the driver captures as BENCH_r05)
+# 1. Headline: fuzzy 1M (what the driver captures as BENCH_r05) —
+#    full ladder: QPS, recall (clipped+unclipped), p50 single, hbm_gbps
 timeout 4000 python bench.py 2>&1 | grep -a -v cpu_aot_loader
 date
-# 2. BASELINE configs at 1M (VERDICT r4 task #4)
+# 2. Batch-width + pipeline-depth A/B at 1M (VERDICT r4 task #8) —
+#    QPS-only mode (recall/latency ladders don't change with width)
+for b in 128 256; do
+  INFIDEX_TPU_BENCH_QPS_ONLY=1 timeout 2400 python bench.py fuzzy 1000000 768 "$b" 2>&1 \
+    | grep -a -v cpu_aot_loader
+  date
+done
+for d in 3 4; do
+  INFIDEX_TPU_BENCH_QPS_ONLY=1 INFIDEX_TPU_PIPELINE_DEPTH=$d \
+    timeout 2400 python bench.py fuzzy 1000000 512 2>&1 | grep -a -v cpu_aot_loader
+  date
+done
+# 3. BASELINE configs at 1M (VERDICT r4 task #4)
 for mode in exact multifield filters incremental; do
   timeout 3000 python bench.py "$mode" 1000000 512 2>&1 | grep -a -v cpu_aot_loader
   date
 done
-# 3. mmap serving A/B at 300k (VERDICT r4 task #6a)
+# 4. mmap serving A/B at 300k (VERDICT r4 task #6a)
 timeout 2400 python scripts/mmap_ab.py 300000 256 2>&1 | grep -a -v cpu_aot_loader
 date
-# 4. Batch-width A/B at 1M (VERDICT r4 task #8)
-for b in 128 256; do
-  timeout 3000 python bench.py fuzzy 1000000 768 "$b" 2>&1 \
-    | grep -a -v cpu_aot_loader
-  date
-done
+# 5. Per-mode recall at 1M vs the UNCLIPPED oracle (VERDICT r4 task #7)
+timeout 3600 python scripts/recall_study.py 1000000 64 unclipped 2>&1 \
+  | grep -a -v cpu_aot_loader
+date
 echo "=== r5 queue done ==="
