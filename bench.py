@@ -284,6 +284,10 @@ def _single_query_p50(engine, queries, Query, n=48):
     queries (distinct inputs defeat the tunnel's execution memoization)."""
     import time as _t
 
+    # warm the interactive shape buckets (B=1 device call compiles its
+    # own n_q=1 program, distinct from the serving batch shapes)
+    for q in queries[n : n + 4]:
+        engine.search(Query(q, 10))
     lat = []
     for q in queries[:n]:
         t = _t.perf_counter()
