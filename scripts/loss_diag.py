@@ -53,7 +53,17 @@ def main():
             prod = {r.document_id for r in eng.search(Query(q, 10)).records}
             oq = Query(q, 10)
             oq.coverage_depth = ORACLE_DEPTH
-            want = [r.document_id for r in eng.search(oq).records]
+            # UNCLIPPED oracle (full host postings, no champion clipping) —
+            # same routing force as bench._recall_unclipped
+            from infidex_tpu.index.vector_model import VectorModel
+            old_or = (VectorModel.HOST_S1_MAX_LANES,
+                      VectorModel.HOST_S1_MAX_BATCH)
+            VectorModel.HOST_S1_MAX_LANES = 1 << 62
+            try:
+                want = [r.document_id for r in eng.search(oq).records]
+            finally:
+                (VectorModel.HOST_S1_MAX_LANES,
+                 VectorModel.HOST_S1_MAX_BATCH) = old_or
             miss = [d for d in want if d not in prod]
             if not miss:
                 continue
@@ -73,8 +83,10 @@ def main():
             import infidex_tpu.index.conjunctive as cj
             old_cap = cj.CONJ_CAP
             cj.CONJ_CAP = 10**9      # pre-clip pool
+            model._conj_pool_memo = None   # memo ignores the cap override
             pool = conjunctive_pool(model, groups, prep)
             cj.CONJ_CAP = old_cap
+            model._conj_pool_memo = None
             for d in miss:
                 doc = eng.get_document(d)
                 iid = model.documents.get_document_by_public_key(d).id
