@@ -13,16 +13,12 @@ timeout 4000 python bench.py 2>&1 | grep -a -v cpu_aot_loader
 date
 # 2. Batch-width + pipeline-depth A/B at 1M (VERDICT r4 task #8) —
 #    QPS-only mode (recall/latency ladders don't change with width)
-for b in 128 256; do
-  INFIDEX_TPU_BENCH_QPS_ONLY=1 timeout 2400 python bench.py fuzzy 1000000 768 "$b" 2>&1 \
-    | grep -a -v cpu_aot_loader
-  date
-done
-for d in 3 4; do
-  INFIDEX_TPU_BENCH_QPS_ONLY=1 INFIDEX_TPU_PIPELINE_DEPTH=$d \
-    timeout 2400 python bench.py fuzzy 1000000 512 2>&1 | grep -a -v cpu_aot_loader
-  date
-done
+INFIDEX_TPU_BENCH_QPS_ONLY=1 timeout 2400 python bench.py fuzzy 1000000 768 128 2>&1 \
+  | grep -a -v cpu_aot_loader
+date
+INFIDEX_TPU_BENCH_QPS_ONLY=1 INFIDEX_TPU_PIPELINE_DEPTH=3 \
+  timeout 2400 python bench.py fuzzy 1000000 512 2>&1 | grep -a -v cpu_aot_loader
+date
 # 3. BASELINE configs at 1M (VERDICT r4 task #4)
 for mode in exact multifield filters incremental; do
   timeout 3000 python bench.py "$mode" 1000000 512 2>&1 | grep -a -v cpu_aot_loader

@@ -27,7 +27,7 @@ while true; do
   fi
   if [ $rc -eq 0 ]; then
     echo "$(date +%H:%M:%S) tunnel usable — p50 lab first"
-    timeout 1800 python scripts/p50_lab.py 1000000 64 > /tmp/p50_lab.log 2>&1
+    timeout 1800 python scripts/p50_lab.py 1000000 48 > /tmp/p50_lab.log 2>&1
     echo "$(date +%H:%M:%S) p50 lab done — running r5 queue"
     bash scripts/r5_queue.sh
     echo "=== r5b waiter done $(date +%H:%M:%S) ==="
