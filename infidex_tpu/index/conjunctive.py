@@ -55,6 +55,67 @@ RARE_DIV = 64
 GRAM_CHAMPIONS = 4096
 
 
+class ConjPool(np.ndarray):
+    """Ranked conjunctive pool ids with one extra fact: the length of
+    the LEADING (strong desc, tok_n asc) class — fusion's top tie class.
+
+    The pipeline's flat ``CONJ_TAKE`` slice cuts mid-class when that
+    class is large (measured at 1M: oracle top-10 docs at pool ranks
+    618-795 inside an ~800-doc top class, 'viussador dor' losses in
+    scripts/loss_diag.py) — the class members are indistinguishable to
+    the pool's own (BM25, id) tiebreak, so any flat cut samples the
+    wrong ones. ``first_class`` lets the slice extend through the whole
+    top class instead. Plain numpy views/slices drop the attribute —
+    read it before filtering."""
+
+    first_class: int = 0
+
+
+def _as_pool(a: np.ndarray, first_class: int = 0) -> "ConjPool":
+    p = np.ascontiguousarray(a, np.int64).view(ConjPool)
+    p.first_class = int(first_class)
+    return p
+
+
+def _first_class_len(model, built, word_groups, pool: np.ndarray) -> int:
+    """Length of the pool's leading (strong, tok_n) class, recomputed
+    with the same evidence the ranking used (anchor-union membership per
+    token + coverage tok_count). Returns 0 when the evidence memo has
+    been evicted (overflow) — callers then skip the extension."""
+    if pool.size == 0:
+        return 0
+    cache = getattr(model, "_conj_token_evidence", None)
+    if cache is None or cache[0] is not built:
+        return 0
+    memo = cache[1]
+    infos = [memo.get(w) for w, _ in word_groups]
+    if any(inf is None for inf in infos):
+        return 0
+    from ..native import member_any_into
+
+    strong = np.zeros(pool.size, np.int32)
+    p64 = np.ascontiguousarray(pool, np.int64)
+    # member_any_into's two-pointer merge requires SORTED candidates;
+    # the pool arrives in ranked order — probe sorted, scatter back.
+    order = np.argsort(p64, kind="stable")
+    sorted_p = np.ascontiguousarray(p64[order])
+    for inf in infos:
+        if inf.anchor_union.size == 0:
+            continue
+        hit = np.zeros(pool.size, np.uint8)
+        member_any_into(inf.anchor_union, sorted_p, hit)
+        strong[order] += hit
+    tables = getattr(model, "coverage_tables", None)
+    if tables is not None and tables.tok_count_host is not None:
+        tok_n = tables.tok_count_host[np.minimum(
+            p64, tables.tok_count_host.size - 1)].astype(np.int32)
+    else:
+        tok_n = np.zeros(pool.size, np.int32)
+    run = (strong == strong[0]) & (tok_n == tok_n[0])
+    stop = np.flatnonzero(~run)
+    return int(stop[0]) if stop.size else int(pool.size)
+
+
 def _champions(built, tid: int, cap: int) -> np.ndarray:
     """The term's ``cap`` best postings by byte-quantized tf, doc-id
     ascending (same deterministic weight-desc/doc-asc rule as
@@ -163,6 +224,7 @@ def conjunctive_pool(model, word_groups: Sequence[Tuple[str, Sequence[np.ndarray
     if hit is not None:
         return hit
     pool = _conjunctive_pool_impl(model, built, word_groups, prep)
+    pool = _as_pool(pool, _first_class_len(model, built, word_groups, pool))
     if len(pcache[1]) >= 4096:
         pcache[1].clear()
     pcache[1][pool_key] = pool

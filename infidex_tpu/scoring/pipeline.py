@@ -994,11 +994,20 @@ class SearchPipeline:
             prior = prior[prefilter_mask[prior]]
         extra = 0
         if conj is not None and conj.size:
+            # Slice through the END of the pool's leading (strong,
+            # tok_n) class when it straddles CONJ_TAKE: class members
+            # are indistinguishable to the pool's own tiebreak, and a
+            # flat cut buries fusion's winners (loss_diag 'viussador
+            # dor': oracle top-10 at pool ranks 618-795 inside an
+            # ~800-doc top class). Bounded at 4x so a degenerate class
+            # cannot flood the coverage budget.
+            take = max(CONJ_TAKE,
+                       min(getattr(conj, "first_class", 0), 4 * CONJ_TAKE))
             if prefilter_mask is not None:
                 conj = conj[prefilter_mask[conj]]
             if prior.size:
                 conj = conj[~_in_sorted(conj, np.sort(prior))]
-            conj = conj[:CONJ_TAKE]
+            conj = conj[:take]
             extra = int(conj.size)
             prior = np.concatenate([prior, conj]) if prior.size else conj
         if prior.size:
