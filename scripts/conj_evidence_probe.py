@@ -49,10 +49,22 @@ def main():
             df = int(built.df[tid]) if tid >= 0 else -1
             log(f"    gram {g!r}: tid={tid} df={df}")
 
+    from infidex_tpu.index.conjunctive import conjunctive_pool
+    prep = model.prepare_stage1(t)
+    pool_nat = np.asarray(conjunctive_pool(model, groups, prep))
+    model._conj_pool_memo = None
+    os.environ["INFIDEX_TPU_CONJ_PY"] = "1"
+    pool_py = np.asarray(conjunctive_pool(model, groups, prep))
+    del os.environ["INFIDEX_TPU_CONJ_PY"]
+    log(f"[pool] native={pool_nat.size} py={pool_py.size} "
+        f"same_set={set(pool_nat.tolist()) == set(pool_py.tolist())}")
+
     for ext in LOST:
         iid = model.documents.first_live_id(ext)
         doc = model.documents.get_document_by_public_key(ext)
-        log(f"\n[lost] ext={ext} iid={iid} text='{doc.text if doc else '?'}'")
+        log(f"\n[lost] ext={ext} iid={iid} "
+            f"text='{getattr(doc, 'indexed_text', '?') if doc else '?'}' "
+            f"in_nat={iid in pool_nat} in_py={iid in pool_py}")
         for w, inf in infos.items():
             in_union = bool(np.isin(np.int32(iid), inf.anchor_union))
             in_grams = []
