@@ -1075,8 +1075,13 @@ class VectorModel:
     # Measured at 300k docs: the host scatter runs 4ms at 65k lanes and
     # 8ms at 260k — far under the ~30ms tunneled-device round trip, so
     # single/double queries stay on host well past the old 32k limit.
+    # Re-measured at 1M (scripts/p50_lab.py, round 5): host-forced wins
+    # at EVERY observed lane bucket — p50 58.9ms at ≤1.05M lanes vs
+    # 69.7ms device-routed — so the cap covers the whole 1M-doc
+    # workload with 2x headroom (beyond ~2M lanes is extrapolation;
+    # the cap still protects the tail).
     HOST_S1_MAX_LANES = int(__import__("os").environ.get(
-        "INFIDEX_TPU_HOST_S1_LANES", "524288"))
+        "INFIDEX_TPU_HOST_S1_LANES", "2097152"))
     HOST_S1_MAX_BATCH = int(__import__("os").environ.get(
         "INFIDEX_TPU_HOST_S1_BATCH", "2"))
 
