@@ -27,7 +27,10 @@ import time
 _argv_nums = [a for a in sys.argv[1:] if a.lstrip("-").isdigit()]
 N_DOCS = int(_argv_nums[0]) if len(_argv_nums) > 0 else 1_000_000
 N_QUERIES = int(_argv_nums[1]) if len(_argv_nums) > 1 else 256
-BATCH = int(_argv_nums[2]) if len(_argv_nums) > 2 else 64
+# Batch default 64 -> 128 (round-5 A/B on the real chip at 1M:
+# 217.4 QPS at 128 vs 171.7 at 64, both with steady chronological
+# passes — the link floor and per-batch fixed host work amortize).
+BATCH = int(_argv_nums[2]) if len(_argv_nums) > 2 else 128
 # UNMEASURED provisional estimate of the C# engine's fuzzy-query QPS on a
 # 32-core host. The reference publishes no numbers (BASELINE.md) and this
 # environment has no dotnet runtime to measure it; 1000 QPS is a deliberate
