@@ -620,7 +620,15 @@ def _probe_backend(timeout_s: int = 600) -> bool:
 if __name__ == "__main__":
     import os as _os
 
-    if _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    if _os.environ.get("_INFIDEX_INIT_HANG"):
+        # Re-exec'd by the init watchdog below: the TPU init hung after
+        # a passed probe. Explicit non-comparable record, reduced scale.
+        log("[bench] running as CPU fallback after a hung TPU init "
+            "(NOT comparable)")
+        BACKEND = "cpu-fallback"
+        N_DOCS = min(N_DOCS, 10_000)
+        N_QUERIES = min(N_QUERIES, 128)
+    elif _os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
         BACKEND = "cpu-forced"
     elif not _probe_backend():
         import time as _time
@@ -662,7 +670,36 @@ if __name__ == "__main__":
     # registered plugin (including the axon TPU tunnel) otherwise, and
     # hangs the process whenever the tunnel is down.
     _setup_cache()
+    # Init watchdog: a PASSED probe does not stop the real in-process
+    # init from hanging (observed 2026-08-20: probe ok, jax.devices()
+    # hung 40 min on a fresh connection). A hung init would stall the
+    # driver with no record at all — after 900s, re-exec this same
+    # command as an explicit CPU-fallback run (comparable=false), or
+    # exit 3 under REQUIRE_TPU. Armed only for real TPU runs.
+    if BACKEND == "tpu":
+        import threading as _th
+
+        _init_done = []
+
+        def _init_watchdog():
+            import time as _t
+            _t.sleep(900)
+            if _init_done:
+                return
+            log("[bench] TPU backend init hung >900s after a passed "
+                "probe — re-exec as explicit CPU fallback")
+            if _os.environ.get("INFIDEX_TPU_REQUIRE_TPU"):
+                _os._exit(3)
+            env = dict(_os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["_INFIDEX_INIT_HANG"] = "1"
+            _os.execve(sys.executable,
+                       [sys.executable] + sys.argv, env)
+
+        _th.Thread(target=_init_watchdog, daemon=True).start()
     _jax.devices()
+    if BACKEND == "tpu":
+        _init_done.append(True)
     if len(sys.argv) > 1 and sys.argv[1] in MODES and MODES[sys.argv[1]]:
         kwargs = {}
         if len(_argv_nums) > 0:
