@@ -63,6 +63,11 @@ class DocumentCollection:
         # True once any key maps to >1 internal doc (long-doc segmentation)
         # — the vectorized pipeline fast path requires the 1:1 id<->key case.
         self.multi_segment: bool = False
+        # Bumped on every deletion/compaction: the append-only fast
+        # finalize (index/append.py) extends its deleted-flag mirror
+        # instead of re-scanning 10^6 Document objects, which is only
+        # sound while no existing row's flag changed underneath it.
+        self.mutation_epoch: int = 0
 
     def add_document(self, document: Document) -> Document:
         doc_id = len(self._documents)
@@ -116,6 +121,7 @@ class DocumentCollection:
             if not d.deleted:
                 d.deleted = True
                 self.count -= 1
+                self.mutation_epoch += 1
 
     def remove_deleted_documents(self) -> None:
         if not any(d.deleted for d in self._documents):
@@ -131,6 +137,7 @@ class DocumentCollection:
         self._documents = compacted
         self._key_to_ids = new_map
         self.count = len(compacted)
+        self.mutation_epoch += 1
 
     def all_documents(self) -> List[Document]:
         return [d for d in self._documents if not d.deleted]
@@ -146,3 +153,4 @@ class DocumentCollection:
         self._documents.clear()
         self._key_to_ids.clear()
         self.count = 0
+        self.mutation_epoch += 1

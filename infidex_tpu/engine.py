@@ -175,7 +175,8 @@ class SearchEngine:
         self._is_indexed = True
         self._vector_model.build_optimized_indexes()
         self._rebuild_short_query_resolver()
-        self._pipeline.invalidate_caches()
+        self._pipeline.invalidate_caches(
+            appended_terms=self._appended_terms())
         self._column_store = None
         self._report_progress(100, progress)
 
@@ -230,19 +231,32 @@ class SearchEngine:
 
     def _rebuild_short_query_resolver(self) -> None:
         m = self._vector_model
-        if m.short_query_index is not None:
-            delims = (m.tokenizer.tokenizer_setup.delimiters
-                      if m.tokenizer.tokenizer_setup else (" ",))
-            m.short_query_resolver = ShortQueryResolver(
-                m.short_query_index, m.documents, delims)
-            # Eager champion builds at finalize (ShortQueryResolver.cs:
-            # 113-204 builds all prefix lists in parallel at freeze) so the
-            # first short query per prefix pays no scan spike. Vectorized;
-            # the lazy per-prefix path remains as fallback/oracle.
-            import os as _os
+        if m.short_query_index is None:
+            return
+        ap = getattr(m, "_last_append", None)
+        res = m.short_query_resolver
+        if (ap is not None and res is not None
+                and res._prefix_index is m.short_query_index
+                and res._documents is m.documents
+                and m.documents.mutation_epoch == m._derived_doc_epoch):
+            # Append-only finalize: merge the newly-frozen prefix rows
+            # into the existing champion lists (exactness argument in
+            # ShortQueryResolver.append_docs) instead of a full doc-table
+            # pass + all-prefix rebuild (5.4s at 1M docs).
+            res.append_docs(m.short_query_index.last_appended, *ap)
+            return
+        delims = (m.tokenizer.tokenizer_setup.delimiters
+                  if m.tokenizer.tokenizer_setup else (" ",))
+        m.short_query_resolver = ShortQueryResolver(
+            m.short_query_index, m.documents, delims)
+        # Eager champion builds at finalize (ShortQueryResolver.cs:
+        # 113-204 builds all prefix lists in parallel at freeze) so the
+        # first short query per prefix pays no scan spike. Vectorized;
+        # the lazy per-prefix path remains as fallback/oracle.
+        import os as _os
 
-            if _os.environ.get("INFIDEX_TPU_EAGER_CHAMPIONS", "1") != "0":
-                m.short_query_resolver.build_all_champions()
+        if _os.environ.get("INFIDEX_TPU_EAGER_CHAMPIONS", "1") != "0":
+            m.short_query_resolver.build_all_champions()
 
     def _report_progress(self, percent: int,
                          progress: Optional[Callable[[int], None]]) -> None:
@@ -285,6 +299,17 @@ class SearchEngine:
             finally:
                 self.status = SearchEngineStatus.READY
 
+    def _appended_terms(self):
+        """[(term, tid), ...] the last finalize appended, or None after
+        a full rebuild (pipeline vocab cache: extend vs drop)."""
+        m = self._vector_model
+        lnt = getattr(m, "_last_new_terms", None)
+        if lnt is None:
+            return None
+        base_t, n_new = lnt
+        terms = m.term_dict.terms
+        return [(terms[base_t + i], base_t + i) for i in range(n_new)]
+
     def calculate_weights(self) -> None:
         with self._rw_lock.write_lock():
             self.status = SearchEngineStatus.INDEXING
@@ -294,7 +319,8 @@ class SearchEngine:
                     self._word_matcher.finalize_index()
                 self._vector_model.build_optimized_indexes()
                 self._rebuild_short_query_resolver()
-                self._pipeline.invalidate_caches()
+                self._pipeline.invalidate_caches(
+                    appended_terms=self._appended_terms())
                 self._column_store = None
                 self._is_indexed = True
             finally:

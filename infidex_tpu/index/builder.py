@@ -208,24 +208,9 @@ class BuiltIndex:
             s, e = int(self.term_offsets[t]), int(self.term_offsets[t + 1])
             if e - s <= cap:
                 continue
-            w = self.postings_weights[s:e]
-            # Reserve the term's LIM_K lowest doc ids (postings are
-            # id-ascending), then fill with top-by-weight from the rest,
-            # ties toward lower doc id (stable sort on descending weight
-            # keeps ascending-doc order within a weight). The low-id
-            # reservation makes the low-id-matcher rows exact per term
-            # even under clipping: fusion resolves quality-tie classes by
-            # ascending key, and the class winners of a clipped term were
-            # exactly the lanes weight-champions dropped.
-            from .device import LIM_K
-
-            k_low = min(LIM_K, cap // 2)
-            rest = k_low + np.argsort(
-                -w[k_low:].astype(np.int16), kind="stable")[: cap - k_low]
-            part = np.concatenate([np.arange(k_low), rest])
-            part.sort()
+            part = champion_select(self.postings_weights[s:e], cap)
             ext_d.append(self.postings_docs[s:e][part])
-            ext_w.append(w[part])
+            ext_w.append(self.postings_weights[s:e][part])
             starts[t] = pos
             pos += cap
         self.champion_starts = starts
@@ -234,6 +219,28 @@ class BuiltIndex:
                          else self.postings_docs)
         self.ext_weights = (np.concatenate(ext_w) if len(ext_w) > 1
                             else self.postings_weights)
+
+
+def champion_select(w: np.ndarray, cap: int) -> np.ndarray:
+    """Champion-posting positions for one clipped term, id-ascending.
+
+    Reserve the term's LIM_K lowest doc ids (postings are id-ascending),
+    then fill with top-by-weight from the rest, ties toward lower doc id
+    (stable sort on descending weight keeps ascending-doc order within a
+    weight). The low-id reservation makes the low-id-matcher rows exact
+    per term even under clipping: fusion resolves quality-tie classes by
+    ascending key, and the class winners of a clipped term were exactly
+    the lanes weight-champions dropped. Shared by ``ensure_champions``
+    and the append-finalize champion merge (index/append.py) so both
+    produce identical extensions."""
+    from .device import LIM_K
+
+    k_low = min(LIM_K, cap // 2)
+    rest = k_low + np.argsort(
+        -w[k_low:].astype(np.int16), kind="stable")[: cap - k_low]
+    part = np.concatenate([np.arange(k_low), rest])
+    part.sort()
+    return part
 
 
 def finalize_postings(term_dict: TermDictionary, num_docs: int) -> BuiltIndex:

@@ -263,6 +263,24 @@ class TieredStage1:
         self.built = built
         self.deleted_arr = deleted_arr
         self._selector = TieredCandidateSelector(built)
+        self._mask_sel_cache: dict = {}
+
+    @staticmethod
+    def _deep_masked_enabled() -> bool:
+        return os.environ.get("INFIDEX_TPU_MASKED_TIER_DEEP", "0") == "1"
+
+    def _mask_selectivity(self, mask) -> float:
+        """Fraction of docs the mask keeps, cached per mask object (the
+        engine caches masks per compiled filter, so ids are stable)."""
+        key = id(mask)
+        hit = self._mask_sel_cache.get(key)
+        if hit is not None and hit[0] is mask:
+            return hit[1]
+        frac = float(np.count_nonzero(mask)) / max(mask.size, 1)
+        if len(self._mask_sel_cache) >= 16:
+            self._mask_sel_cache.clear()
+        self._mask_sel_cache[key] = (mask, frac)
+        return frac
 
     def applicable(self, term_ids, fuzzy_groups) -> bool:
         if TIER_LANE_BUDGET <= 0 or len(term_ids) < 2 or fuzzy_groups:
@@ -290,6 +308,28 @@ class TieredStage1:
             # is exact, whenever the surviving pool cannot fill top_k.
             pool = pool[mask[pool]] if mask.size >= self.built.num_docs \
                 else pool[:0]
+            if pool.size < top_k and self._deep_masked_enabled():
+                # Mask-aware deep walk (round-5 config-4 diagnosis: a
+                # 9.3%-selective filter underfills the 10x-top_k pool,
+                # routing ~every tier query to the 751ms/batch dense
+                # masked device pass). Re-select with top_k scaled by
+                # 1/selectivity so the post-mask survivors can fill the
+                # page; the exact BM25 rerank over the (larger) pool and
+                # the underfill fallback below are unchanged. Off by
+                # default (INFIDEX_TPU_MASKED_TIER_DEEP=1 to enable)
+                # pending an on-chip A/B.
+                sel_frac = self._mask_selectivity(mask)
+                scaled_k = min(int(top_k / max(sel_frac, 0.005)) + 1,
+                               top_k * 64)
+                pool2, tier2 = self._selector.select(
+                    [int(t) for t in term_ids],
+                    [float(i) for i in term_idf], scaled_k,
+                    want_union=False)
+                if tier2 != "union" and pool2.size:
+                    if (self.deleted_arr is not None
+                            and self.deleted_arr.size):
+                        pool2 = pool2[~self.deleted_arr[pool2]]
+                    pool = pool2[mask[pool2]]
             if pool.size < top_k:
                 return None
         if pool.size == 0:

@@ -72,6 +72,42 @@ class FirstTokenIndex:
             {w: np.asarray(d, np.int64) for w, d in table.items()})
 
     # ------------------------------------------------------------------
+    def append_docs(self, norm_texts, delimiters, start_id: int) -> None:
+        """Extend with appended docs (ids ``start_id..``): per-word doc
+        arrays stay ascending because appended ids exceed every existing
+        id; new first-words enter the sorted vocabulary and the
+        symmetric-delete table. Equivalent to a full rebuild over the
+        extended corpus (pinned by tests/test_append_finalize.py)."""
+        from bisect import insort
+
+        delims = set(delimiters)
+        added: Dict[str, list] = {}
+        for j, text in enumerate(norm_texts):
+            if not text:
+                continue
+            start = 0
+            n = len(text)
+            while start < n and text[start] in delims:
+                start += 1
+            end = start
+            while end < n and text[end] not in delims:
+                end += 1
+            if end > start:
+                added.setdefault(text[start:end], []).append(start_id + j)
+        for w, ids in added.items():
+            old = self._docs.get(w)
+            if old is None:
+                self._docs[w] = np.asarray(ids, np.int64)
+                insort(self._sorted_words, w)
+                if len(w) >= FUZZY_MIN_LEN - 1:
+                    for v in _deletions(w):
+                        lst = self._sd.setdefault(v, [])
+                        insort(lst, w)
+            else:
+                self._docs[w] = np.concatenate(
+                    [old, np.asarray(ids, np.int64)])
+        self._prior_cache.clear()
+
     def docs_exact(self, word: str) -> np.ndarray:
         d = self._docs.get(word)
         return d if d is not None else np.zeros(0, np.int64)

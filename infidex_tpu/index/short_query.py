@@ -28,8 +28,20 @@ class PositionalPrefixIndex:
         self.min_prefix_length = max(1, min_prefix_length)
         self.max_prefix_length = min(MAX_PREFIX_LENGTH, max_prefix_length)
         self._delims = set(delimiters)
-        # prefix -> list of (doc_id, token_pos)
+        # prefix -> (doc_id, token_pos) rows: int32 [n,2] ndarray once
+        # frozen (bulk-loaded or merged), or a legacy list of tuples.
         self._index: Dict[str, List[Tuple[int, int]]] = {}
+        # Streamed appends accumulate here and merge into ``_index`` at
+        # freeze(). The former design converted a bulk ndarray back into
+        # a Python list of tuples on the FIRST append to its prefix —
+        # one streamed doc containing an 's'-word re-materialized (and
+        # re-sorted, every finalize) a million-entry list, the dominant
+        # cost of config-5's 46s re-finalize at 1M docs.
+        self._pending: Dict[str, List[Tuple[int, int]]] = {}
+        # prefix -> rows appended by the most recent freeze() — the
+        # incremental champion-list update (ShortQueryResolver
+        # .append_docs) consumes this instead of rescanning full lists.
+        self.last_appended: Dict[str, np.ndarray] = {}
         self._frozen = False
 
     def index_document(self, text: str, document_id: int) -> None:
@@ -48,14 +60,10 @@ class PositionalPrefixIndex:
                 max_len = min(length, self.max_prefix_length)
                 for plen in range(self.min_prefix_length, max_len + 1):
                     prefix = text[start : start + plen]
-                    lst = self._index.get(prefix)
+                    lst = self._pending.get(prefix)
                     if lst is None:
-                        self._index[prefix] = [(document_id, token_index)]
+                        self._pending[prefix] = [(document_id, token_index)]
                     else:
-                        if not isinstance(lst, list):
-                            # bulk-loaded ndarray: make mutable on demand
-                            lst = [tuple(r) for r in lst.tolist()]
-                            self._index[prefix] = lst
                         lst.append((document_id, token_index))
                 token_index += 1
         self._frozen = False
@@ -64,18 +72,63 @@ class PositionalPrefixIndex:
         """Install the native bulk builder's prefix map (values are
         (doc, token_pos) int32 arrays already in sorted order)."""
         self._index = index
+        self._pending = {}
+        self.last_appended = {}
         self._frozen = True
+
+    @staticmethod
+    def _rows_sorted(rows: np.ndarray) -> bool:
+        """(doc, pos)-lexicographic sortedness check, vectorized."""
+        if rows.shape[0] <= 1:
+            return True
+        d, p = rows[:, 0], rows[:, 1]
+        dd = np.diff(d)
+        return bool(np.all((dd > 0) | ((dd == 0) & (np.diff(p) > 0))))
 
     def freeze(self) -> None:
-        for postings in self._index.values():
+        appended: Dict[str, np.ndarray] = {}
+        for prefix, pend in self._pending.items():
+            rows = np.asarray(pend, np.int32).reshape(-1, 2)
+            if not self._rows_sorted(rows):
+                rows = rows[np.lexsort((rows[:, 1], rows[:, 0]))]
+            base = self._index.get(prefix)
+            if base is None or len(base) == 0:
+                merged = rows
+            else:
+                if isinstance(base, list):
+                    base.sort()
+                    base = np.asarray(base, np.int32).reshape(-1, 2)
+                merged = np.concatenate([base, rows])
+                if not tuple(base[-1]) < tuple(rows[0]):
+                    merged = merged[np.lexsort((merged[:, 1],
+                                                merged[:, 0]))]
+            self._index[prefix] = merged
+            appended[prefix] = rows
+        self._pending = {}
+        # legacy per-doc-built lists (no bulk load): sort once as before
+        for prefix, postings in self._index.items():
             if isinstance(postings, list):
                 postings.sort()
+        self.last_appended = appended
         self._frozen = True
 
-    def get_posting_list(self, prefix: str) -> Optional[List[Tuple[int, int]]]:
+    def get_posting_list(self, prefix: str, frozen_only: bool = False
+                         ) -> Optional[List[Tuple[int, int]]]:
+        """``frozen_only=True`` serves the last-frozen state (champion
+        caching reads this so an incremental champion merge never
+        double-counts rows that a lazy mid-stream build already saw)."""
         if not prefix or len(prefix) > self.max_prefix_length:
             return None
-        return self._index.get(prefix)
+        base = self._index.get(prefix)
+        pend = None if frozen_only else self._pending.get(prefix)
+        if not pend:
+            return base
+        rows = np.asarray(pend, np.int32).reshape(-1, 2)
+        if base is None or len(base) == 0:
+            return rows
+        if isinstance(base, list):
+            base = np.asarray(base, np.int32).reshape(-1, 2)
+        return np.concatenate([base, rows])
 
     def has_prefix(self, prefix: str) -> bool:
         lst = self.get_posting_list(prefix)
@@ -97,6 +150,8 @@ class PositionalPrefixIndex:
         return self._index.items()
 
     def state_dict(self) -> dict:
+        if self._pending:
+            self.freeze()
         return {"index": self._index,
                 "min": self.min_prefix_length, "max": self.max_prefix_length}
 
@@ -108,6 +163,8 @@ class PositionalPrefixIndex:
 
     def clear(self) -> None:
         self._index.clear()
+        self._pending.clear()
+        self.last_appended = {}
 
 
 class _DocScore:
@@ -211,11 +268,16 @@ class ShortQueryResolver:
         return entries
 
     def _champions_for(self, prefix: str) -> Optional[List[ScoreEntry]]:
-        """Champion list for one prefix, built and cached on first access."""
+        """Champion list for one prefix, built and cached on first access.
+
+        Reads the last-FROZEN postings (reference semantics: champion
+        lists are a finalize-time artifact, ShortQueryResolver.cs:113) —
+        also what keeps the incremental ``append_docs`` merge exact."""
         if prefix in self._champion_built:
             return self._champion_lists.get(prefix)
         self._champion_built.add(prefix)
-        postings = self._prefix_index.get_posting_list(prefix)
+        postings = self._prefix_index.get_posting_list(prefix,
+                                                       frozen_only=True)
         if postings is None or len(postings) == 0:
             return None
         entries = self._resolve_postings(prefix, postings)
@@ -271,10 +333,38 @@ class ShortQueryResolver:
         self._champion_built.update(built_lists.keys())
         return len(built_lists)
 
-    def _build_doc_tables(self) -> dict:
+    def append_docs(self, appended: Dict[str, np.ndarray],
+                    start: int, k: int) -> None:
+        """Incremental champion update after an append-only finalize:
+        merge the freshly-frozen rows (PositionalPrefixIndex
+        .last_appended) into existing champion lists. Exact because
+        appends can only ADD entries — any true top-64 member of the
+        merged postings is either in the old top-64 or among the new
+        docs — and the stable re-sort (old entries first) reproduces
+        the full rebuild's ascending-doc tie order. O(touched prefixes
+        x delta) instead of an O(corpus) doc-table pass + per-prefix
+        rescans."""
+        if not appended or k <= 0:
+            return
+        tables = self._build_doc_tables(start=start)
+        for prefix, rows in appended.items():
+            if prefix not in self._champion_built:
+                continue  # lazy prefixes rebuild from frozen base on use
+            old = self._champion_lists.get(prefix) or []
+            delta_entries = self._champions_vec(prefix, rows, tables)
+            if not delta_entries:
+                continue
+            merged = sorted(old + delta_entries,
+                            key=lambda e: -e.score)[:CHAMPION_LIST_SIZE]
+            self._champion_lists[prefix] = merged
+
+    def _build_doc_tables(self, start: int = 0) -> dict:
         """One pass over the corpus: per-doc exact-token/first-token/title
         equality sets for <=3-char strings + short-title flags, the
-        text-dependent precedence inputs of _calculate_final_score."""
+        text-dependent precedence inputs of _calculate_final_score.
+        ``start``: only docs >= start are scanned (delta tables for the
+        incremental champion merge; earlier rows stay zero/deleted and
+        are never indexed by delta postings)."""
         docs = self._documents
         n = docs.total_slots()
         short_title = np.zeros(n, bool)
@@ -284,9 +374,9 @@ class ShortQueryResolver:
         first_map: Dict[str, List[int]] = {}
         title_map: Dict[str, List[int]] = {}
         max_p = self._prefix_index.max_prefix_length
-        for doc in docs.all_documents():
-            i = doc.id
-            if i < 0 or i >= n:
+        for i in range(start, n):
+            doc = docs.get_document(i)
+            if doc is None:
                 continue
             deleted[i] = doc.deleted
             doc_keys[i] = doc.document_key

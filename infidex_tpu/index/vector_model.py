@@ -167,6 +167,18 @@ class VectorModel:
         # Bulk-build CSR image awaiting materialization (native/bulk.py)
         self._bulk_csr = None
 
+        # Append-only fast finalize (index/append.py): postings of docs
+        # added onto a finalized base accumulate here until the next
+        # calculate_weights; (start, count) of the last append-finalize
+        # steers the derived-structure appends.
+        self._delta = None
+        self._last_append: Optional[Tuple[int, int]] = None
+        self._doc_epoch_at_finalize = -1
+        self._derived_doc_epoch = -1
+        self._derived_syn_epoch = -2
+        self._word_df: Optional[Dict[str, int]] = None
+        self._last_new_terms: Optional[Tuple[int, int]] = None
+
         # On-disk segments created by flush() (index/segments.py)
         self._segments = []           # List[SegmentReader]
         self._flushed_doc_count = 0
@@ -285,7 +297,29 @@ class VectorModel:
         self.term_dict.postings = postings
         self._bulk_csr = None
 
+    def _delta_eligible(self) -> bool:
+        """Appends can accumulate in an AppendDelta (index/append.py —
+        O(delta) fast finalize) when a finalized base image exists and
+        every live document is in it. Disk segments and mmap serving
+        keep the materialized slow path; INFIDEX_TPU_APPEND_FINALIZE=0
+        forces the slow path everywhere (parity twin for tests)."""
+        import os as _os
+
+        return (self.built is not None
+                and self.built.num_docs == len(self.documents)
+                and not self._segments
+                and not self.mmap_serving
+                and _os.environ.get("INFIDEX_TPU_APPEND_FINALIZE", "1")
+                != "0")
+
     def index_document(self, document: Document) -> Document:
+        if self._delta is None and self._delta_eligible():
+            from .append import AppendDelta
+
+            self._delta = AppendDelta(start_doc=len(self.documents),
+                                      base_terms=len(self.built.terms))
+        if self._delta is not None:
+            return self._index_document_delta(document)
         self._materialize_bulk()
         doc = self.documents.add_document(document)
         is_continuation = doc.segment_number > 0
@@ -319,6 +353,45 @@ class VectorModel:
         # becomes searchable at finalize).
         return doc
 
+    def _index_document_delta(self, document: Document) -> Document:
+        """``index_document`` with postings accumulated in the delta
+        instead of materialized per-term lists — token stream, field
+        weights, stop-term counting and short-query indexing identical."""
+        doc = self.documents.add_document(document)
+        is_continuation = doc.segment_number > 0
+
+        boundaries, concatenated = document.fields.get_searchable_texts("§")
+        doc.indexed_text = concatenated
+        index_text = self.normalize_doc_text(concatenated)
+
+        remove_dups = (
+            self.tokenizer.tokenizer_setup.remove_duplicate_tokens
+            if self.tokenizer.tokenizer_setup
+            else True
+        )
+        delta = self._delta
+        built = self.built
+        for token, pos in self.tokenizer.tokenize_for_indexing(
+                index_text, is_continuation):
+            fw = self._field_weight_at(pos, boundaries)
+            st = delta.get_or_add(token, built)
+            st.increment_usage(self.stop_term_limit)
+            st.first_cycle_add(doc.id, self.stop_term_limit, remove_dups, fw)
+
+        if self.short_query_index is not None:
+            self.short_query_index.index_document(index_text, doc.id)
+        return doc
+
+    def _drain_delta(self) -> None:
+        """Materialize pending delta postings into the mutable term
+        dictionary (slow-path fallback: flush()/segment building read
+        ``term_dict.postings`` directly)."""
+        if self._delta is None:
+            return
+        delta, self._delta = self._delta, None
+        self._materialize_bulk()
+        delta.drain_into_term_dict(self.term_dict)
+
     def _field_weight_at(self, token_pos: int, boundaries) -> float:
         if not boundaries:
             return 1.0
@@ -335,7 +408,36 @@ class VectorModel:
     def build_inverted_lists(self) -> None:
         """Finalize postings into CSR tensors + device upload + derived stats."""
         n = len(self.documents)  # internal id slots, incl. deleted
-        if self._segments and self.mmap_serving:
+        append_base: Optional[Tuple[int, int]] = None
+        self._last_new_terms = None
+        if self._delta is not None and self._segments:
+            self._drain_delta()  # unreachable via public paths; safe anyway
+        if self._delta is not None:
+            # Append-only fast finalize (index/append.py): O(delta)
+            # accumulation merged around the immutable base CSR instead
+            # of O(corpus) list materialization + finalize_postings.
+            from .append import fast_merge_built
+
+            delta, self._delta = self._delta, None
+            append_base = (delta.start_doc, n - delta.start_doc)
+            self._last_new_terms = (delta.base_terms, delta.n_new_terms)
+            base_t = len(self.term_dict.terms)
+            for i, t in enumerate(delta.new_terms):
+                self.term_dict.term_to_id[t] = base_t + i
+            self.term_dict.terms.extend(delta.new_terms)
+            self.built = fast_merge_built(self.built, delta, n)
+            # the merged image aliases the live term dictionary (the base
+            # image may hold a pre-extension copy from finalize_postings)
+            self.built.terms = self.term_dict.terms
+            self.built.term_to_id = self.term_dict.term_to_id
+            # Keep the invariant every slow-path consumer relies on:
+            # _bulk_csr mirrors the finalized image, term_dict postings
+            # rematerialize from it on first mutation/flush.
+            self._bulk_csr = (self.built.term_offsets,
+                              self.built.postings_docs,
+                              self.built.postings_weights, self.built.df)
+            self.term_dict.postings = []
+        elif self._segments and self.mmap_serving:
             from .mmap_serving import MmapStage1, build_union_index
 
             self._materialize_bulk()
@@ -349,22 +451,46 @@ class VectorModel:
             self.built = self._built_from_bulk_csr(n)
         else:
             self.built = finalize_postings(self.term_dict, n)
-        deleted = np.array(
-            [self.documents.get_document(i).deleted for i in range(n)], dtype=bool
-        ) if n else np.zeros(0, bool)
-        # Dense per-internal-id arrays for vectorized candidate handling
-        # (Python loops over WordMatcher hit lists scale with df otherwise).
-        self.deleted_arr = deleted
-        self.doc_keys_arr = np.array(
-            [self.documents.get_document(i).document_key for i in range(n)],
-            dtype=np.int64) if n else np.zeros(0, np.int64)
+
+        epoch_clean = (append_base is not None
+                       and self.documents.mutation_epoch
+                       == self._doc_epoch_at_finalize)
+        if (epoch_clean and self.deleted_arr.size == append_base[0]
+                and self.doc_keys_arr.size == append_base[0]):
+            start = append_base[0]
+            k = n - start
+            docs = self.documents
+            deleted = np.concatenate([self.deleted_arr, np.fromiter(
+                (docs.get_document(i).deleted for i in range(start, n)),
+                bool, k)])
+            self.deleted_arr = deleted
+            self.doc_keys_arr = np.concatenate([self.doc_keys_arr,
+                                                np.fromiter(
+                (docs.get_document(i).document_key for i in range(start, n)),
+                np.int64, k)])
+        else:
+            epoch_clean = False
+            deleted = np.array(
+                [self.documents.get_document(i).deleted for i in range(n)],
+                dtype=bool) if n else np.zeros(0, bool)
+            # Dense per-internal-id arrays for vectorized candidate
+            # handling (Python loops over WordMatcher hit lists scale
+            # with df otherwise).
+            self.deleted_arr = deleted
+            self.doc_keys_arr = np.array(
+                [self.documents.get_document(i).document_key
+                 for i in range(n)],
+                dtype=np.int64) if n else np.zeros(0, np.int64)
+        self._doc_epoch_at_finalize = self.documents.mutation_epoch
         self.device = DeviceIndex(self.built, deleted)
-        self._build_word_idf_cache()
+        self._build_word_idf_cache(
+            append=append_base if epoch_clean else None)
         # _ld1_index survives finalizes: _ensure_ld1_index extends it
         # append-only and self-checks for id remapping.
         self._sig_index = None
         self._tiered_stage1 = None
         self._fuzzy_cache = _LruCache(1000)
+        self._last_append = append_base
         if self._mesh is not None:
             self._build_sharded_index()
 
@@ -401,6 +527,7 @@ class VectorModel:
         program. ``materialize=False``: memory-bounded serving — flushed
         postings stay on disk and are decoded lazily per query
         (index/mmap_serving.py; MMapBlockPostingsEnum.cs capability)."""
+        self._drain_delta()
         self._materialize_bulk()
         from .builder import TermDictionary
         from .segments import SegmentReader, SegmentWriter
@@ -522,6 +649,8 @@ class VectorModel:
     def build_optimized_indexes(self) -> None:
         if self.short_query_index is not None:
             self.short_query_index.freeze()
+        if self._try_append_optimized():
+            return
         # Coverage tables first: they materialize norm_texts (one
         # normalize pass over the corpus) which the metadata cache and
         # word-df builders reuse — at 1M docs the three independent
@@ -529,11 +658,98 @@ class VectorModel:
         self._build_coverage_tables()
         self._build_document_metadata_cache()
         self._build_first_token_index()
+        self._derived_doc_epoch = self.documents.mutation_epoch
+        self._derived_syn_epoch = (self.synonym_map.mutation_epoch
+                                   if self.synonym_map is not None else -1)
         if self._mesh is not None and self.coverage_tables is not None:
             from ..parallel.sharding import ShardedCoverageTables
 
             self.sharded_tables = ShardedCoverageTables(
                 self.coverage_tables, self._mesh)
+
+    def _try_append_optimized(self) -> bool:
+        """Derived structures in O(delta) after an append-only finalize:
+        coverage tables / norm_texts / metadata / first-token index all
+        extend in place. False (→ full rebuild) when anything that can
+        rewrite EXISTING rows happened since the last derived build —
+        deletions (metadata blanks deleted docs), synonym-map changes
+        (canonicalization rewrites texts), mesh serving (sharded tables
+        re-shard), or a coverage-table bucket overflow."""
+        import os as _os
+
+        ap = self._last_append
+        if ap is None or self._mesh is not None:
+            return False
+        if _os.environ.get("INFIDEX_TPU_APPEND_FINALIZE", "1") == "0":
+            return False
+        start, k = ap
+        ct = self.coverage_tables
+        nt = self.norm_texts
+        if ct is None or nt is None or nt.size != start:
+            return False
+        if len(self.doc_metadata) != start:
+            return False
+        if self.documents.mutation_epoch != self._derived_doc_epoch:
+            return False
+        syn_epoch = (self.synonym_map.mutation_epoch
+                     if self.synonym_map is not None else -1)
+        if syn_epoch != self._derived_syn_epoch:
+            return False
+        if k == 0:
+            return True
+        delims = (self.tokenizer.tokenizer_setup.delimiters
+                  if self.tokenizer.tokenizer_setup else (" ",))
+        texts_new = []
+        for i in range(start, start + k):
+            doc = self.documents.get_document(i)
+            if doc is None or not doc.indexed_text:
+                texts_new.append("")
+                continue
+            text = doc.indexed_text
+            if self.tokenizer.text_normalizer is not None:
+                text = self.tokenizer.text_normalizer.normalize(text)
+            if (self.synonym_map is not None
+                    and self.synonym_map.has_canonical_mappings):
+                text = self.synonym_map.canonicalize_text(text, delims)
+            texts_new.append(text.lower())
+        if not ct.append_texts(texts_new, delims, start):
+            return False
+        grown = np.empty(start + k, dtype=object)
+        grown[:start] = nt
+        grown[start:] = texts_new
+        self.norm_texts = grown
+        self._append_metadata(texts_new, start)
+        if self.first_token_index is not None:
+            self.first_token_index.append_docs(texts_new, delims, start)
+        return True
+
+    def _append_metadata(self, texts_new, start: int) -> None:
+        """Metadata-cache rows for appended docs (same recipe as the
+        full ``_build_document_metadata_cache`` use_nt branch)."""
+        delims = (
+            set(self.tokenizer.tokenizer_setup.delimiters)
+            if self.tokenizer.tokenizer_setup
+            else {" "}
+        )
+        for off, text in enumerate(texts_new):
+            doc = self.documents.get_document(start + off)
+            if doc is None or doc.deleted or not doc.indexed_text:
+                self.doc_metadata.append(DocumentMetadata())
+                continue
+            first = ""
+            count = 0
+            j, L = 0, len(text)
+            while j < L:
+                while j < L and text[j] in delims:
+                    j += 1
+                s0 = j
+                while j < L and text[j] not in delims:
+                    j += 1
+                if j > s0:
+                    if count == 0:
+                        first = text[s0:j]
+                    count += 1
+            self.doc_metadata.append(DocumentMetadata(first, count))
 
     def _build_first_token_index(self) -> None:
         """Per-finalize first-token prior (index/first_token.py): maps a
@@ -650,10 +866,22 @@ class VectorModel:
                     count += 1
             self.doc_metadata.append(DocumentMetadata(first, count))
 
-    def _build_word_idf_cache(self) -> None:
-        """Word-level document frequencies -> idf (VectorModel.cs:864-908)."""
+    def _build_word_idf_cache(self, append: Optional[Tuple[int, int]] = None
+                              ) -> None:
+        """Word-level document frequencies -> idf (VectorModel.cs:864-908).
+
+        ``append=(start, k)``: only the k appended docs are counted into
+        the retained df table, then every idf is recomputed (total-docs
+        changed) in one vectorized float32 pass — identical values to
+        the scalar ``compute_idf`` loop, O(delta + vocab) instead of a
+        full corpus tokenization."""
         total = self.documents.count
+        if append is not None and self._word_df is not None:
+            self._append_word_df(*append)
+            self._vectorized_idf_cache(total)
+            return
         self.word_idf_cache = {}
+        self._word_df = None
         if total == 0:
             return
         word_df = self._native_word_df()
@@ -672,9 +900,47 @@ class VectorModel:
                     if lw and lw not in seen:
                         seen.add(lw)
                         word_df[lw] = word_df.get(lw, 0) + 1
+        self._word_df = word_df
         for w, df in word_df.items():
             if 0 < df <= total:
                 self.word_idf_cache[w] = compute_idf(total, df)
+
+    def _append_word_df(self, start: int, k: int) -> None:
+        """Count the appended docs' word dfs into the retained table
+        (same text recipe as the full python loop above)."""
+        wd = self._word_df
+        for i in range(start, start + k):
+            doc = self.documents.get_document(i)
+            if doc is None or doc.deleted or not doc.indexed_text:
+                continue
+            text = doc.indexed_text.lower()
+            if self.tokenizer.text_normalizer is not None:
+                text = self.tokenizer.text_normalizer.normalize(text)
+            seen = set()
+            for w, _ in self.tokenizer.split_words(text):
+                lw = w.lower()
+                if lw and lw not in seen:
+                    seen.add(lw)
+                    wd[lw] = wd.get(lw, 0) + 1
+
+    def _vectorized_idf_cache(self, total: int) -> None:
+        """word_idf_cache from the retained df table, float32 semantics
+        bit-identical to ``compute_idf`` (same op order and dtypes)."""
+        if total <= 0 or not self._word_df:
+            self.word_idf_cache = {}
+            return
+        words = list(self._word_df.keys())
+        dfs = np.fromiter(self._word_df.values(), np.int64, len(words))
+        dfs_f = dfs.astype(np.float32)
+        ratio = (np.float32(total) - dfs_f + np.float32(0.5)) / (
+            dfs_f + np.float32(0.5))
+        idf = np.where(ratio > 0,
+                       np.log1p(np.maximum(ratio, np.float32(0.0)),
+                                dtype=np.float32), np.float32(0.0))
+        ok = (dfs > 0) & (dfs <= total)
+        idf_list = idf.tolist()
+        self.word_idf_cache = {
+            w: v for w, v, good in zip(words, idf_list, ok.tolist()) if good}
 
     def _native_word_df(self) -> Optional[Dict[str, int]]:
         """Word df via one native pass (same text/skip semantics as the

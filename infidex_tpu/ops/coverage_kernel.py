@@ -108,6 +108,46 @@ def _pad_bucket(n: int, minimum: int = 1024) -> int:
     return b
 
 
+#: row-count buckets for incremental appends: updates pad to one of
+#: these so a handful of compiled update programs serve every finalize
+#: (an exact-K program per finalize would recompile continuously).
+_APPEND_BUCKETS = (16, 64, 256, 1024, 4096)
+
+
+def _append_bucket(n: int) -> int:
+    for b in _APPEND_BUCKETS:
+        if n <= b:
+            return b
+    return n  # very large appends: one exact-size compile
+
+
+@functools.partial(jax.jit, donate_argnums=tuple(range(10)))
+def _append_update(word_chars, word_chars_rev, word_lens, doc_tokens,
+                   doc_tok_offsets, doc_tok_count, doc_adj_ws, doc_text_len,
+                   text_chars, lcs_ok,
+                   wc_u, wcr_u, wl_u, dt_u, do_u, dc_u, da_u, dtl_u,
+                   tc_u, lok_u, w_start, d_start):
+    """In-place (donated) row updates for every device table: only the
+    delta rows transfer host->device; the tables' HBM buffers are reused.
+    Pad rows in the updates re-write existing pad rows with identical
+    content, so logical state is unchanged beyond the delta."""
+    dus = jax.lax.dynamic_update_slice
+    if wl_u.shape[0]:
+        word_chars = dus(word_chars, wc_u, (w_start, 0))
+        word_chars_rev = dus(word_chars_rev, wcr_u, (w_start, 0))
+        word_lens = dus(word_lens, wl_u, (w_start,))
+    doc_tokens = dus(doc_tokens, dt_u, (d_start, 0))
+    doc_tok_offsets = dus(doc_tok_offsets, do_u, (d_start, 0))
+    doc_tok_count = dus(doc_tok_count, dc_u, (d_start,))
+    doc_adj_ws = dus(doc_adj_ws, da_u, (d_start, 0))
+    doc_text_len = dus(doc_text_len, dtl_u, (d_start,))
+    text_chars = dus(text_chars, tc_u, (d_start, 0))
+    lcs_ok = dus(lcs_ok, lok_u, (d_start,))
+    return (word_chars, word_chars_rev, word_lens, doc_tokens,
+            doc_tok_offsets, doc_tok_count, doc_adj_ws, doc_text_len,
+            text_chars, lcs_ok)
+
+
 def _tables_from_arrays(word_chars, word_chars_rev, word_lens, doc_tokens,
                         doc_offsets, doc_count, doc_adj, doc_text_len,
                         overflow, max_wlen) -> "CoverageTables":
@@ -140,6 +180,8 @@ def _tables_from_arrays(word_chars, word_chars_rev, word_lens, doc_tokens,
         overflow=padded(overflow, n_pad),
         tok_count_host=padded(doc_count, n_pad),
         max_wlen_host=padded(max_wlen, n_pad),
+        n_docs=n,
+        n_words=v,
     )
 
 
@@ -167,86 +209,178 @@ class CoverageTables:
     text_chars: jax.Array = None       # uint16 [N, T]
     lcs_ok: jax.Array = None           # bool [N]
     lcs_ok_host: np.ndarray = None     # bool [N] host copy (resolve gating)
+    # logical (unpadded) doc/word counts — the append path writes new
+    # rows at these positions (device dynamic_update_slice)
+    n_docs: int = -1
+    n_words: int = -1
 
     @staticmethod
     def build(doc_texts, delimiters) -> "CoverageTables":
         """Encode normalized lowercase doc texts into token tables."""
-        try:
-            from ..native.bulk import build_coverage_arrays
-
-            arrays = build_coverage_arrays(list(doc_texts), delimiters,
-                                           D_MAX, L_MAX)
-        except Exception:
-            arrays = None
-        if arrays is not None:
-            (word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
-             doc_count, doc_adj, doc_text_len, overflow, max_wlen) = arrays
-            t = _tables_from_arrays(
-                word_chars, word_chars_rev, word_lens, doc_tokens,
-                doc_offsets, doc_count, doc_adj, doc_text_len, overflow,
-                max_wlen)
-            _attach_text_lcs(t, doc_texts)
-            return t
-        delims = set(delimiters)
-        word_to_code = {}
-        words = []
-        n = len(doc_texts)
-        doc_tokens = np.full((n, D_MAX), -1, dtype=np.int32)
-        doc_offsets = np.zeros((n, D_MAX), dtype=np.int32)
-        doc_count = np.zeros(n, dtype=np.int32)
-        doc_adj = np.zeros((n, D_MAX), dtype=bool)
-        doc_text_len = np.zeros(n, dtype=np.int32)
-        overflow = np.zeros(n, dtype=bool)
-        max_wlen = np.zeros(n, dtype=np.int32)
-
-        for doc_id, text in enumerate(doc_texts):
-            doc_text_len[doc_id] = len(text)
-            toks = []  # (word, offset)
-            i, ln = 0, len(text)
-            while i < ln:
-                while i < ln and text[i] in delims:
-                    i += 1
-                start = i
-                while i < ln and text[i] not in delims:
-                    i += 1
-                if i > start:
-                    toks.append((text[start:i], start))
-            if len(toks) > D_MAX:
-                overflow[doc_id] = True
-                toks = toks[:D_MAX]
-            doc_count[doc_id] = len(toks)
-            for j, (w, off) in enumerate(toks):
-                if len(w) > L_MAX:
-                    overflow[doc_id] = True
-                    w = w[:L_MAX]
-                if len(w) > max_wlen[doc_id]:
-                    max_wlen[doc_id] = len(w)
-                code = word_to_code.get(w)
-                if code is None:
-                    code = len(words)
-                    word_to_code[w] = code
-                    words.append(w)
-                doc_tokens[doc_id, j] = code
-                doc_offsets[doc_id, j] = off
-                if j + 1 < len(toks):
-                    gap = text[off + len(w): toks[j + 1][1]]
-                    doc_adj[doc_id, j] = all(c.isspace() for c in gap)
-
-        w_count = max(len(words), 1)
-        word_chars = np.zeros((w_count, L_MAX), dtype=np.int32)
-        word_chars_rev = np.zeros((w_count, L_MAX), dtype=np.int32)
-        word_lens = np.zeros(w_count, dtype=np.int32)
-        for code, w in enumerate(words):
-            word_lens[code] = len(w)
-            for k, ch in enumerate(w):
-                word_chars[code, k] = ord(ch)
-                word_chars_rev[code, len(w) - 1 - k] = ord(ch)
-
+        arrays = _encode_doc_arrays(doc_texts, delimiters)
+        (word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
+         doc_count, doc_adj, doc_text_len, overflow, max_wlen) = arrays
         t = _tables_from_arrays(
-            word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
-            doc_count, doc_adj, doc_text_len, overflow, max_wlen)
+            word_chars, word_chars_rev, word_lens, doc_tokens,
+            doc_offsets, doc_count, doc_adj, doc_text_len, overflow,
+            max_wlen)
         _attach_text_lcs(t, doc_texts)
         return t
+
+    def append_texts(self, doc_texts, delimiters, start_id: int) -> bool:
+        """Append ``doc_texts`` as docs ``start_id..`` by updating rows
+        in place (device ``dynamic_update_slice`` + host mirrors) —
+        O(delta) instead of re-encoding the corpus at every incremental
+        finalize. New words get fresh codes past ``n_words``; duplicate
+        words across base/delta get duplicate rows, which is harmless
+        (the kernels compare characters via gathers, never code
+        identity). Returns False when an axis bucket would overflow or
+        a new text needs a larger LCS bucket — caller falls back to the
+        full rebuild (which re-buckets)."""
+        k = len(doc_texts)
+        if k == 0:
+            return True
+        if self.n_docs < 0 or self.n_words < 0 or start_id != self.n_docs:
+            return False
+        if self.text_chars is None or self.lcs_ok_host is None:
+            return False
+        arrays = _encode_doc_arrays(doc_texts, delimiters)
+        (word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
+         doc_count, doc_adj, doc_text_len, overflow, max_wlen) = arrays
+        w_new = int(word_chars.shape[0])
+        if not word_lens.any():
+            w_new = 0  # no real words (the encoder pads an empty vocab row)
+        n_pad = int(self.overflow.shape[0])
+        v_pad = int(self.word_lens.shape[0])
+        # local word codes -> global (past the current vocabulary)
+        doc_tokens = np.where(doc_tokens >= 0,
+                              doc_tokens + np.int32(self.n_words),
+                              np.int32(-1))
+        # text-LCS rows for the new docs
+        t_cap = int(self.text_chars.shape[1])
+        encs = [t.encode("utf-16-le") for t in doc_texts]
+        if any(t_cap < (len(b) >> 1) <= T_LCS_BUCKETS[-1] for b in encs):
+            return False  # full rebuild picks a bigger text bucket
+        tc_rows = np.zeros((k, t_cap), np.uint16)
+        lok_rows = np.zeros(k, bool)
+        for i, b in enumerate(encs):
+            m = len(b) >> 1
+            if 0 < m <= t_cap:
+                tc_rows[i, :m] = np.frombuffer(b, "<u2")
+                lok_rows[i] = True
+        lok_rows &= ~((tc_rows >= 0xD800) & (tc_rows < 0xE000)).any(axis=1)
+
+        k_pad = _append_bucket(k)
+        w_pad = _append_bucket(w_new) if w_new else 0
+        if start_id + k_pad > n_pad or self.n_words + w_pad > v_pad:
+            return False
+
+        def pad_rows(a, rows, fill=0):
+            out = np.full((rows,) + a.shape[1:], fill, dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        wc_u = pad_rows(word_chars, w_pad) if w_pad else np.zeros(
+            (0, word_chars.shape[1]), word_chars.dtype)
+        wcr_u = pad_rows(word_chars_rev, w_pad) if w_pad else wc_u
+        wl_u = (pad_rows(word_lens, w_pad) if w_pad
+                else np.zeros(0, word_lens.dtype))
+        updated = _append_update(
+            self.word_chars, self.word_chars_rev, self.word_lens,
+            self.doc_tokens, self.doc_tok_offsets, self.doc_tok_count,
+            self.doc_adj_ws, self.doc_text_len, self.text_chars,
+            self.lcs_ok,
+            wc_u, wcr_u, wl_u,
+            pad_rows(doc_tokens, k_pad, fill=-1),
+            pad_rows(doc_offsets, k_pad), pad_rows(doc_count, k_pad),
+            pad_rows(doc_adj, k_pad), pad_rows(doc_text_len, k_pad),
+            pad_rows(tc_rows, k_pad), pad_rows(lok_rows, k_pad),
+            np.int32(self.n_words), np.int32(start_id))
+        (self.word_chars, self.word_chars_rev, self.word_lens,
+         self.doc_tokens, self.doc_tok_offsets, self.doc_tok_count,
+         self.doc_adj_ws, self.doc_text_len, self.text_chars,
+         self.lcs_ok) = updated
+        # host mirrors (exact rows, not the padded update)
+        self.overflow[start_id:start_id + k] = overflow
+        self.tok_count_host[start_id:start_id + k] = doc_count
+        self.max_wlen_host[start_id:start_id + k] = max_wlen
+        self.lcs_ok_host[start_id:start_id + k] = lok_rows
+        self.n_docs = start_id + k
+        self.n_words += w_new
+        return True
+
+
+def _encode_doc_arrays(doc_texts, delimiters):
+    """Raw (unpadded) token-table arrays for ``doc_texts`` — the shared
+    encoder behind full builds and incremental appends. Native C++ pass
+    when available, Python fallback otherwise (identical outputs, pinned
+    by tests/test_coverage_kernel.py)."""
+    try:
+        from ..native.bulk import build_coverage_arrays
+
+        arrays = build_coverage_arrays(list(doc_texts), delimiters,
+                                       D_MAX, L_MAX)
+    except Exception:
+        arrays = None
+    if arrays is not None:
+        return arrays
+    delims = set(delimiters)
+    word_to_code = {}
+    words = []
+    n = len(doc_texts)
+    doc_tokens = np.full((n, D_MAX), -1, dtype=np.int32)
+    doc_offsets = np.zeros((n, D_MAX), dtype=np.int32)
+    doc_count = np.zeros(n, dtype=np.int32)
+    doc_adj = np.zeros((n, D_MAX), dtype=bool)
+    doc_text_len = np.zeros(n, dtype=np.int32)
+    overflow = np.zeros(n, dtype=bool)
+    max_wlen = np.zeros(n, dtype=np.int32)
+
+    for doc_id, text in enumerate(doc_texts):
+        doc_text_len[doc_id] = len(text)
+        toks = []  # (word, offset)
+        i, ln = 0, len(text)
+        while i < ln:
+            while i < ln and text[i] in delims:
+                i += 1
+            start = i
+            while i < ln and text[i] not in delims:
+                i += 1
+            if i > start:
+                toks.append((text[start:i], start))
+        if len(toks) > D_MAX:
+            overflow[doc_id] = True
+            toks = toks[:D_MAX]
+        doc_count[doc_id] = len(toks)
+        for j, (w, off) in enumerate(toks):
+            if len(w) > L_MAX:
+                overflow[doc_id] = True
+                w = w[:L_MAX]
+            if len(w) > max_wlen[doc_id]:
+                max_wlen[doc_id] = len(w)
+            code = word_to_code.get(w)
+            if code is None:
+                code = len(words)
+                word_to_code[w] = code
+                words.append(w)
+            doc_tokens[doc_id, j] = code
+            doc_offsets[doc_id, j] = off
+            if j + 1 < len(toks):
+                gap = text[off + len(w): toks[j + 1][1]]
+                doc_adj[doc_id, j] = all(c.isspace() for c in gap)
+
+    w_count = max(len(words), 1)
+    word_chars = np.zeros((w_count, L_MAX), dtype=np.int32)
+    word_chars_rev = np.zeros((w_count, L_MAX), dtype=np.int32)
+    word_lens = np.zeros(w_count, dtype=np.int32)
+    for code, w in enumerate(words):
+        word_lens[code] = len(w)
+        for k, ch in enumerate(w):
+            word_chars[code, k] = ord(ch)
+            word_chars_rev[code, len(w) - 1 - k] = ord(ch)
+
+    return (word_chars, word_chars_rev, word_lens, doc_tokens, doc_offsets,
+            doc_count, doc_adj, doc_text_len, overflow, max_wlen)
 
 
 def _attach_text_lcs(tables: "CoverageTables", doc_texts) -> None:

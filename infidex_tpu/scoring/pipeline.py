@@ -296,8 +296,15 @@ class SearchPipeline:
         self._coverage_engine.set_document_metadata_cache(m.doc_metadata)
         self._coverage_engine.set_word_idf_cache(m.word_idf_cache)
 
-    def invalidate_caches(self) -> None:
-        self._sorted_vocab = None
+    def invalidate_caches(self, appended_terms=None) -> None:
+        """``appended_terms`` ([(term, tid), ...] from an append-only
+        finalize): the sorted-vocab cache extends instead of dropping —
+        rebuilding it is an O(T log T) string sort at the next short
+        query, paid every 2s under a streaming writer otherwise."""
+        if appended_terms is not None and self._sorted_vocab is not None:
+            self._sorted_vocab.append_terms(appended_terms)
+        else:
+            self._sorted_vocab = None
         if self._coverage_engine is not None:
             self._rewire_coverage()
 

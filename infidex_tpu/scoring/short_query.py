@@ -133,7 +133,11 @@ def build_prefix_patterns(search_lower: str, min_index_size: int,
 class _SortedVocab:
     """Sorted term table for prefix enumeration (FST GetByPrefix stand-in).
 
-    Built over the finalized unified vocabulary (memory + disk segments)."""
+    Built over the finalized unified vocabulary (memory + disk segments).
+    Append-only finalizes extend it via ``append_terms`` (a small sorted
+    pending tier merged during enumeration) instead of re-sorting the
+    whole vocabulary — an O(T log T) string sort per 2s finalize at 1M
+    docs otherwise."""
 
     def __init__(self, model: VectorModel):
         if model.built is None:
@@ -142,16 +146,43 @@ class _SortedVocab:
             (t, i) for i, t in enumerate(model.built.terms)
         )
         self.keys = [t for t, _ in self.sorted_terms]
+        self.pending: List[tuple] = []      # sorted (term, tid)
+        self.pending_keys: List[str] = []
+
+    def append_terms(self, new_terms) -> None:
+        """Add (term, tid) pairs from an append-only finalize."""
+        merged = sorted(self.pending + list(new_terms))
+        self.pending = merged
+        self.pending_keys = [t for t, _ in merged]
 
     def by_prefix(self, prefix: str, limit: int) -> List[int]:
-        lo = bisect.bisect_left(self.keys, prefix)
-        out = []
-        for i in range(lo, len(self.keys)):
-            if not self.keys[i].startswith(prefix):
+        i = bisect.bisect_left(self.keys, prefix)
+        out: List[int] = []
+        if not self.pending:
+            for k in range(i, len(self.keys)):
+                if not self.keys[k].startswith(prefix):
+                    break
+                out.append(self.sorted_terms[k][1])
+                if len(out) >= limit:
+                    break
+            return out
+        # lexicographic merge of base + pending tiers (identical order
+        # to a freshly sorted unified vocabulary; terms are unique)
+        j = bisect.bisect_left(self.pending_keys, prefix)
+        nk, np_ = len(self.keys), len(self.pending_keys)
+        while len(out) < limit:
+            a = self.keys[i] if i < nk else None
+            b = self.pending_keys[j] if j < np_ else None
+            a_ok = a is not None and a.startswith(prefix)
+            b_ok = b is not None and b.startswith(prefix)
+            if not a_ok and not b_ok:
                 break
-            out.append(self.sorted_terms[i][1])
-            if len(out) >= limit:
-                break
+            if a_ok and (not b_ok or a <= b):
+                out.append(self.sorted_terms[i][1])
+                i += 1
+            else:
+                out.append(self.pending[j][1])
+                j += 1
         return out
 
 

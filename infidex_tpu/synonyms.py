@@ -16,6 +16,10 @@ class SynonymMap:
     def __init__(self) -> None:
         self._synonyms: Dict[str, Set[str]] = {}
         self._parent: Dict[str, str] = {}
+        # Bumped on every mutation: the append-only fast finalize keys
+        # its derived-structure reuse on this (changed synonyms rewrite
+        # canonicalized doc texts, which forces a full rebuild).
+        self.mutation_epoch = 0
 
     def add_synonym(self, term1: str, term2: str) -> None:
         if not term1 or not term2 or term1.isspace() or term2.isspace():
@@ -24,6 +28,7 @@ class SynonymMap:
         term2 = term2.strip().lower()
         if term1 == term2:
             return
+        self.mutation_epoch += 1
         self._synonyms.setdefault(term1, set()).add(term2)
         self._synonyms.setdefault(term2, set()).add(term1)
         self._union(term1, term2)
@@ -52,6 +57,7 @@ class SynonymMap:
     def clear(self) -> None:
         self._synonyms.clear()
         self._parent.clear()
+        self.mutation_epoch += 1
 
     @property
     def has_canonical_mappings(self) -> bool:
