@@ -283,10 +283,30 @@ def _merge_champions(old: BuiltIndex, new: BuiltIndex,
         s, e = int(new.term_offsets[t]), int(new.term_offsets[t + 1])
         if e - s <= cap:
             continue
-        if t not in touched and t < len(old.df) and old.champion_starts[t] >= 0:
+        st = touched.get(t)
+        had_block = t < len(old.df) and old.champion_starts[t] >= 0
+        if st is None and had_block:
             o = int(old.champion_starts[t])
             ext_d.append(old.ext_docs[o:o + cap])
             ext_w.append(old.ext_weights[o:o + cap])
+        elif st is not None and had_block:
+            # Incremental re-selection over (old champions ∪ delta) —
+            # EXACT: a posting outside the old champion set lost to
+            # cap-many postings of >= weight (earlier position on ties);
+            # appends only add contenders, so it can never re-enter. The
+            # k_low low-id reserve is unchanged (delta ids exceed every
+            # base id), and ascending-id candidate order preserves the
+            # stable positional tie rule. O(cap + delta) vs O(df) per
+            # touched clipped term — the dominant finalize cost for
+            # high-df gram terms at 1M docs otherwise.
+            o = int(old.champion_starts[t])
+            cd = np.concatenate([old.ext_docs[o:o + cap],
+                                 np.asarray(st.doc_ids, np.int32)])
+            cw = np.concatenate([old.ext_weights[o:o + cap],
+                                 np.asarray(st.weights, np.uint8)])
+            part = champion_select(cw, cap)
+            ext_d.append(cd[part])
+            ext_w.append(cw[part])
         else:
             part = champion_select(new.postings_weights[s:e], cap)
             ext_d.append(new.postings_docs[s:e][part])

@@ -179,3 +179,63 @@ class TestStopTermCrossing:
         assert np.array_equal(bf.doc_lengths, bs.doc_lengths)
         for q in ("common0", "filler3", "extra7"):
             assert _results(fast, q) == _results(slow, q), q
+
+
+class TestChampionMergeUnit:
+    """Clipped-term champion parity with a small cap (the engine-level
+    tests never exceed DEVICE_TERM_CAP=2048, so the incremental
+    re-selection path needs a direct drive)."""
+
+    def _seq(self, rng, n_docs, start=0):
+        # (doc_id, weight) stream for one term, weights with heavy ties
+        return [(start + i, rng.choice([1, 2, 3, 3, 3, 7, 9]))
+                for i in range(n_docs)]
+
+    def test_incremental_selection_matches_full(self):
+        import random
+
+        from infidex_tpu.index.append import AppendDelta, fast_merge_built
+        from infidex_tpu.index.builder import (TermDictionary,
+                                               finalize_postings)
+
+        rng = random.Random(7)
+        CAP = 16
+        td = TermDictionary()
+        base = {"big": self._seq(rng, 300), "mid": self._seq(rng, 40),
+                "small": self._seq(rng, 3)}
+        for term, seq in base.items():
+            tid, _ = td.get_or_add(term)
+            p = td.postings[tid]
+            for doc, w in seq:
+                p.increment_usage(10**6)
+                p.first_cycle_add(doc, 10**6, True, w)
+        built = finalize_postings(td, 300)
+        built.ensure_champions(cap=CAP)
+
+        delta = AppendDelta(start_doc=300, base_terms=len(built.terms))
+        adds = {"big": self._seq(rng, 60, 300), "mid": self._seq(rng, 5, 300),
+                "fresh": self._seq(rng, 25, 300)}
+        for term, seq in adds.items():
+            for doc, w in seq:
+                st = delta.get_or_add(term, built)
+                st.increment_usage(10**6)
+                st.first_cycle_add(doc, 10**6, True, w)
+        merged = fast_merge_built(built, delta, 360)
+
+        # slow twin: same sequences through the mutable term dict
+        for term, seq in adds.items():
+            tid, _ = td.get_or_add(term)
+            p = td.postings[tid]
+            for doc, w in seq:
+                p.increment_usage(10**6)
+                p.first_cycle_add(doc, 10**6, True, w)
+        full = finalize_postings(td, 360)
+        full.ensure_champions(cap=CAP)
+
+        assert np.array_equal(merged.term_offsets, full.term_offsets)
+        assert np.array_equal(merged.postings_docs, full.postings_docs)
+        assert np.array_equal(merged.df, full.df)
+        assert np.array_equal(merged.champion_starts, full.champion_starts)
+        assert np.array_equal(merged.ext_docs, full.ext_docs)
+        assert np.array_equal(merged.ext_weights, full.ext_weights)
+        assert (merged.champion_starts >= 0).sum() >= 2  # big+fresh clipped
