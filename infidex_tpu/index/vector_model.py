@@ -409,6 +409,7 @@ class VectorModel:
         """Finalize postings into CSR tensors + device upload + derived stats."""
         n = len(self.documents)  # internal id slots, incl. deleted
         append_base: Optional[Tuple[int, int]] = None
+        new_stop_tids: list = []
         self._last_new_terms = None
         if self._delta is not None and self._segments:
             self._drain_delta()  # unreachable via public paths; safe anyway
@@ -421,6 +422,8 @@ class VectorModel:
             delta, self._delta = self._delta, None
             append_base = (delta.start_doc, n - delta.start_doc)
             self._last_new_terms = (delta.base_terms, delta.n_new_terms)
+            new_stop_tids = [st.tid for st in delta.states.values()
+                             if st.newly_stopped]
             base_t = len(self.term_dict.terms)
             for i, t in enumerate(delta.new_terms):
                 self.term_dict.term_to_id[t] = base_t + i
@@ -486,8 +489,15 @@ class VectorModel:
         self._build_word_idf_cache(
             append=append_base if epoch_clean else None)
         # _ld1_index survives finalizes: _ensure_ld1_index extends it
-        # append-only and self-checks for id remapping.
-        self._sig_index = None
+        # append-only and self-checks for id remapping. The MXU signature
+        # matrix likewise extends in place on append-only finalizes — its
+        # fresh build is an O(vocab) Python loop (~10s+ at 1M) that used
+        # to hit the first fuzzy query after every finalize.
+        sig = self._sig_index
+        if not (append_base is not None and sig is not None
+                and sig.extend_append(self.built.terms, self.built.df,
+                                      sig.v, new_stop_tids)):
+            self._sig_index = None
         self._tiered_stage1 = None
         self._fuzzy_cache = _LruCache(1000)
         self._last_append = append_base

@@ -80,6 +80,27 @@ def _match_kernel(sig_t, vpop, vlen, elig, qsig, qpop, qlen, *, cap):
     return (-neg_top).astype(jnp.int32)
 
 
+def _ext_bucket(n: int) -> int:
+    for b in (16, 64, 256, 1024, 4096):
+        if n <= b:
+            return b
+    return n
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("flip",))
+def _extend_update(sig_t, vpop, vlen, elig, new_sig_t, new_pop, new_len,
+                   new_elig, off_ids, start, flip):
+    if flip:
+        elig = elig.at[off_ids].set(False)
+    dus = jax.lax.dynamic_update_slice
+    sig_t = dus(sig_t, new_sig_t, (0, start))
+    vpop = dus(vpop, new_pop, (start,))
+    vlen = dus(vlen, new_len, (start,))
+    elig = dus(elig, new_elig, (start,))
+    return sig_t, vpop, vlen, elig
+
+
 class NGramSignatureIndex:
     """Device-resident signature matrix over the vocabulary.
 
@@ -88,10 +109,15 @@ class NGramSignatureIndex:
     tokens with a single device round trip.
     """
 
+    #: vocab-axis headroom beyond the next 128 multiple: append-only
+    #: finalizes extend the matrix in place (2MB of int8 per 16k slots)
+    APPEND_SLACK = 16384
+
     def __init__(self, terms: Sequence[str], df: np.ndarray, min_len: int = 3):
         v = len(terms)
         self.v = v
-        v_pad = max(128, -(-v // 128) * 128)
+        self.min_len = min_len
+        v_pad = max(128, -(-(v + self.APPEND_SLACK) // 128) * 128)
         sig = np.zeros((v_pad, SIG_BITS), dtype=np.int8)
         lens = np.zeros(v_pad, dtype=np.int32)
         elig = np.zeros(v_pad, dtype=bool)
@@ -107,6 +133,54 @@ class NGramSignatureIndex:
         self._vlen = jnp.asarray(lens)
         self._elig = jnp.asarray(elig)
         self._terms = terms
+
+    def extend_append(self, terms: Sequence[str], df: np.ndarray,
+                      new_start: int, off_tids=()) -> bool:
+        """Extend in place after an append-only finalize: signature
+        columns for terms ``new_start..`` plus eligibility flips for
+        ``off_tids`` (terms that became stop terms). Existing terms'
+        signatures/lengths never change (the string is the key), and a
+        growing df cannot flip an eligible term off — so this produces
+        the same state as a fresh build, without the O(vocab) Python
+        signature loop (~10s+ at 1M-doc vocabularies, previously paid on
+        the first fuzzy query after EVERY incremental finalize). Returns
+        False on capacity overflow (caller rebuilds)."""
+        k = len(terms) - self.v
+        if k < 0 or new_start != self.v:
+            return False
+        v_pad = int(self._vlen.shape[0])
+        if k == 0 and not off_tids:
+            self._terms = terms
+            return True
+        k_pad = _ext_bucket(max(k, 1))
+        if self.v + k_pad > v_pad:
+            return False
+        sig = np.zeros((k_pad, SIG_BITS), dtype=np.int8)
+        lens = np.zeros(k_pad, dtype=np.int32)
+        elig = np.zeros(k_pad, dtype=bool)
+        for i in range(k):
+            term = terms[self.v + i]
+            if len(term) < self.min_len or df[self.v + i] <= 0:
+                continue
+            elig[i] = True
+            lens[i] = len(term)
+            sig[i, _bigram_bits(term)] = 1
+        off = np.asarray(list(off_tids) or [self.v], np.int32)
+        off_pad = np.full(_ext_bucket(off.size), off[0], np.int32)
+        off_pad[: off.size] = off
+        # a padded off entry repeats a real one (idempotent flip); with
+        # no flips it points at the first NEW column, whose eligibility
+        # the update writes afterwards anyway
+        flip = bool(off_tids)
+        (self._sig_t, self._vpop, self._vlen,
+         self._elig) = _extend_update(
+            self._sig_t, self._vpop, self._vlen, self._elig,
+            jnp.asarray(sig.T), jnp.asarray(sig.sum(axis=1, dtype=np.int32)),
+            jnp.asarray(lens), jnp.asarray(elig), jnp.asarray(off_pad),
+            np.int32(self.v), flip)
+        self.v += k
+        self._terms = terms
+        return True
 
     def candidates_batch(self, tokens: List[str]) -> List[np.ndarray]:
         """Signature-filtered candidate term ids per token (unverified)."""

@@ -239,3 +239,28 @@ class TestChampionMergeUnit:
         assert np.array_equal(merged.ext_docs, full.ext_docs)
         assert np.array_equal(merged.ext_weights, full.ext_weights)
         assert (merged.champion_starts >= 0).sum() >= 2  # big+fresh clipped
+
+
+class TestSigIndexExtension:
+    def test_signature_index_extends_and_matches(self, monkeypatch):
+        from infidex_tpu.index.vector_model import VectorModel
+
+        monkeypatch.setattr(VectorModel, "SIGNATURE_VOCAB_THRESHOLD", 1)
+        monkeypatch.setenv("INFIDEX_TPU_APPEND_FINALIZE", "1")
+        eng = SearchEngine.create_default()
+        eng.index_documents([Document(i, t) for i, t in enumerate(BASE)])
+        m = eng._vector_model
+        _results(eng, "shawshenk")          # builds the signature index
+        sig_before = m._sig_index
+        assert sig_before is not None
+        eng.index_document(Document(3000, "Quixotic adventures"))
+        eng.calculate_weights()
+        assert m._sig_index is sig_before   # extended, not rebuilt
+        r_fast = _results(eng, "quixotik")  # typo toward the NEW doc
+        assert any(doc_id == 3000 for doc_id, _ in r_fast)
+        # oracle: fresh engine over the same final corpus
+        eng2 = SearchEngine.create_default()
+        eng2.index_documents(
+            [Document(i, t) for i, t in enumerate(BASE)]
+            + [Document(3000, "Quixotic adventures")])
+        assert r_fast == _results(eng2, "quixotik")
