@@ -495,7 +495,10 @@ def bench_incremental(n_docs=10_000, n_queries=200):
         w = rng.choice(rng.choice(titles).lower().split())
         queries.append(w[: max(2, len(w) - rng.randrange(1, 4))])
 
+    import os as _os
+
     stop = threading.Event()
+    no_writer = bool(_os.environ.get("INFIDEX_TPU_BENCH_NO_WRITER"))
 
     def writer():
         # Stream documents continuously; re-finalize derived stats every
@@ -515,12 +518,14 @@ def bench_incremental(n_docs=10_000, n_queries=200):
             time.sleep(0.05)
 
     w = threading.Thread(target=writer)
-    w.start()
+    if not no_writer:   # INFIDEX_TPU_BENCH_NO_WRITER=1: serving-only A/B
+        w.start()
     try:
         qps, p50, _, split = _measure(engine, queries, Query)
     finally:
         stop.set()
-        w.join()
+        if w.is_alive():
+            w.join()
     _emit(f"autocomplete-under-writes QPS ({n_docs} docs, batch={BATCH}, "
           f"p50={p50:.1f}ms)", qps, **split)
 

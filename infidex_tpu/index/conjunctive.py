@@ -53,6 +53,13 @@ ANCHOR_CLIP = int(os.environ.get("INFIDEX_TPU_CONJ_ANCHOR_CLIP", "16384"))
 RARE_DIV = 64
 #: per-rare-gram champion clip (top postings by weight).
 GRAM_CHAMPIONS = 4096
+#: token lengths [min_length_one_typo, FPREFIX_MAX] gain a fuzzy-prefix
+#: evidence class (WordMatcher.fuzzy_prefix_parts): short tokens' grams
+#: cannot see interior doc words whose prefix is one edit away (the
+#: boundary gram exists only doc-initially), yet the coverage cascade
+#: credits exactly those matches — ROUND5.md §7 mechanism 2. 0 disables.
+FPREFIX_MAX = int(os.environ.get("INFIDEX_TPU_CONJ_FPREFIX_MAX", "4"))
+FPREFIX_MIN = 3   # coverage's min_length_one_typo: shorter gets no typo
 
 
 class ConjPool(np.ndarray):
@@ -180,6 +187,9 @@ def _token_evidence(model, word: str,
                 model.expand_missing_term_ids(word)).tolist():
             anchors.append(built.postings_for(int(tid))[0])
             gram_tids.append(int(tid))
+    wm = getattr(model, "_wm_ref", None)
+    if wm is not None and FPREFIX_MIN <= len(word) <= FPREFIX_MAX:
+        anchors.extend(wm.fuzzy_prefix_parts(word))
     rare_cap = min(8192, max(64, built.num_docs // RARE_DIV))
     for tid in gram_tids:
         if 0 < built.df[tid] <= rare_cap:

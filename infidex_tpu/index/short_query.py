@@ -42,6 +42,9 @@ class PositionalPrefixIndex:
         # incremental champion-list update (ShortQueryResolver
         # .append_docs) consumes this instead of rescanning full lists.
         self.last_appended: Dict[str, np.ndarray] = {}
+        # distinct-doc counts per prefix (coverage gate, every short
+        # query) — cleared whenever postings change
+        self._count_cache: Dict[str, int] = {}
         self._frozen = False
 
     def index_document(self, text: str, document_id: int) -> None:
@@ -67,6 +70,8 @@ class PositionalPrefixIndex:
                         lst.append((document_id, token_index))
                 token_index += 1
         self._frozen = False
+        if self._count_cache:
+            self._count_cache.clear()
 
     def load_bulk(self, index) -> None:
         """Install the native bulk builder's prefix map (values are
@@ -74,6 +79,7 @@ class PositionalPrefixIndex:
         self._index = index
         self._pending = {}
         self.last_appended = {}
+        self._count_cache = {}
         self._frozen = True
 
     @staticmethod
@@ -110,6 +116,7 @@ class PositionalPrefixIndex:
             if isinstance(postings, list):
                 postings.sort()
         self.last_appended = appended
+        self._count_cache = {}
         self._frozen = True
 
     def get_posting_list(self, prefix: str, frozen_only: bool = False
@@ -135,15 +142,27 @@ class PositionalPrefixIndex:
         return lst is not None and len(lst) > 0
 
     def count_documents(self, prefix: str) -> int:
+        cached = self._count_cache.get(prefix)
+        if cached is not None:
+            return cached
         lst = self.get_posting_list(prefix)
         if lst is None or len(lst) == 0:
-            return 0
-        return len({int(r[0]) for r in lst})
+            n = 0
+        elif isinstance(lst, np.ndarray):
+            n = int(np.unique(lst[:, 0]).size)
+        else:
+            n = len({int(r[0]) for r in lst})
+        if len(self._count_cache) >= 4096:
+            self._count_cache.clear()
+        self._count_cache[prefix] = n
+        return n
 
     def get_document_ids(self, prefix: str) -> set:
         lst = self.get_posting_list(prefix)
         if lst is None or len(lst) == 0:
             return set()
+        if isinstance(lst, np.ndarray):
+            return set(np.unique(lst[:, 0]).tolist())
         return {int(r[0]) for r in lst}
 
     def all_prefixes(self):
@@ -165,6 +184,7 @@ class PositionalPrefixIndex:
         self._index.clear()
         self._pending.clear()
         self.last_appended = {}
+        self._count_cache = {}
 
 
 class _DocScore:
@@ -191,6 +211,11 @@ class ShortQueryResolver:
         # gives the same answers and keeps indexing latency flat.
         self._champion_lists: Dict[str, List[ScoreEntry]] = {}
         self._champion_built: set = set()
+        # Persistent doc tables (built once, extended on append-only
+        # finalizes): champion builds AND the vectorized short-query
+        # processor (scoring/short_query.search_short_query_fast) read
+        # them.
+        self._tables: Optional[dict] = None
 
     def _split(self, text: str) -> List[str]:
         out, cur = [], []
@@ -313,12 +338,18 @@ class ShortQueryResolver:
     # lazy scalar path above stays as the semantic oracle (parity pinned
     # by tests/test_short_query_champions.py).
 
+    def ensure_tables(self) -> dict:
+        """The persistent doc tables, built on first use."""
+        if self._tables is None:
+            self._tables = self._build_doc_tables()
+        return self._tables
+
     def build_all_champions(self) -> int:
         """Build champion lists for every indexed prefix in one vectorized
         pass; returns the number of prefixes built. Safe to call while
         readers run: results publish per-prefix into the same dicts the
         lazy path uses (identical entries)."""
-        tables = self._build_doc_tables()
+        tables = self.ensure_tables()
         built_lists: Dict[str, List[ScoreEntry]] = {}
         for prefix, postings in self._prefix_index.all_prefixes():
             if prefix in self._champion_built or len(postings) == 0:
@@ -344,10 +375,10 @@ class ShortQueryResolver:
         the full rebuild's ascending-doc tie order. O(touched prefixes
         x delta) instead of an O(corpus) doc-table pass + per-prefix
         rescans."""
-        if not appended or k <= 0:
+        if k <= 0:
             return
         tables = self._build_doc_tables(start=start)
-        for prefix, rows in appended.items():
+        for prefix, rows in (appended or {}).items():
             if prefix not in self._champion_built:
                 continue  # lazy prefixes rebuild from frozen base on use
             old = self._champion_lists.get(prefix) or []
@@ -357,6 +388,23 @@ class ShortQueryResolver:
             merged = sorted(old + delta_entries,
                             key=lambda e: -e.score)[:CHAMPION_LIST_SIZE]
             self._champion_lists[prefix] = merged
+        # extend the persistent tables with the delta rows/map entries
+        # (delta ids exceed every existing id, so per-token id lists stay
+        # ascending under concatenation)
+        old_t = self._tables
+        if old_t is not None:
+            for key in ("short_title", "deleted", "doc_keys",
+                        "text_prefix"):
+                n_old = old_t[key].shape[0]
+                tables[key][:n_old] = old_t[key]
+            for mk in ("any_map", "first_map", "title_map"):
+                merged_m = dict(old_t[mk])
+                for t, arr in tables[mk].items():
+                    prev = merged_m.get(t)
+                    merged_m[t] = (np.concatenate([prev, arr])
+                                   if prev is not None else arr)
+                tables[mk] = merged_m
+            self._tables = tables
 
     def _build_doc_tables(self, start: int = 0) -> dict:
         """One pass over the corpus: per-doc exact-token/first-token/title
@@ -370,6 +418,10 @@ class ShortQueryResolver:
         short_title = np.zeros(n, bool)
         deleted = np.ones(n, bool)
         doc_keys = np.zeros(n, np.int64)
+        # first max_p lowered title chars, 21 bits each (code point + 1;
+        # 0 = past end) packed big-end-first: text.startswith(q) for
+        # len(q) <= max_p becomes one vectorized shift-compare
+        text_prefix = np.zeros(n, np.int64)
         any_map: Dict[str, List[int]] = {}
         first_map: Dict[str, List[int]] = {}
         title_map: Dict[str, List[int]] = {}
@@ -383,6 +435,11 @@ class ShortQueryResolver:
             if doc.deleted:
                 continue
             title = (doc.indexed_text or "").lower()
+            pack = 0
+            for ch in title[:max_p]:
+                pack = (pack << 21) | (ord(ch) + 1)
+            pack <<= 21 * max(0, max_p - len(title))
+            text_prefix[i] = pack
             tokens = self._split(title)
             if len(tokens) <= 3:
                 short_title[i] = True
@@ -396,7 +453,8 @@ class ShortQueryResolver:
                 title_map.setdefault(s, []).append(i)
         to_arr = lambda m: {k: np.asarray(v, np.int64) for k, v in m.items()}
         return dict(short_title=short_title, deleted=deleted,
-                    doc_keys=doc_keys, any_map=to_arr(any_map),
+                    doc_keys=doc_keys, text_prefix=text_prefix,
+                    any_map=to_arr(any_map),
                     first_map=to_arr(first_map), title_map=to_arr(title_map))
 
     def _champions_vec(self, prefix: str, postings,

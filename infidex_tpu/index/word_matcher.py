@@ -235,6 +235,83 @@ class WordMatcher:
         return parts
 
     # ------------------------------------------------------------------
+    def fuzzy_prefix_words(self, token: str,
+                           budget: int = MAX_FST_AFFIX_TERMS_PER_QUERY
+                           ) -> List[str]:
+        """Vocabulary words whose len(token)-prefix is within Damerau-1
+        of ``token`` — the candidate-side twin of the coverage cascade's
+        fuzzy-prefix pass (PrefixSuffixMatcher Damerau<=1 prefix credit),
+        which candidate generation previously had no evidence class for:
+        at index_sizes=[3] an interior doc word 'Cekachel' shares NO gram
+        with query token 'cee' (the '\\uffffce' boundary gram exists only
+        doc-initially, Tokenizer.cs whole-text pads), so fusion's top
+        docs never became candidates (ROUND5.md §7 mechanism 2).
+
+        Implementation: bounded best-effort walk of the SORTED affix
+        word table as an implicit trie (bisect ranges = nodes; no trie
+        memory, naturally current across incremental finalizes), with a
+        full Damerau-Levenshtein DP row per node and prune at min > 1.
+        At depth len(token) every qualifying subtree's words are taken
+        in lexicographic order up to ``budget`` — deterministic."""
+        if not self._finalized:
+            self.finalize_index()
+        words = self._sorted_words
+        token = self._normalize(token)
+        m = len(token)
+        if not words or m == 0:
+            return []
+        out: List[str] = []
+        # DFS stack of (lo, hi, prefix, prev_row, row); children pushed
+        # in reverse-lex order so pops are lexicographic.
+        stack = [(0, len(words), "", None, list(range(m + 1)))]
+        while stack and len(out) < budget:
+            lo, hi, prefix, prev, row = stack.pop()
+            d = len(prefix)
+            if d == m:
+                if row[m] <= 1:
+                    out.extend(words[lo:hi][: budget - len(out)])
+                continue
+            if min(row) > 1:
+                continue
+            children = []
+            i = lo
+            while i < hi:
+                w = words[i]
+                if len(w) <= d:   # the word equal to the prefix itself
+                    i += 1
+                    continue
+                c = w[d]
+                j = bisect.bisect_right(words, prefix + c + "￿", i, hi)
+                new = [row[0] + 1]
+                for k in range(1, m + 1):
+                    cost = 0 if token[k - 1] == c else 1
+                    v = min(new[k - 1] + 1, row[k] + 1, row[k - 1] + cost)
+                    if (prev is not None and k >= 2
+                            and token[k - 1] == prefix[d - 1]
+                            and token[k - 2] == c):
+                        v = min(v, prev[k - 2] + 1)
+                    new.append(v)
+                children.append((i, j, prefix + c, row, new))
+                i = j
+            stack.extend(reversed(children))
+        return out
+
+    def fuzzy_prefix_parts(self, token: str,
+                           budget: int = MAX_FST_AFFIX_TERMS_PER_QUERY
+                           ) -> List[np.ndarray]:
+        """Merged sorted doc ids of ``fuzzy_prefix_words`` matches (one
+        part, affix-part convention)."""
+        matched = self.fuzzy_prefix_words(token, budget)
+        lists = [docs for docs in (self._affix_words.get(w)
+                                   for w in matched)
+                 if docs is not None and len(docs)]
+        if not lists:
+            return []
+        merged = np.unique(np.concatenate(
+            [np.asarray(d, dtype=np.int32) for d in lists]))
+        return [merged.astype(np.int32)]
+
+    # ------------------------------------------------------------------
     def lookup_query(self, query_text: str, cover_prefix_suffix: bool) -> np.ndarray:
         """Per-word exact+LD1 (+ affix) union over a whole query
         (Scoring/WordMatcherLookup.cs)."""

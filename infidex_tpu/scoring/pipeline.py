@@ -248,6 +248,10 @@ class SearchPipeline:
         self._coverage_engine = coverage_engine
         self._coverage_setup = coverage_setup
         self._word_matcher = word_matcher
+        # conjunctive-pool evidence (index/conjunctive.py) reaches the
+        # WordMatcher through the model: the fuzzy-prefix class walks
+        # its sorted affix table
+        vector_model._wm_ref = word_matcher
         self._synonym_map = synonym_map
         self._sorted_vocab = None
         #: cumulative count of coverage candidates scored on the host
@@ -1104,6 +1108,11 @@ class SearchPipeline:
                         return champions
                 return sq.search_single_character(
                     ch, self._model, max_results, best_segments_map)
+            fast_entries = sq.search_short_query_fast(
+                search_text.lower(), self._model, self._vocab(),
+                max_results=max_results)
+            if fast_entries is not None:
+                return fast_entries
             return sq.search_short_query(
                 search_text.lower(), self._model, best_segments_map, self._vocab())
 

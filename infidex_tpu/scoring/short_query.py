@@ -186,6 +186,122 @@ class _SortedVocab:
         return out
 
 
+def search_short_query_fast(
+    search_lower: str,
+    model: VectorModel,
+    vocab: _SortedVocab,
+    max_results: int = 2**31 - 1,
+) -> Optional[List[ScoreEntry]]:
+    """Vectorized twin of ``search_short_query`` for the 1:1 id<->key
+    case — identical entries (pinned by tests/test_short_query_vec.py).
+
+    The scalar port walks every posting of up to 4096 prefix terms in
+    Python (ShortQueryProcessor.cs:154-231 runs the same loop at C#
+    speeds) — ~2s per 2-char query at 1M docs, the dominant host cost
+    of the autocomplete-under-writes workload. Here the posting walk
+    becomes CSR slice concatenation + two bincounts, and the per-doc
+    precedence bits come from the ShortQueryResolver's persistent doc
+    tables (token/title equality maps, packed text prefixes).
+
+    Returns None when inapplicable (multi-segment docs, multi-token or
+    over-length query, missing tables, or the <100-match fuzzy-fallback
+    regime) — caller runs the scalar oracle."""
+    import numpy as np
+
+    if model.documents.multi_segment or model.built is None:
+        return None
+    res = model.short_query_resolver
+    if res is None:
+        return None
+    max_p = res._prefix_index.max_prefix_length
+    if not search_lower or len(search_lower) > max_p:
+        return None
+    delims = (model.tokenizer.tokenizer_setup.delimiter_set
+              if model.tokenizer.tokenizer_setup else {" "})
+    q_tokens = _split(search_lower, delims)
+    if q_tokens != [search_lower]:
+        return None  # delimiters inside/around: scalar handles
+    deleted = model.deleted_arr
+    keys = model.doc_keys_arr
+    n = model.built.num_docs
+    if deleted.size < n or keys.size < n:
+        return None
+    tables = res.ensure_tables()
+    if tables["text_prefix"].shape[0] < n:
+        return None
+
+    built = model.built
+    patterns = build_prefix_patterns(
+        search_lower, model.tokenizer.min_index_size,
+        model.tokenizer.start_pad_size)
+    tids: List[int] = []
+    for pattern in patterns:
+        # no cross-pattern dedup: the scalar (and the reference) call
+        # ProcessTerm once per (pattern, term) occurrence
+        tids.extend(vocab.by_prefix(pattern, MAX_FST_TERMS_PER_PREFIX))
+    tids = [t for t in tids if built.df[t] > 0]
+    if not tids:
+        return []
+    offs = built.term_offsets
+    slices_d = [built.postings_docs[offs[t]:offs[t + 1]] for t in tids]
+    slices_w = [built.postings_weights[offs[t]:offs[t + 1]] for t in tids]
+    docs_cat = np.concatenate(slices_d)
+    w_cat = np.concatenate(slices_w)
+    live = ~deleted[docs_cat]
+    docs_l = docs_cat[live]
+    if docs_l.size == 0:
+        return []
+    w_l = w_cat[live].astype(np.float64)
+    counts = np.bincount(docs_l, minlength=n)
+    matched = np.flatnonzero(counts)
+    if matched.size < 100:
+        return None  # scalar fuzzy-fallback regime (term-scan semantics)
+    scores = np.bincount(docs_l, weights=w_l * 10.0, minlength=n)[matched]
+    max_score = scores.max()
+    norm = scores / max_score if max_score > 0 else scores / 255.0
+
+    prec = np.zeros(matched.size, np.int64)
+
+    def _bit(id_map, bit):
+        a = id_map.get(search_lower)
+        if a is None or a.size == 0:
+            return
+        j = np.searchsorted(a, matched)
+        jc = np.minimum(j, a.size - 1)
+        hit = (j < a.size) & (a[jc] == matched)
+        prec[hit] |= bit
+
+    _bit(tables["any_map"], 1)
+    _bit(tables["first_map"], 4)
+    _bit(tables["title_map"], 8)
+    # text.lower().startswith(q) via the packed prefix compare
+    m = len(search_lower)
+    qpack = 0
+    for ch in search_lower:
+        qpack = (qpack << 21) | (ord(ch) + 1)
+    shift = np.int64(21 * (max_p - m))
+    hit = (tables["text_prefix"][matched] >> shift) == np.int64(qpack)
+    prec |= np.where(hit, 2, 0)
+
+    doc_keys = keys[matched]
+    final = prec.astype(np.float64) + norm
+    # When the coverage gate is certain to skip Stage 2/3 (distinct
+    # prefix-doc count above the cap), only the top max_results entries
+    # survive downstream — avoid materializing 10^5 ScoreEntry objects
+    # to keep 10. ScoreEntry order is (score desc, tiebreaker desc=0,
+    # key asc); the downstream re-sort is a no-op on this subset.
+    if (max_results < final.size
+            and model.short_query_index is not None):
+        from .pipeline import SHORT_QUERY_COVERAGE_DOC_CAP
+
+        if (model.short_query_index.count_documents(search_lower)
+                > SHORT_QUERY_COVERAGE_DOC_CAP):
+            order = np.lexsort((doc_keys, -final))[:max_results]
+            final, doc_keys = final[order], doc_keys[order]
+    return [ScoreEntry(float(s), int(k))
+            for s, k in zip(final.tolist(), doc_keys.tolist())]
+
+
 def search_short_query(
     search_lower: str,
     model: VectorModel,
