@@ -241,7 +241,7 @@ def search_short_query_fast(
         tids.extend(vocab.by_prefix(pattern, MAX_FST_TERMS_PER_PREFIX))
     tids = [t for t in tids if built.df[t] > 0]
     if not tids:
-        return []
+        return None  # scalar's fuzzy term-scan fallback decides
     offs = built.term_offsets
     slices_d = [built.postings_docs[offs[t]:offs[t + 1]] for t in tids]
     slices_w = [built.postings_weights[offs[t]:offs[t + 1]] for t in tids]
@@ -250,7 +250,7 @@ def search_short_query_fast(
     live = ~deleted[docs_cat]
     docs_l = docs_cat[live]
     if docs_l.size == 0:
-        return []
+        return None  # scalar's fuzzy term-scan fallback decides
     w_l = w_cat[live].astype(np.float64)
     counts = np.bincount(docs_l, minlength=n)
     matched = np.flatnonzero(counts)

@@ -34,6 +34,11 @@ from infidex_tpu import Document, Query, SearchEngine
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 30_000
 PER_MODE = int(sys.argv[2]) if len(sys.argv) > 2 else 24
 UNCLIPPED = "unclipped" in sys.argv[3:]
+#: e.g. "modes=multi" or "modes=multi,typo" limits the sweep
+ONLY_MODES = None
+for a in sys.argv[3:]:
+    if a.startswith("modes="):
+        ONLY_MODES = set(a[6:].split(","))
 ORACLE_DEPTH = min(N_DOCS, 20_000)
 BATCH = 32
 
@@ -97,6 +102,8 @@ def main():
     modes = make_mode_queries(titles, PER_MODE)
     t0 = time.perf_counter()
     for mode, queries in modes.items():
+        if ONLY_MODES is not None and mode not in ONLY_MODES:
+            continue
         hits = total = 0
         lost_noncand = lost_ranked = 0
         for lo in range(0, len(queries), BATCH):
