@@ -267,7 +267,11 @@ class TieredStage1:
 
     @staticmethod
     def _deep_masked_enabled() -> bool:
-        return os.environ.get("INFIDEX_TPU_MASKED_TIER_DEEP", "0") == "1"
+        """Default ON (A/B on the real chip at 1M, scripts/c4_masked_ab
+        .py, ABA same-session: deep=0 124.5/126.5 QPS with 742ms/batch
+        of dense masked device passes; deep=1 203.1 QPS at 253ms/batch
+        — the config-4 gap to config-2 closed from ~40% to ~6%)."""
+        return os.environ.get("INFIDEX_TPU_MASKED_TIER_DEEP", "1") == "1"
 
     def _mask_selectivity(self, mask) -> float:
         """Fraction of docs the mask keeps, cached per mask object (the
@@ -315,9 +319,11 @@ class TieredStage1:
                 # masked device pass). Re-select with top_k scaled by
                 # 1/selectivity so the post-mask survivors can fill the
                 # page; the exact BM25 rerank over the (larger) pool and
-                # the underfill fallback below are unchanged. Off by
-                # default (INFIDEX_TPU_MASKED_TIER_DEEP=1 to enable)
-                # pending an on-chip A/B.
+                # the underfill fallback below are unchanged. The pool
+                # approximation quality matches the unmasked tier's (the
+                # dense fallback is champion-clipped too); A/B numbers in
+                # _deep_masked_enabled. INFIDEX_TPU_MASKED_TIER_DEEP=0
+                # restores the always-dense fallback.
                 sel_frac = self._mask_selectivity(mask)
                 scaled_k = min(int(top_k / max(sel_frac, 0.005)) + 1,
                                top_k * 64)
